@@ -1,0 +1,71 @@
+"""Central query/oracle registry.
+
+Every operator module registers its driver-checkable queries here with
+``@register(name, oracle=...)``. ``__spark_entry__.py`` exposes the maps to
+the correctness harness. A query callable takes ``(spark, sf_dir)`` and
+returns a DataFrame; the oracle is the DuckDB-SQL equivalent over the same
+parquet tables (views pre-registered by the driver).
+
+Determinism contract (hash-compared against DuckDB):
+- alias every computed column identically in Spark and SQL;
+- no uuid()/current_timestamp() in compared output — derive ids with md5;
+- FP aggregates go through exact decimal sums (see functions/numeric.py)
+  so both engines produce bit-identical doubles regardless of partial-agg
+  ordering.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+# Modules that register queries on import.
+_OPERATOR_MODULES = (
+    "psql_streamer_spark.operators.relational",
+    "psql_streamer_spark.operators.windows",
+    "psql_streamer_spark.operators.setops",
+    "psql_streamer_spark.operators.scalar",
+    "psql_streamer_spark.operators.cdc",
+    "psql_streamer_spark.operators.event_time",
+    "psql_streamer_spark.operators.dedup",
+    "psql_streamer_spark.operators.similarity",
+    "psql_streamer_spark.operators.text",
+    "psql_streamer_spark.operators.multimodal",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,131 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` twin via DuckDB
+at a given scale factor and reports row-count / schema(column-name) /
+value-level matches. Strict by default: values must compare EXACTLY (the
+driver hashes values, so "close" floats are still failures — our queries
+are written to be bit-deterministic cross-engine).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        # unify list-likes for comparison
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    if sorted(sp.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"schema mismatch: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(sp) != len(oracle_df):
+        problems.append(f"row count mismatch: spark={len(sp)} oracle={len(oracle_df)}")
+        return problems
+    a, b = _normalize(sp), _normalize(oracle_df)
+    n_bad = 0
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if not _cells_equal(x, y):
+                n_bad += 1
+                if n_bad <= 3:
+                    problems.append(f"value mismatch col={col} row={i}: spark={x!r} oracle={y!r}")
+    if n_bad > 3:
+        problems.append(f"... {n_bad} total mismatched cells")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
+    import __spark_entry__ as entrymod
+    from psql_streamer_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = _duck_con(sf_dir)
+
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                odf = con.execute(oracles[name]).fetchdf()
+                problems = compare(name, sdf, odf)
+            else:
+                n = sdf.count()
+                problems = [] if n >= 0 else ["negative count?"]
+                print(f"  [rows-only] {name}: {n} rows")
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        dt = time.time() - t0
+        status = "OK " if not problems else "FAIL"
+        print(f"{status} {name} ({dt:.1f}s)")
+        for p in problems:
+            print(f"     {p}")
+        if problems:
+            failed.append(name)
+
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match" + (f"; FAILED: {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
