@@ -1,1 +1,225 @@
+"""CDC pipeline semantics in batch form — the reference's actual capability.
 
+The driver's synthetic `events` table stands in for the replication stream
+(TESTDATA.md): we derive the Event envelope from it deterministically
+(md5-based uuid instead of uuid() so the DuckDB oracle can reproduce it),
+then exercise each hot-path transform: DML filter (T1), envelope (T3),
+routing with fallback/discard (R1), key-gen (T7), serialization (T6),
+validation/DLQ (T5). The same transform functions back the streaming layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.routing import route, routing_stats
+from psql_streamer_spark.sources.tables import load_table
+from psql_streamer_spark.transforms import (
+    filter_dml,
+    serialize_passthrough,
+    validate_split,
+    with_default_key,
+    with_envelope,
+)
+
+# event_type -> replication action. view/click map to non-DML protocol
+# messages (Begin/Commit analogues) so the T1 filter has something to drop,
+# mirroring postgres.go:320-331.
+_ACTION_SQL = """
+    CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'purchase' THEN 'update'
+                    WHEN 'error' THEN 'delete'
+                    WHEN 'click' THEN 'insert'
+                    ELSE 'begin' END
+"""
+
+_TOPIC_MAPPING = {
+    "tbl_signup": "topic_users",
+    "tbl_purchase": "topic_sales",
+    "tbl_error": "topic_errors",
+}
+
+
+def _as_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table -> Event envelope (deterministic uuid/wal for oracles)."""
+    e = load_table(spark, "events", sf_dir)
+    enveloped = with_envelope(
+        e,
+        host="db1",
+        database="test",
+        table=F.concat(F.lit("tbl_"), F.col("event_type")),
+        action=F.expr(_ACTION_SQL.strip()),
+        wal_position=F.col("event_id"),
+        uuid=F.md5(F.col("event_id").cast("string")),
+        ts=F.col("ts"),
+    )
+    return enveloped
+
+
+_ORACLE_CDC_BASE = """
+    SELECT 'db1' AS host, 'test' AS database,
+           'tbl_' || event_type AS "table",
+           CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'purchase' THEN 'update'
+                           WHEN 'error' THEN 'delete'
+                           WHEN 'click' THEN 'insert'
+                           ELSE 'begin' END AS action,
+           event_id AS wal_position,
+           ts, md5(CAST(event_id AS VARCHAR)) AS uuid, props
+    FROM events
+"""
+
+
+@register(
+    "cdc_envelope_dml_events",
+    oracle=f"""
+    SELECT host, database, "table", action, wal_position, ts, uuid,
+           CAST(json_extract_string(props, '$.k') AS INT) AS col_k
+    FROM ({_ORACLE_CDC_BASE})
+    WHERE action IN ('insert','update','delete')
+    """,
+)
+def cdc_envelope_dml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T3: envelope stamping, DML filter, payload projection."""
+    ev = filter_dml(_as_cdc_events(spark, sf_dir))
+    return ev.select(
+        "host",
+        "database",
+        "table",
+        "action",
+        "wal_position",
+        "ts",
+        "uuid",
+        F.get_json_object("props", "$.k").cast("int").alias("col_k"),
+    )
+
+
+@register(
+    "cdc_route_with_fallback",
+    oracle=f"""
+    SELECT CASE "table" WHEN 'tbl_signup' THEN 'topic_users'
+                        WHEN 'tbl_purchase' THEN 'topic_sales'
+                        WHEN 'tbl_error' THEN 'topic_errors'
+                        ELSE 'topic_fallback' END AS topic,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT "table") AS n_tables
+    FROM ({_ORACLE_CDC_BASE})
+    WHERE action IN ('insert','update','delete')
+    GROUP BY 1
+    """,
+)
+def cdc_route_with_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 with fallback: every DML event lands on a topic."""
+    ev = filter_dml(_as_cdc_events(spark, sf_dir))
+    routed = route(ev, _TOPIC_MAPPING, fallback="topic_fallback")
+    return routed.groupBy("topic").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("table").alias("n_tables"),
+    )
+
+
+@register(
+    "cdc_route_discard_stats",
+    oracle=f"""
+    SELECT COALESCE(CASE "table" WHEN 'tbl_signup' THEN 'topic_users'
+                                 WHEN 'tbl_purchase' THEN 'topic_sales'
+                                 WHEN 'tbl_error' THEN 'topic_errors' END,
+                    '__discarded__') AS topic,
+           COUNT(*) AS n_events
+    FROM ({_ORACLE_CDC_BASE})
+    WHERE action IN ('insert','update','delete')
+    GROUP BY 1
+    """,
+)
+def cdc_route_discard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 without fallback: unroutable events counted as discarded
+    (the reference's `noTopic` counter)."""
+    ev = filter_dml(_as_cdc_events(spark, sf_dir))
+    return routing_stats(ev, _TOPIC_MAPPING, fallback=None)
+
+
+@register(
+    "cdc_default_message_keys",
+    oracle=f"""
+    SELECT host || ':' || database || ':' || "table" || ':' || action AS key,
+           COUNT(*) AS n_events,
+           MIN(wal_position) AS min_wal,
+           MAX(wal_position) AS max_wal
+    FROM ({_ORACLE_CDC_BASE})
+    WHERE action IN ('insert','update','delete')
+    GROUP BY 1
+    """,
+)
+def cdc_default_message_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: Host:Database:Table:Action keys — the hash-partitioning key for
+    the Kafka sink (same-key events co-partition, R3)."""
+    ev = with_default_key(filter_dml(_as_cdc_events(spark, sf_dir)))
+    return ev.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.min("wal_position").alias("min_wal"),
+        F.max("wal_position").alias("max_wal"),
+    )
+
+
+@register(
+    "cdc_serialize_passthrough",
+    oracle=f"""
+    SELECT wal_position,
+           '{{"Host":"' || host || '","Database":"' || database
+           || '","Table":"' || "table" || '","Action":"' || action
+           || '","WALPosition":' || wal_position
+           || ',"Timestamp":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+           || '","UUID":"' || uuid || '","Columns":{{"k":"'
+           || json_extract_string(props, '$.k') || '"}}}}' AS value
+    FROM ({_ORACLE_CDC_BASE})
+    WHERE action IN ('insert','update','delete')
+    """,
+)
+def cdc_serialize_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: Event -> wire-format JSON value (passthrough handler parity).
+
+    ts is pre-formatted to a fixed ISO-8601 micros string so the JSON text
+    is byte-identical cross-engine (Spark's native timestamp JSON encoding
+    differs from DuckDB's strftime)."""
+    ev = filter_dml(_as_cdc_events(spark, sf_dir))
+    ev = ev.withColumn(
+        "columns",
+        F.create_map(
+            F.lit("k"), F.get_json_object("props", "$.k")
+        ),
+    ).withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+    return serialize_passthrough(ev).select("wal_position", "value")
+
+
+@register(
+    "cdc_validate_dlq_counts",
+    oracle=f"""
+    SELECT CASE WHEN uuid = '' THEN 'dead_letter' ELSE 'valid' END AS branch,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT "table") AS n_tables
+    FROM (
+      SELECT "table",
+             CASE WHEN wal_position % 97 = 0 THEN '' ELSE uuid END AS uuid
+      FROM ({_ORACLE_CDC_BASE})
+      WHERE action IN ('insert','update','delete')
+    )
+    GROUP BY 1
+    """,
+)
+def cdc_validate_dlq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: validation split. Synthetic poison: every 97th WAL position gets
+    an empty UUID (the reference's reject condition, kafka.go:187-192);
+    both branches are counted like its per-sink stats."""
+    ev = filter_dml(_as_cdc_events(spark, sf_dir))
+    ev = ev.withColumn(
+        "uuid",
+        F.when(F.col("wal_position") % 97 == 0, F.lit("")).otherwise(F.col("uuid")),
+    )
+    valid, dlq = validate_split(ev)
+    count = lambda df, tag: df.groupBy(F.lit(tag).alias("branch")).agg(  # noqa: E731
+        F.count("*").alias("n_events"),
+        F.countDistinct("table").alias("n_tables"),
+    )
+    return count(valid, "valid").unionByName(count(dlq, "dead_letter"))
