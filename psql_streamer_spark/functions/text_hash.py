@@ -1,0 +1,164 @@
+"""Cross-engine deterministic text hashing: shingles, h32, MinHash, SimHash.
+
+Everything here must produce the SAME numbers in Spark and DuckDB so the
+oracle can replay it. The shared primitive is ``h32(s)`` = first 8 hex
+chars of md5(s) parsed as an unsigned 32-bit integer:
+
+- Spark:  CAST(conv(substr(md5(s),1,8), 16, 10) AS BIGINT)
+- DuckDB: CAST('0x' || substr(md5(s),1,8) AS BIGINT)
+
+MinHash permutations are (a_j * h + b_j) mod P with P = 2^31-1 and fixed
+a/b constants (seeded once, hardcoded below): a_j < 2^20 keeps the product
+under 2^52 — no 64-bit overflow in either engine (Spark runs ANSI mode,
+which would throw on overflow rather than wrap).
+
+All of it is pure column expressions — JVM codegen in Spark, no UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = NUM_PERM // LSH_BANDS
+
+_rng = random.Random(42)
+# (a, b) pairs; a odd so the map is a bijection mod 2^32 inputs
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 20) | 1, _rng.randrange(0, 1 << 20))
+    for _ in range(NUM_PERM)
+]
+
+SIMHASH_BITS = 32
+
+
+# -- Spark side -------------------------------------------------------------
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit hash of a string column (same in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def words_expr(text_col: str = "text") -> Column:
+    """Whitespace tokens, lowercased. The corpus is single-space separated;
+    filter() guards against empty tokens from irregular spacing anyway."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def shingles_expr(words: Column, k: int = 3) -> Column:
+    """k-word shingles as strings; empty array when the doc is shorter
+    than k words."""
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+    )
+    return F.when(F.size(words) >= k, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(df: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index input for
+    Jaccard / MinHash. At 100 TB this is the frame to bucket by shingle."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(shingles_expr(words_expr(), k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_agg_columns() -> list[Column]:
+    """16 min-hash aggregate columns over an ``h`` column (use after
+    grouping exploded shingle hashes by doc)."""
+    return [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def band_key_exprs() -> list[tuple[int, Column]]:
+    """(band_index, band_key) for LSH bucketing: key = joined minhashes of
+    the band's rows."""
+    out = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        out.append((b, F.concat_ws("-", *[c.cast("string") for c in cols])))
+    return out
+
+
+def simhash_bit_sums() -> list[Column]:
+    """Per-bit sign sums over an ``h`` column (grouped per doc)."""
+    return [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_combine() -> Column:
+    """Fold the 32 sign sums into the simhash value (bit i set iff sum>0)."""
+    acc = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return acc
+
+
+# -- DuckDB (oracle) side ---------------------------------------------------
+SQL_H32 = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+
+SQL_WORDS = "list_filter(string_split(lower({t}), ' '), w -> len(w) > 0)"
+
+# count = len(ws)-2 shingles, 1-based list indexing
+SQL_SHINGLES3 = (
+    "list_transform(range(1, len({ws}) - 1), i -> "
+    "{ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2])"
+)
+
+
+def sql_doc_shingles(table: str = "documents") -> str:
+    ws = SQL_WORDS.format(t="text")
+    return f"""
+    SELECT DISTINCT doc_id, unnest({SQL_SHINGLES3.format(ws='ws')}) AS shingle
+    FROM (SELECT doc_id, {ws} AS ws FROM {table})
+    """
+
+
+def sql_minhash_aggs() -> str:
+    h = "h"
+    return ",\n           ".join(
+        f"MIN(({a} * {h} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+
+
+def sql_band_keys() -> list[tuple[int, str]]:
+    out = []
+    for b in range(LSH_BANDS):
+        parts = " || '-' || ".join(
+            f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        out.append((b, parts))
+    return out
+
+
+def sql_simhash_bit_sums() -> str:
+    return ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+
+
+def sql_simhash_combine() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )

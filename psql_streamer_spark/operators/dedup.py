@@ -1,1 +1,362 @@
+"""Deduplication suite: exact, fingerprint, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
 
+North-star operators for a training-data pipeline (BASELINE.json). All are
+pure DataFrame compositions — the hashing lives in functions/text_hash.py
+and is replayed exactly by each query's DuckDB oracle.
+
+Scale design (100 TB):
+- exact/fingerprint dedup: one hash-aggregate on the normalized key —
+  map-side combined, no row explosion.
+- n-gram Jaccard is quadratic in docs-per-shared-shingle; it exists as the
+  ground-truth verifier. The scale path is MinHash+LSH: candidates only
+  materialize for band-key collisions (sub-quadratic), then the exact
+  Jaccard join runs on the (tiny) candidate set.
+- band-key self-joins shuffle on the band key, never on doc pairs; hot
+  band keys (boilerplate shingles) are the skew risk — AQE skew-join
+  handles moderate skew, stopword-shingle filtering is the structural fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.functions.text_hash import (
+    band_key_exprs,
+    doc_shingles,
+    h32,
+    minhash_agg_columns,
+    simhash_bit_sums,
+    simhash_combine,
+    sql_band_keys,
+    sql_doc_shingles,
+    sql_minhash_aggs,
+    sql_simhash_bit_sums,
+    sql_simhash_combine,
+    SQL_H32,
+)
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: group on the full text.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT text, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprint dedup: md5 of normalized text; each row tagged with its
+# group's canonical id (keep-first semantics without dropping rows).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(concat_ws(' ', lower(text))) AS fingerprint,
+           MIN(doc_id) OVER (PARTITION BY md5(concat_ws(' ', lower(text))))
+             AS canonical_doc_id
+    FROM documents
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    fp = F.md5(F.concat_ws(" ", F.lower(F.col("text"))))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.min("doc_id").over(W.partitionBy(fp)).alias("canonical_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (ground truth for near-dup).
+# --------------------------------------------------------------------------
+_SQL_SHINGLE_CTE = f"sh AS ({sql_doc_shingles()})"
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (ca.c + cb.c - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.c + cb.c - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index self-join; optionally
+    restricted to an LSH candidate set (the scale path)."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = doc_shingles(d)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_common") * 1.0 / (F.col("ca.c") + F.col("cb.c") - F.col("n_common"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD_PAIRS)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (machinery check: 16 values per doc, both engines).
+# --------------------------------------------------------------------------
+_SQL_MINHASH_SIG = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh)
+    SELECT doc_id,
+           {sql_minhash_aggs()}
+    FROM hashed GROUP BY doc_id
+"""
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    hashed = doc_shingles(d).select("doc_id", h32(F.col("shingle")).alias("h"))
+    return hashed.groupBy("doc_id").agg(*minhash_agg_columns())
+
+
+@register("dedup_minhash_signatures", oracle=_SQL_MINHASH_SIG)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs, verified with exact Jaccard.
+# --------------------------------------------------------------------------
+_band_selects = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+    for b, key in sql_band_keys()
+)
+
+_SQL_MINHASH_LSH = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sql_minhash_aggs()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (ca.c + cb.c - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.c + cb.c - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_LSH)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands x 4 rows): near-dup candidates only where a
+    band signature collides; exact Jaccard then verifies candidates. This
+    is the 100 TB dedup path — cost scales with collisions, not pairs."""
+    sig = _minhash_signatures(spark, sf_dir)
+    banded = None
+    for b, key in band_key_exprs():
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"), key.alias("band_key")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_pairs(spark, sf_dir, candidates=cand)
+
+
+# --------------------------------------------------------------------------
+# SimHash: 32-bit signature per doc + hamming-distance near-dup pairs.
+# --------------------------------------------------------------------------
+# SimHash features are 3-gram shingles, not single words: the corpus draws
+# from a small shared vocabulary, so word-set simhashes collide massively
+# (~15k hamming<=3 pairs at sf0.01); shingles keep only true near-dups.
+_SQL_SIMHASH_SIG = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sums AS (SELECT doc_id, {sql_simhash_bit_sums()} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {sql_simhash_combine()} AS simhash FROM sums
+"""
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    hashed = doc_shingles(d).select("doc_id", h32(F.col("shingle")).alias("h"))
+    sums = hashed.groupBy("doc_id").agg(*simhash_bit_sums())
+    return sums.select("doc_id", simhash_combine().alias("simhash"))
+
+
+@register("dedup_simhash_signatures", oracle=_SQL_SIMHASH_SIG)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash(spark, sf_dir)
+
+
+_SQL_SIMHASH_PAIRS = f"""
+    WITH sig AS ({_SQL_SIMHASH_SIG}),
+    banded AS (
+      SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS byte FROM sig
+      UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sig
+      UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sig
+      UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SQL_SIMHASH_PAIRS)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= 3, blocked on any
+    shared signature byte (a pair within distance 3 must agree on at least
+    one of the 4 bytes — pigeonhole), so no quadratic pair scan."""
+    sig = _simhash(spark, sf_dir)
+    banded = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs.
+# --------------------------------------------------------------------------
+# Threshold is data-dependent; the synthetic embeddings carry no planted
+# near-dups (max pairwise cosine ~0.51), so 0.4 exercises the operator.
+COSINE_DUP_THRESHOLD = 0.4
+
+_SQL_COSINE_PAIRS = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(e, x -> x*x), (x,y) -> x+y)) AS nrm
+          FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_transform(range(1, len(a.e)+1),
+                                      i -> a.e[i] * b.e[i]), (x,y) -> x+y)
+             / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.e)+1),
+                                     i -> a.e[i] * b.e[i]), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine_pairs", oracle=_SQL_COSINE_PAIRS)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pairwise cosine (ground truth / small-N path). The dot
+    product is a sequential left fold so both engines sum in the same
+    order — bit-identical doubles, no rounding slack needed. Scale path:
+    LSH bucketing (see similarity.py) before the pair join."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot_self = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = e.select("vec_id", "e", F.sqrt(dot_self).alias("nrm"))
+    a = n.alias("a")
+    b = n.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

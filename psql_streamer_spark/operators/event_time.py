@@ -1,1 +1,175 @@
+"""Event-time windowing in oracle-checkable batch form (B1 + §2.8 rows).
 
+The mux's count+time batching (mux/mux.go:51-86) maps to micro-batch
+triggers in streaming; its *semantic* content — bucketing an event stream
+by time — maps to event-time windows. These queries use the exact
+streaming primitives (`F.window`, sessionization logic) on batch frames so
+the DuckDB oracle can validate them; streaming/ wraps the same expressions
+with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.functions.numeric import dsum, sql_dsum
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.sources.tables import load_table
+
+
+@register(
+    "evt_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {v} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """.format(v=sql_dsum("value")),
+)
+def evt_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "evt_sliding_1h_30m",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type, value FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events, {v} AS sum_value
+    FROM starts
+    GROUP BY 1, 2, 3
+    """.format(v=sql_dsum("value")),
+)
+def evt_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: each event lands in size/slide = 2 windows. Spark
+    expands this internally (explode of window instances) — same shape as
+    the oracle's UNION ALL of shifted buckets."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "evt_session_windows_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {v} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """.format(v=sql_dsum("value")),
+)
+def evt_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the batch analogue
+    of streaming `session_window(ts, '30 minutes')`. Two windowed passes
+    over the same (user_id, ts) partitioning = ONE shuffle; the session
+    assignment itself is shuffle-free after that."""
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ) <= 30 * 60
+    flagged = e.withColumn(
+        "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "evt_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def evt_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup per (user_id, event_type) — the batch
+    analogue of `dropDuplicatesWithinWatermark` (F5's UUID-based downstream
+    dedup for at-least-once replays). `dropDuplicates` itself keeps an
+    arbitrary row; row_number makes the choice reproducible."""
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "evt_late_data_cutoff",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE ts >= cutoff) AS n_on_time,
+           COUNT(*) FILTER (WHERE ts < cutoff) AS n_late
+    FROM events, (SELECT MAX(ts) - INTERVAL 24 HOUR AS cutoff FROM events)
+    GROUP BY event_type
+    """,
+)
+def evt_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch: with the watermark at max(ts)-24h,
+    count events the streaming engine would accept vs drop. The scalar
+    cutoff broadcasts (tiny cross join) — no shuffle of the fact side."""
+    e = load_table(spark, "events", sf_dir)
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff")
+    )
+    return (
+        e.crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("ts") >= F.col("cutoff"), 1)).alias("n_on_time"),
+            F.count(F.when(F.col("ts") < F.col("cutoff"), 1)).alias("n_late"),
+        )
+    )

@@ -1,1 +1,198 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded via Arrow-batched Pandas UDFs (`mapInPandas`).
 
+The container has no image/audio libraries, so the actual media decode is
+STUBBED (`decode_media` raises NotImplementedError); what is real — and
+tested/oracle-checked — is everything Spark-side: the binary column
+representation, the mapInPandas batch shape (bytes in, typed rows out),
+schema contracts, and the deterministic fake feature extractor used in
+place of the codec.
+
+Scale design: binary payloads ride the same parquet row groups as their
+metadata; mapInPandas streams Arrow batches so one task never holds more
+than spark.sql.execution.arrow.maxRecordsPerBatch payloads; decode is a
+narrow map (no shuffle), so 100 TB of media decodes at scan speed.
+
+Reference parity note: the reference coerces bytea -> string and drops
+unsupported types (source/postgres/postgres.go:405-425); we instead make
+binary a first-class transported type with explicit metadata.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.sources.tables import load_table
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """The real codec hook. Not available in this container — callers use
+    fake_image_features for deterministic plumbing tests."""
+    raise NotImplementedError(
+        f"media decode for {mime!r} requires codec libraries not present "
+        "in this environment; use fake_image_features for plumbing tests"
+    )
+
+
+def fake_image_features(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for an image decoder: derives (n_bytes,
+    width, height, checksum) purely from the payload bytes, so the DuckDB
+    oracle can reproduce it."""
+    n = len(payload)
+    width = n % 640 + 1
+    height = (n * 7) % 480 + 1
+    return n, width, height, hashlib.md5(payload).hexdigest()
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-cast as an opaque binary payload column with typed
+    metadata — the engine's multimodal transport schema."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.col("source").alias("origin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# mapInPandas feature extraction over the binary column.
+# --------------------------------------------------------------------------
+_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_pixels long, checksum string"
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = pdf["payload"].map(fake_image_features)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
+                "width": feats.map(lambda t: t[1]).astype("int32"),
+                "height": feats.map(lambda t: t[2]).astype("int32"),
+                "checksum": feats.map(lambda t: t[3]),
+            }
+        )
+        out["n_pixels"] = (out["width"].astype("int64")) * out["height"]
+        yield out[["doc_id", "n_bytes", "width", "height", "n_pixels", "checksum"]]
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+           (octet_length(encode(text)) % 640 + 1)
+             * ((octet_length(encode(text)) * 7) % 480 + 1) AS n_pixels,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed features through a real mapInPandas pass
+    (Arrow batches of bytes), with the codec stubbed deterministically."""
+    media = _media_frame(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract_features, schema=_FEATURES_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: every 16th byte of the payload = one "frame" record.
+# --------------------------------------------------------------------------
+FRAME_STRIDE = 16
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, text,
+             unnest(range(0, (octet_length(encode(text)) + {FRAME_STRIDE} - 1)
+                              // {FRAME_STRIDE})) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * {FRAME_STRIDE} AS byte_offset,
+           ascii(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INT), 1)) AS byte_value
+    FROM frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided sampling over an opaque payload (the video frame-sample
+    shape): explode of a computed offset sequence — a narrow map, rows
+    scale with payload size / stride, never a shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    n_frames = F.ceil(F.octet_length(F.encode("text", "utf-8")) / FRAME_STRIDE).cast(
+        "int"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * FRAME_STRIDE).alias("byte_offset"),
+            F.ascii(
+                F.substring(
+                    F.col("text"), F.col("frame_idx") * FRAME_STRIDE + 1, 1
+                )
+            ).alias("byte_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Modality routing on metadata (multimodal batch triage).
+# --------------------------------------------------------------------------
+@register(
+    "mm_modality_stats",
+    oracle="""
+    SELECT CASE WHEN n_chars < 100 THEN 'thumbnail'
+                WHEN n_chars < 300 THEN 'image'
+                ELSE 'video' END AS modality,
+           COUNT(*) AS n_assets,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MIN(octet_length(encode(text))) AS min_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered modality triage over payload metadata — the batch
+    planner that decides which decode path (and which cluster pool) each
+    asset goes to."""
+    d = load_table(spark, "documents", sf_dir)
+    nbytes = F.octet_length(F.encode("text", "utf-8"))
+    return (
+        d.select(
+            F.when(F.col("n_chars") < 100, "thumbnail")
+            .when(F.col("n_chars") < 300, "image")
+            .otherwise("video")
+            .alias("modality"),
+            nbytes.alias("nb"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("nb").alias("total_bytes"),
+            F.min("nb").alias("min_bytes"),
+            F.max("nb").alias("max_bytes"),
+        )
+    )

@@ -1,1 +1,239 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+fingerprinting — the LLM-data-pipeline surface over `documents`.
 
+All expression-based (JVM codegen); each has an exact DuckDB oracle. At
+100 TB these are embarrassingly parallel scans — no shuffle except the
+final aggregates — so throughput is bound by parquet scan + codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.functions.text_hash import (
+    SQL_H32,
+    SQL_SHINGLES3,
+    SQL_WORDS,
+    h32,
+    shingles_expr,
+    words_expr,
+)
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Token statistics per document.
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_unique_tokens,
+           CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS n_chars_in_tokens,
+           len(list_distinct(ws)) * 1.0 / len(ws) AS type_token_ratio
+    FROM (SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws FROM documents)
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    ws = words_expr()
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_unique_tokens"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_in_tokens"),
+        (F.size(F.array_distinct(ws)) * F.lit(1.0) / F.size(ws)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus word counts (top-N) — the classic explode+count.
+# --------------------------------------------------------------------------
+@register(
+    "text_wordcount_top20",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest({SQL_WORDS.format(t='text')}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def text_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(words_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID: marker-word scoring (n-gram heuristic). The corpus is
+# synthetic word salad, so the *accuracy* is meaningless — what the oracle
+# validates is the scoring machinery (per-language marker hit counts and
+# the argmax tie-break).
+# --------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": ("the", "a", "data", "fast"),
+    "es": ("el", "la", "datos", "tabla"),
+    "de": ("der", "die", "das", "und"),
+}
+
+
+def _sql_marker_score(lang: str) -> str:
+    terms = " + ".join(
+        f"len(list_filter(ws, w -> w = '{m}'))" for m in _LANG_MARKERS[lang]
+    )
+    return f"({terms})"
+
+
+@register(
+    "text_langid_scores",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_sql_marker_score('en')} AS score_en,
+           {_sql_marker_score('es')} AS score_es,
+           {_sql_marker_score('de')} AS score_de,
+           CASE
+             WHEN {_sql_marker_score('en')} >= {_sql_marker_score('es')}
+              AND {_sql_marker_score('en')} >= {_sql_marker_score('de')} THEN 'en'
+             WHEN {_sql_marker_score('es')} >= {_sql_marker_score('de')} THEN 'es'
+             ELSE 'de'
+           END AS predicted_lang
+    FROM (SELECT doc_id, lang, {SQL_WORDS.format(t='text')} AS ws FROM documents)
+    """,
+)
+def text_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    ws = words_expr()
+
+    def score(lang: str):
+        acc = F.lit(0)
+        for m in _LANG_MARKERS[lang]:
+            acc = acc + F.size(F.filter(ws, lambda w: w == F.lit(m)))  # noqa: B023
+        return acc
+
+    en, es, de = score("en"), score("es"), score("de")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("score_en"),
+        es.alias("score_es"),
+        de.alias("score_de"),
+        F.when((en >= es) & (en >= de), "en")
+        .when(es >= de, "es")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / repetition features.
+# --------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+_sql_stop_hits = " + ".join(
+    f"len(list_filter(ws, w -> w = '{s}'))" for s in _STOPWORDS
+)
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           len(ws) AS n_tokens,
+           n_chars * 1.0 / len(ws) AS chars_per_token,
+           ({_sql_stop_hits}) * 1.0 / len(ws) AS stopword_ratio,
+           len(list_distinct(ws)) * 1.0 / len(ws) AS unique_ratio,
+           CASE WHEN len(ws) BETWEEN 20 AND 1000
+                 AND len(list_distinct(ws)) * 1.0 / len(ws) > 0.3
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM (SELECT doc_id, n_chars, {SQL_WORDS.format(t='text')} AS ws FROM documents)
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style length/repetition heuristics as pure expressions; the
+    passes_quality bit is the pipeline's keep/drop filter."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = words_expr()
+    n_tokens = F.size(ws)
+    stop_hits = F.lit(0)
+    for s in _STOPWORDS:
+        stop_hits = stop_hits + F.size(F.filter(ws, lambda w: w == F.lit(s)))  # noqa: B023
+    unique_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_tokens
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars") * F.lit(1.0) / n_tokens).alias("chars_per_token"),
+        (stop_hits * F.lit(1.0) / n_tokens).alias("stopword_ratio"),
+        unique_ratio.alias("unique_ratio"),
+        F.when(
+            n_tokens.between(20, 1000) & (unique_ratio > 0.3), 1
+        ).otherwise(0).alias("passes_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Regex tokenizer (BPE-ish pre-tokenization) — counts per token class.
+# --------------------------------------------------------------------------
+@register(
+    "text_regex_token_classes",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+           len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_symbol_tokens
+    FROM documents
+    """,
+)
+def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+"), 0)).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "n_number_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^a-z0-9\s]"), 0)).alias(
+            "n_symbol_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: whole-doc hash + content-defined min-hash
+# anchor (the 1-permutation winnowing primitive).
+# --------------------------------------------------------------------------
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(text)) AS doc_md5,
+           list_min(list_transform({SQL_SHINGLES3.format(ws='ws')},
+                                   s -> {SQL_H32.format(s='s')})) AS min_shingle_hash
+    FROM (SELECT doc_id, text, {SQL_WORDS.format(t='text')} AS ws FROM documents)
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_md5 = exact-dup key; min_shingle_hash = cheapest near-dup
+    anchor (single-permutation MinHash) — two fingerprints, one scan."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = shingles_expr(words_expr())
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("doc_md5"),
+        F.array_min(F.transform(sh, lambda s: h32(s))).alias("min_shingle_hash"),
+    )

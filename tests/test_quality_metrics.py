@@ -1,0 +1,90 @@
+"""Quality assertions beyond oracle parity: approximate operators must be
+USEFUL approximations of their exact counterparts, and stubs must fail
+loudly rather than fake silently."""
+
+from __future__ import annotations
+
+import pytest
+
+from psql_streamer_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def sfdir():
+    # sf0.001 documents/embeddings are identical row counts to sf0.01's
+    # little sibling; quality numbers are asserted loosely.
+    return SF_SMALL
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sfdir):
+    gt = _pairs(QUERIES["dedup_ngram_jaccard_pairs"](spark, sfdir))
+    lsh = _pairs(QUERIES["dedup_minhash_lsh_pairs"](spark, sfdir))
+    if not gt:
+        pytest.skip("no near-dup pairs at this sf")
+    recall = len(gt & lsh) / len(gt)
+    # 4 bands x 4 rows at j>=0.8: per-band hit prob 0.8^4=0.41,
+    # miss prob (1-0.41)^4 ~ 12% per pair; demand >=70% overall.
+    assert recall >= 0.7, f"LSH recall {recall}"
+
+
+def test_simhash_pairs_overlap_ground_truth(spark, sfdir):
+    gt = _pairs(QUERIES["dedup_ngram_jaccard_pairs"](spark, sfdir))
+    sh = _pairs(QUERIES["dedup_simhash_pairs"](spark, sfdir))
+    if not gt:
+        pytest.skip("no near-dup pairs at this sf")
+    assert len(gt & sh) / len(gt) >= 0.5
+
+
+def test_ann_recall_vs_bruteforce(spark, sfdir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_bruteforce_topk"](spark, sfdir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_lsh_topk"](spark, sfdir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ivf_topk"](spark, sfdir).collect()
+    }
+    # random unclustered vectors are LSH's worst case; assert the floor
+    assert len(exact & lsh) / len(exact) >= 0.15
+    assert len(exact & ivf) / len(exact) >= 0.3
+
+
+def test_bruteforce_topk_shape(spark, sfdir):
+    rows = QUERIES["sim_bruteforce_topk"](spark, sfdir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_media_decode_stub_fails_loudly():
+    from psql_streamer_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_fake_image_features_deterministic():
+    from psql_streamer_spark.operators.multimodal import fake_image_features
+
+    a = fake_image_features(b"hello world")
+    b = fake_image_features(b"hello world")
+    assert a == b
+    assert a[0] == 11 and a[1] == 11 % 640 + 1 and a[2] == (11 * 7) % 480 + 1
