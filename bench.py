@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query executes fully via a noop sink (no driver collect — measures
+the distributed plan, not result serialization). Times are per-query
+wall-clock; `value` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY.md §2: relational core, window/sessionize,
+# CDC hot path, dedup scale path, vector search, text quality.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_customers_by_revenue",
+    "window_running_order_total",
+    "evt_session_windows_30m",
+    "cdc_envelope_dml_events",
+    "cdc_serialize_passthrough",
+    "dedup_minhash_lsh_pairs",
+    "sim_bruteforce_topk",
+    "text_quality_scores",
+    "mm_image_features",
+]
+
+
+def main() -> None:
+    from psql_streamer_spark.registry import all_queries
+    from psql_streamer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm the JVM, parquet footers, and Python/Arrow workers (not timed —
+    # one-time session costs, not per-query costs)
+    from psql_streamer_spark.sources.tables import load_table
+
+    load_table(spark, "lineitem", SF_DIR).select("l_orderkey").limit(1).collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

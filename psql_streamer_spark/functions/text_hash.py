@@ -65,9 +65,17 @@ def shingles_expr(words: Column, k: int = 3) -> Column:
 
 def doc_shingles(df: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the inverted-index input for
-    Jaccard / MinHash. At 100 TB this is the frame to bucket by shingle."""
+    Jaccard / MinHash. At 100 TB this is the frame to bucket by shingle.
+
+    The input is hash-repartitioned on doc_id first: shingling is
+    CPU-heavy per row, and a small parquet file arrives as a single
+    partition (one core does everything). The hash partitioning is also
+    exactly what the downstream per-doc aggregations (minhash/simhash
+    groupBy doc_id) need, so Catalyst elides their shuffle."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(
+        df.repartition(parallelism, "doc_id")
+        .select(
             "doc_id",
             F.explode(shingles_expr(words_expr(), k)).alias("shingle"),
         )

@@ -111,25 +111,44 @@ _SQL_JACCARD_PAIRS = f"""
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index self-join; optionally
-    restricted to an LSH candidate set (the scale path)."""
+    restricted to an LSH candidate set (the scale path).
+
+    With candidates, the pair-intersection join is DRIVEN by the candidate
+    set (candidates ⋈ shingles_a ⋈ shingles_b) so the quadratic co-shingle
+    blowup never materializes — a post-aggregation semi-join would still
+    pay the full O(pairs-per-shingle) cost first."""
     d = load_table(spark, "documents", sf_dir)
-    sh = doc_shingles(d)
+    # the inverted index feeds three plan branches (counts + both join
+    # sides) — persist it rather than re-exploding the corpus each time
+    sh = doc_shingles(d).persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if candidates is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_common"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
+            .join(
+                b,
+                (F.col("doc_b") == F.col("b.doc_id"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     jac = F.col("n_common") * 1.0 / (F.col("ca.c") + F.col("cb.c") - F.col("n_common"))
@@ -207,14 +226,23 @@ _SQL_MINHASH_LSH = f"""
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 4 rows): near-dup candidates only where a
     band signature collides; exact Jaccard then verifies candidates. This
-    is the 100 TB dedup path — cost scales with collisions, not pairs."""
-    sig = _minhash_signatures(spark, sf_dir)
-    banded = None
-    for b, key in band_key_exprs():
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"), key.alias("band_key")
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    is the 100 TB dedup path — cost scales with collisions, not pairs.
+
+    The signature index is persisted before the self-join: without it the
+    plan recomputes the whole shingle->hash->16-min aggregation once per
+    band branch per join side (8x). At cluster scale this index is exactly
+    what you'd materialize (or bucket-write) before pairing."""
+    sig = _minhash_signatures(spark, sf_dir).persist()
+    # banding via explode: ONE pass over sig produces all 4 (band, key) rows
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+            for b, key in band_key_exprs()
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (

@@ -104,8 +104,13 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> typed features through a real mapInPandas pass
     (Arrow batches of bytes), with the codec stubbed deterministically."""
     media = _media_frame(spark, sf_dir)
-    return media.select("doc_id", "payload").mapInPandas(
-        _extract_features, schema=_FEATURES_SCHEMA
+    # spread payloads across workers: a single small parquet file would
+    # otherwise feed ONE Python worker the entire corpus
+    parallelism = spark.sparkContext.defaultParallelism
+    return (
+        media.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
     )
 
 
