@@ -1,0 +1,165 @@
+"""Observability: listener-backed stats, health state, status endpoint.
+
+Reference parity (§2.7):
+  O1 per-object counters  -> PipelineStats + QueryProgressListener totals
+  O2 Prometheus metrics   -> metrics_text() in Prometheus exposition format
+  O3 HTTP control plane   -> StatusServer (/health /status /stats /metrics)
+  O4 stats ticker         -> listener logs every progress event
+  F6 error-threshold      -> consecutive-error health flip (threshold 30,
+                             source/kafka/kafka.go:22-24,161-176)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+log = logging.getLogger("psql_streamer_spark.observe")
+
+ERROR_HEALTH_THRESHOLD = 30  # consecutive errors before unhealthy (F6)
+
+
+@dataclass
+class QueryStats:
+    name: str
+    batches: int = 0
+    input_rows: int = 0
+    errors: int = 0
+    consecutive_errors: int = 0
+    last_batch_duration_ms: float = 0.0
+
+    @property
+    def healthy(self) -> bool:
+        return self.consecutive_errors < ERROR_HEALTH_THRESHOLD
+
+    def as_line(self) -> str:
+        return (
+            f"{self.name}: batches {self.batches} rows {self.input_rows} "
+            f"errors {self.errors} healthy {self.healthy}"
+        )
+
+
+class EngineListener(StreamingQueryListener):
+    """Collects per-query progress — the engine's O1/O2/O4 surface."""
+
+    def __init__(self):
+        self._stats: dict[str, QueryStats] = {}
+        self._lock = threading.Lock()
+
+    # StreamingQueryListener API
+    def onQueryStarted(self, event):
+        key = event.name or str(event.id)
+        with self._lock:
+            self._stats.setdefault(key, QueryStats(key))
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        key = p.name or str(p.id)
+        with self._lock:
+            st = self._stats.setdefault(key, QueryStats(key))
+            st.batches += 1
+            st.input_rows += int(p.numInputRows)
+            st.consecutive_errors = 0
+            st.last_batch_duration_ms = float(
+                p.durationMs.get("triggerExecution", 0)
+            )
+        log.info("progress %s", st.as_line())
+
+    def onQueryTerminated(self, event):
+        if event.exception is not None:
+            with self._lock:
+                for st in self._stats.values():
+                    st.errors += 1
+                    st.consecutive_errors += 1
+
+    def onQueryIdle(self, event):
+        pass
+
+    # engine surface
+    def stats(self) -> dict[str, QueryStats]:
+        with self._lock:
+            return dict(self._stats)
+
+    def status(self) -> tuple[bool, str]:
+        """(healthy, text) — 500-on-any-error aggregation (http.go:40-60)."""
+        sts = self.stats().values()
+        unhealthy = [s.name for s in sts if not s.healthy]
+        if unhealthy:
+            return False, "unhealthy: " + ", ".join(unhealthy)
+        return True, "\n".join(s.as_line() for s in sts) or "no queries"
+
+    def metrics_text(self) -> str:
+        """Prometheus exposition format (O2)."""
+        lines = []
+        for s in self.stats().values():
+            labels = f'{{query="{s.name}"}}'
+            lines += [
+                f"engine_batches_total{labels} {s.batches}",
+                f"engine_input_rows_total{labels} {s.input_rows}",
+                f"engine_errors_total{labels} {s.errors}",
+                f"engine_healthy{labels} {1 if s.healthy else 0}",
+            ]
+        return "\n".join(lines) + ("\n" if lines else "")
+
+
+@dataclass
+class StatusServer:
+    """Tiny HTTP control plane (O3: /health /status /stats /metrics).
+    Runs on the driver; reads listener state only."""
+
+    listener: EngineListener
+    host: str = "127.0.0.1"
+    port: int = 0  # 0 = ephemeral
+    extra_stats: dict = field(default_factory=dict)
+    _httpd: ThreadingHTTPServer | None = None
+    _thread: threading.Thread | None = None
+
+    def start(self) -> int:
+        listener = self.listener
+        extra = self.extra_stats
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, body: str, ctype="text/plain"):
+                payload = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/health":
+                    self._send(200, "OK\n")
+                elif self.path == "/status":
+                    healthy, text = listener.status()
+                    self._send(200 if healthy else 500, text + "\n")
+                elif self.path == "/stats":
+                    body = {
+                        name: st.as_line() for name, st in listener.stats().items()
+                    }
+                    body.update({k: str(v) for k, v in extra.items()})
+                    self._send(200, json.dumps(body) + "\n", "application/json")
+                elif self.path == "/metrics":
+                    self._send(200, listener.metrics_text())
+                else:
+                    self._send(404, "not found\n")
+
+            def log_message(self, *a):  # silence per-request noise
+                pass
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

@@ -1,0 +1,139 @@
+"""Sink implementations (reference §2.6: kafka / stub_log / stub_discard).
+
+A sink receives each micro-batch DataFrame inside the pipeline's
+foreachBatch — the exact analogue of `ProcessEventsBatch([]event.Event)`
+(sink/sink.go:15,19). A sink that raises fails the epoch; Structured
+Streaming retries the whole batch and no source offset commits — the
+reference's retry-until-ACK loop (mux/mux.go:173-189) for free.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+
+class Sink(Protocol):
+    name: str
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None: ...
+
+
+class NoopSink:
+    """stub_discard (sink/stub/stub.go): count and drop."""
+
+    def __init__(self, name: str = "noop"):
+        self.name = name
+        self.batches = 0
+        self.events = 0
+        self._lock = threading.Lock()
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        with self._lock:
+            self.batches += 1
+            self.events += n
+
+    def stats(self) -> str:
+        return f"batches {self.batches} events {self.events}"
+
+
+class MemorySink(NoopSink):
+    """stub_log / test spy: retains rows on the driver. Test-only — at
+    scale this is exactly what NOT to do (driver collect)."""
+
+    def __init__(self, name: str = "memory"):
+        super().__init__(name)
+        self.rows: list = []
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        collected = batch_df.collect()
+        with self._lock:
+            self.batches += 1
+            self.events += len(collected)
+            self.rows.extend(collected)
+
+
+class ParquetSink:
+    """Durable file sink (append). At-least-once under epoch retry — same
+    delivery contract the reference documents (README.md:58); downstream
+    dedup by uuid (F5) reconciles replays."""
+
+    def __init__(self, path: str, name: str = "parquet"):
+        self.name = name
+        self.path = path
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(self.path)
+
+
+class FailNTimesSink(NoopSink):
+    """Test double for the retry path (common/retry.go:41-76): fail the
+    first N epochs, then succeed — proves no events are lost or
+    double-committed across sink failures."""
+
+    def __init__(self, fail_times: int, name: str = "flaky"):
+        super().__init__(name)
+        self.fail_times = fail_times
+        self.failures = 0
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        with self._lock:
+            if self.failures < self.fail_times:
+                self.failures += 1
+                raise RuntimeError(
+                    f"{self.name}: injected temporary failure "
+                    f"{self.failures}/{self.fail_times}"
+                )
+        super().write(batch_df, batch_id)
+
+
+class KafkaSink:
+    """Kafka producer sink (sink/kafka/kafka.go). Expects key/value/topic
+    columns (R1 routing puts `topic` on the frame, so one sink serves all
+    topics — no per-topic grouping stage needed).
+
+    The spark-sql-kafka connector jar is not present in this container, so
+    construction is allowed (config-layer parity) but write raises a
+    descriptive error until the jar is on the classpath.
+    """
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        name: str = "kafka",
+        producer_conf: dict[str, str] | None = None,
+    ):
+        self.name = name
+        self.bootstrap_servers = bootstrap_servers
+        # producer tuning passthrough (B4): kafka.linger.ms, kafka.acks...
+        self.producer_conf = dict(producer_conf or {})
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        cols = set(batch_df.columns)
+        missing = {"value"} - cols
+        if missing:
+            raise ValueError(f"KafkaSink requires columns {missing}")
+        writer = (
+            batch_df.selectExpr(
+                "CAST(key AS STRING) key" if "key" in cols else "NULL AS key",
+                "CAST(value AS STRING) value",
+                *(["topic"] if "topic" in cols else []),
+            )
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+        )
+        for k, v in self.producer_conf.items():
+            writer = writer.option(k, v)
+        try:
+            writer.save()
+        except Exception as e:  # noqa: BLE001
+            if "Failed to find data source: kafka" in str(e):
+                raise RuntimeError(
+                    "Kafka sink needs the spark-sql-kafka connector jar on "
+                    "the classpath (--packages org.apache.spark:spark-sql-"
+                    "kafka-0-10_2.13:<spark-version>)"
+                ) from e
+            raise

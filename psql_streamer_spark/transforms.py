@@ -88,13 +88,11 @@ def with_envelope(
 
 # -- T5: validation + dead-letter split (kafka.go:180-192) ------------------
 def is_valid_event(df: DataFrame) -> Column:
-    """An event is valid iff it parsed (action present+known) and carries a
-    non-empty UUID — the reference rejects UUID-less events outright."""
-    return (
-        F.col("uuid").isNotNull()
-        & (F.length("uuid") > 0)
-        & F.col("action").isin(*ACTIONS)
-    )
+    """An event is valid iff it parsed and carries a non-empty UUID — the
+    reference rejects unparseable/UUID-less events (kafka.go:180-192).
+    Non-DML actions (begin/commit) are NOT invalid; they're filtered
+    separately by filter_dml (T1), never dead-lettered."""
+    return F.col("uuid").isNotNull() & (F.length("uuid") > 0)
 
 
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:

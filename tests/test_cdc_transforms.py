@@ -79,10 +79,10 @@ def test_decode_malformed_yields_nulls(spark, raw_df):
 def test_validate_split_routes_poison_to_dlq(spark, raw_df):
     decoded = decode_cdc_json(raw_df)
     valid, dlq = validate_split(decoded)
-    # 7 in: 3 DML + unmapped-table pass; begin (non-DML action), missing
-    # UUID, malformed go to DLQ
-    assert valid.count() == 4
-    assert dlq.count() == 3
+    # 7 in: 3 DML + unmapped-table + begin parse fine (begin is dropped by
+    # filter_dml, never dead-lettered); missing UUID + malformed go to DLQ
+    assert valid.count() == 5
+    assert dlq.count() == 2
 
 
 def test_filter_dml_drops_protocol_messages(spark, raw_df):
@@ -91,7 +91,9 @@ def test_filter_dml_drops_protocol_messages(spark, raw_df):
 
 
 def test_topic_expr_mapping_fallback_and_discard(spark, raw_df):
+    # pipeline order: decode -> validate -> filter_dml -> route
     decoded, _ = validate_split(decode_cdc_json(raw_df))
+    decoded = filter_dml(decoded)
     mapping = {"test": "topic_test"}
     with_fallback = route(decoded, mapping, fallback="fb")
     got = {
@@ -110,7 +112,7 @@ def test_topic_expr_mapping_fallback_and_discard(spark, raw_df):
 
 
 def test_empty_mapping_routes_everything_to_fallback(spark, raw_df):
-    decoded, _ = validate_split(decode_cdc_json(raw_df))
+    decoded = filter_dml(validate_split(decode_cdc_json(raw_df))[0])
     assert route(decoded, {}, fallback="fb").filter(F.col("topic") == "fb").count() == 4
     assert route(decoded, {}, fallback=None).count() == 0
 

@@ -1,0 +1,206 @@
+"""Streaming pipeline tests: file-source CDC → fan-out, mirroring the
+reference's mux tests (mux/mux_test.go): flush semantics, callback/offset
+ordering, retry behavior, and the DLQ path — expressed as checkpointed
+Structured Streaming runs with no external broker."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.streaming import CdcPipeline, MemorySink, NoopSink, ParquetSink
+from psql_streamer_spark.streaming.sinks import FailNTimesSink, KafkaSink
+
+
+def _event(i: int, table: str = "test", action: str = "insert") -> str:
+    return json.dumps(
+        {
+            "Host": "db1",
+            "Database": "test",
+            "Table": table,
+            "Action": action,
+            "WALPosition": i,
+            "Timestamp": "2018-07-03T16:04:27Z",
+            "UUID": f"0000-{i:06d}",
+            "Columns": {"a": str(i)},
+        }
+    )
+
+
+def _write_batch(src_dir, fname: str, lines: list[str]) -> None:
+    (src_dir / fname).write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return src, str(tmp_path / "ckpt"), tmp_path
+
+
+def test_end_to_end_routing_and_fanout(spark, dirs):
+    src, ckpt, _ = dirs
+    lines = [_event(i) for i in range(5)]
+    lines.append(_event(99, table="ghost"))  # unmapped -> discarded
+    lines.append("not json")  # -> DLQ
+    lines.append(_event(100, action="begin"))  # non-DML -> DLQ'less drop? no: filtered
+    _write_batch(src, "b1.json", lines)
+
+    s1, s2, dlq = MemorySink("s1"), MemorySink("s2"), MemorySink("dlq")
+    pipe = CdcPipeline(
+        spark,
+        str(src),
+        ckpt,
+        sinks=[s1, s2],
+        topic_mapping={"test": "topic_test"},
+        dlq_sink=dlq,
+    )
+    pipe.run_to_completion()
+
+    # both sinks saw the same 5 routed events (fan-out, R4)
+    assert s1.events == s2.events == 5
+    topics = {r.topic for r in s1.rows}
+    assert topics == {"topic_test"}
+    # wire format round-trip intact
+    payload = json.loads(s1.rows[0].value)
+    assert payload["Host"] == "db1" and payload["Action"] == "insert"
+    # malformed json -> DLQ; ghost table discarded (not DLQ), begin filtered
+    assert dlq.events == 1
+    assert pipe.stats.events_discarded == 1
+    assert pipe.stats.events_in == 8
+    assert pipe.stats.events_routed == 5
+
+
+def test_checkpoint_resume_no_reprocessing(spark, dirs):
+    """F1/F2: offsets persist; a restarted pipeline continues where the
+    previous one stopped (BoltDB WAL-position semantics)."""
+    src, ckpt, tmp = dirs
+    out = tmp / "out"
+    _write_batch(src, "b1.json", [_event(i) for i in range(3)])
+
+    mk = lambda: CdcPipeline(  # noqa: E731
+        spark, str(src), ckpt, sinks=[ParquetSink(str(out))],
+        topic_mapping={"test": "t"},
+    )
+    mk().run_to_completion()
+    first = spark.read.parquet(str(out)).count()
+    assert first == 3
+
+    # new files arrive; a NEW pipeline on the same checkpoint resumes
+    _write_batch(src, "b2.json", [_event(i) for i in range(3, 8)])
+    mk().run_to_completion()
+    df = spark.read.parquet(str(out))
+    assert df.count() == 8  # 3 + 5, nothing reprocessed
+    assert df.select("uuid").distinct().count() == 8
+
+
+def test_batch_size_cap_maps_to_max_files(spark, dirs):
+    """B1: size-capped batches — maxFilesPerTrigger bounds each epoch."""
+    src, ckpt, _ = dirs
+    for b in range(4):
+        _write_batch(src, f"b{b}.json", [_event(b * 10 + i) for i in range(2)])
+    sink = NoopSink()
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink],
+        topic_mapping={"test": "t"}, max_files_per_trigger=1,
+    )
+    pipe.run_to_completion()
+    assert sink.events == 8
+    assert sink.batches == 4  # one file per epoch
+    assert pipe.stats.batches == 4
+
+
+def test_sink_failure_blocks_offset_commit_then_retry_succeeds(spark, dirs):
+    """The all-sinks-or-nothing ACK: a failing sink fails the epoch, the
+    offset never commits, and a restart redelivers the SAME batch
+    (at-least-once; mux/mux.go:173-189 + common/retry.go)."""
+    src, ckpt, _ = dirs
+    _write_batch(src, "b1.json", [_event(i) for i in range(4)])
+
+    good = MemorySink("good")
+    flaky = FailNTimesSink(fail_times=1)
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[flaky, good], topic_mapping={"test": "t"}
+    )
+    with pytest.raises(Exception, match="injected temporary failure"):
+        pipe.run_to_completion()
+    assert good.events == 0  # flaky failed first -> epoch aborted
+
+    # "retry forever": restart the query; same batch redelivered
+    pipe2 = CdcPipeline(
+        spark, str(src), ckpt, sinks=[flaky, good], topic_mapping={"test": "t"}
+    )
+    pipe2.run_to_completion()
+    assert flaky.events == 4  # delivered after its failure budget
+    assert good.events == 4  # exactly the one redelivered batch
+    assert flaky.failures == 1
+
+
+def test_fallback_topic_and_stats(spark, dirs):
+    src, ckpt, _ = dirs
+    _write_batch(
+        src, "b1.json",
+        [_event(1), _event(2, table="other"), _event(3, table="misc")],
+    )
+    sink = MemorySink()
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink],
+        topic_mapping={"test": "topic_test"}, topic_fallback="fb",
+    )
+    pipe.run_to_completion()
+    by_topic = {}
+    for r in sink.rows:
+        by_topic[r.topic] = by_topic.get(r.topic, 0) + 1
+    assert by_topic == {"topic_test": 1, "fb": 2}
+    assert pipe.stats.events_discarded == 0
+    assert "routed 3" in pipe.stats.as_line()
+
+
+def test_kafka_sink_fails_descriptively_without_jar(spark, dirs):
+    src, ckpt, _ = dirs
+    _write_batch(src, "b1.json", [_event(1)])
+    pipe = CdcPipeline(
+        spark, str(src), ckpt,
+        sinks=[KafkaSink("localhost:9092")], topic_mapping={"test": "t"},
+    )
+    with pytest.raises(Exception, match="spark-sql-kafka|kafka"):
+        pipe.run_to_completion()
+
+
+def test_observability_listener_and_http(spark, dirs):
+    """O1-O4: listener collects progress; HTTP plane serves health/stats/
+    Prometheus metrics."""
+    import urllib.request
+
+    from psql_streamer_spark.observe import EngineListener, StatusServer
+
+    src, ckpt, _ = dirs
+    _write_batch(src, "b1.json", [_event(i) for i in range(3)])
+
+    listener = EngineListener()
+    spark.streams.addListener(listener)
+    try:
+        pipe = CdcPipeline(
+            spark, str(src), ckpt, sinks=[NoopSink()], topic_mapping={"test": "t"}
+        )
+        pipe.run_to_completion()
+
+        server = StatusServer(listener, extra_stats={"pipeline": pipe.stats.as_line()})
+        port = server.start()
+        try:
+            get = lambda p: urllib.request.urlopen(  # noqa: E731
+                f"http://127.0.0.1:{port}{p}"
+            )
+            assert get("/health").read() == b"OK\n"
+            assert get("/status").status == 200
+            stats = json.loads(get("/stats").read())
+            assert "pipeline" in stats
+            metrics = get("/metrics").read().decode()
+            assert "engine_input_rows_total" in metrics
+            assert get("/metrics").status == 200
+        finally:
+            server.stop()
+    finally:
+        spark.streams.removeListener(listener)
