@@ -1,0 +1,283 @@
+"""Config → dataflow-graph compiler (reference `config.go:34-120`).
+
+The reference wires its whole runtime from one TOML file: global knobs
+(`tickerInterval`, `http`, `boltdb`), a `[source.<name>]` table per source,
+a `[sink.<name>]` table per sink, and a `sources = [...]` subscription list
+on each sink (`config.go:98-110` → `Source.Subscribe(sink)`). That static
+source→mux→sink graph IS its intermediate representation — there is no
+other plan.
+
+Here the same TOML compiles to Spark constructs:
+
+  boltdb path            → checkpoint root dir (offsets live in Structured
+                           Streaming's checkpoint, db/db.go dissolves, F1)
+  [source.X] type=...    → a `CdcPipeline` (one streaming query per source;
+                           its trigger = the source's mux batching, B1)
+  [sink.Y] type=...      → a `Sink` built by `_SINK_FACTORY` (sink/sink.go:24-40)
+  sink.sources=[...]     → fan-out list of that source's pipeline (R4);
+                           one foreachBatch writes ALL subscribed sinks, so
+                           offsets commit only after every sink ACKs — the
+                           reference's all-or-nothing batch ACK
+                           (mux/mux.go:173-189)
+  http = "ip:port"       → StatusServer (/health /status /stats /metrics
+                           /debug, http.go:17-95)
+  tickerInterval         → EngineListener progress logging (stats.go:10-36)
+
+Validation parity with `config.go`: missing http, no sources, no sinks,
+sink without sources, sink naming an undefined source, and duplicate
+subscription (the reference panics in `mux/mux.go:119-126`) are all
+config-time errors.
+
+TOML shape (mirrors psql-streamer.toml; reference key names kept):
+
+    tickerInterval = 30
+    http = "127.0.0.1:0"
+    boltdb = "/tmp/engine-ckpt"          # checkpoint root
+
+    [source.pg1]
+    type = "file_cdc"                    # reference: "postgres"/"kafka";
+    path = "/data/cdc-json"              # we ingest CDC JSON-lines files
+    batchSize = 400                      # maxFilesPerTrigger  (mux batchSize)
+    batchFlushInterval = "1 second"      # trigger interval (mux flush tick)
+
+    [sink.kfk1]
+    type = "kafka"
+    hosts = ["broker:9092"]              # sink/kafka/kafka.go:73
+    topicFallback = "fallback-topic"     # :116
+    sources = ["pg1"]
+    batchTimeout = "10ms"                # → kafka.linger.ms      (:74)
+    requiredAcks = -1                    # → kafka.acks           (:76)
+    maxAttempts = 3                      # → kafka.retries        (:78)
+    [sink.kfk1.tableTopicMapping]        # :117
+    users = "topic_users"
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from psql_streamer_spark.observe import EngineListener, StatusServer
+from psql_streamer_spark.streaming.pipeline import CdcPipeline
+from psql_streamer_spark.streaming.sinks import (
+    KafkaSink,
+    MemorySink,
+    NoopSink,
+    ParquetSink,
+    Sink,
+)
+
+
+class ConfigError(ValueError):
+    """Config-time failure — the reference's fatal `configLoad` errors."""
+
+
+# -- duration parsing (viper GetDuration accepts Go duration strings) -------
+_GO_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_duration_ms(v: Any) -> int:
+    """Go-style duration ("5ms", "1s", "2m") or bare seconds → milliseconds."""
+    if isinstance(v, (int, float)):
+        return int(v * 1000)
+    s = str(v).strip()
+    for unit in ("ms", "s", "m", "h"):  # ms before s: "5ms" must not match "s"
+        if s.endswith(unit) and s[: -len(unit)].replace(".", "", 1).isdigit():
+            return int(float(s[: -len(unit)]) * _GO_UNITS[unit] * 1000)
+    raise ConfigError(f"unparseable duration: {v!r}")
+
+
+def _as_trigger_interval(v: Any) -> str:
+    return f"{parse_duration_ms(v)} milliseconds"
+
+
+# -- sink factory (sink/sink.go:24-40: kafka / stub_log / stub_discard) -----
+def _kafka_sink(name: str, conf: dict) -> Sink:
+    hosts = conf.get("hosts") or []
+    if not hosts:
+        raise ConfigError(f"sink '{name}': hosts not specified")
+    producer_conf: dict[str, str] = {}
+    # producer tuning pass-through (B4, sink/kafka/kafka.go:62-81)
+    if "batchTimeout" in conf:  # linger
+        producer_conf["kafka.linger.ms"] = str(parse_duration_ms(conf["batchTimeout"]))
+    if "requiredAcks" in conf:
+        acks = int(conf["requiredAcks"])
+        producer_conf["kafka.acks"] = "all" if acks == -1 else str(acks)
+    if "maxAttempts" in conf:
+        producer_conf["kafka.retries"] = str(int(conf["maxAttempts"]))
+    return KafkaSink(
+        bootstrap_servers=",".join(hosts), name=name, producer_conf=producer_conf
+    )
+
+
+_SINK_FACTORY: dict[str, Callable[[str, dict], Sink]] = {
+    "kafka": _kafka_sink,
+    "stub_log": lambda name, conf: MemorySink(name),
+    "stub_discard": lambda name, conf: NoopSink(name),
+    # engine extension: durable file sink (not in the reference)
+    "parquet": lambda name, conf: ParquetSink(conf["path"], name),
+}
+
+_SOURCE_TYPES = {"file_cdc"}  # "kafka" readStream needs the connector jar
+
+
+@dataclass
+class Engine:
+    """The compiled runtime: pipelines + sinks + control plane
+    (`main.go:27-56` lifecycle: start all sources, ticker, HTTP; shutdown
+    drains buffers in order)."""
+
+    spark: SparkSession
+    pipelines: dict[str, CdcPipeline]
+    sinks: dict[str, Sink]
+    listener: EngineListener
+    server: StatusServer | None = None
+    ticker_interval_s: float = 0.0
+    _started: list = field(default_factory=list)
+
+    def start(self, available_now: bool = False) -> None:
+        self.spark.streams.addListener(self.listener)
+        for pipe in self.pipelines.values():
+            self._started.append(pipe.start(available_now=available_now))
+        if self.server is not None:
+            self.server.start()
+
+    def await_drained(self) -> None:
+        """Block until every availableNow query finishes (shutdown flush,
+        main.go:59-96)."""
+        for q in self._started:
+            q.awaitTermination()
+        self._started.clear()
+
+    def stop(self) -> None:
+        for q in self._started:
+            q.stop()
+        self._started.clear()
+        if self.server is not None:
+            self.server.stop()
+        try:
+            self.spark.streams.removeListener(self.listener)
+        except Exception:  # already removed / session gone
+            pass
+
+    def stats(self) -> dict[str, str]:
+        out = {f"source.{n}": p.stats.as_line() for n, p in self.pipelines.items()}
+        for n, s in self.sinks.items():
+            if hasattr(s, "stats"):
+                out[f"sink.{n}"] = s.stats()
+        return out
+
+
+def load_toml(path: str | Path) -> dict:
+    with open(path, "rb") as f:
+        return tomllib.load(f)
+
+
+def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
+    """dict/TOML-path → Engine. Mirrors `configLoad` (config.go:34-120)."""
+    if not isinstance(conf, dict):
+        conf = load_toml(conf)
+
+    ticker = float(conf.get("tickerInterval", 0))
+    if ticker < 0:
+        raise ConfigError("tickerInterval should be >= 0")  # config.go:46-48
+
+    # reference requires http (config.go:51-53); we default it off-by-port-0
+    http_listen = conf.get("http")
+    ckpt_root = conf.get("boltdb")  # optional, needed by file sources (:55-61)
+
+    src_confs: dict[str, dict] = dict(conf.get("source") or {})
+    if not src_confs:
+        raise ConfigError("No sources defined")  # config.go:64-66
+    sink_confs: dict[str, dict] = dict(conf.get("sink") or {})
+    if not sink_confs:
+        raise ConfigError("No sinks defined")  # config.go:84-86
+
+    # sinks first (factory dispatch, sink/sink.go:24-40)
+    sinks: dict[str, Sink] = {}
+    for name, sc in sink_confs.items():
+        stype = sc.get("type")
+        if stype not in _SINK_FACTORY:
+            raise ConfigError(f"Unable to init sink '{name}': unknown type {stype!r}")
+        sinks[name] = _SINK_FACTORY[stype](name, sc)
+
+    # subscription graph: source name → [sink objs] (config.go:98-110)
+    subs: dict[str, list[str]] = {n: [] for n in src_confs}
+    for name, sc in sink_confs.items():
+        srcs = sc.get("sources") or []
+        if not srcs:
+            raise ConfigError(f"Sink '{name}': no sources defined")  # :98-100
+        for sn in srcs:
+            if sn not in src_confs:
+                raise ConfigError(f"Sink '{name}': source '{sn}' undefined")  # :103-105
+            if name in subs[sn]:  # duplicate subscribe panics (mux.go:119-126)
+                raise ConfigError(f"Sink '{name}' already subscribed to '{sn}'")
+            subs[sn].append(name)
+
+    # sources → pipelines
+    pipelines: dict[str, CdcPipeline] = {}
+    for name, sc in src_confs.items():
+        stype = sc.get("type")
+        if stype not in _SOURCE_TYPES:
+            raise ConfigError(
+                f"Unable to init source '{name}': unknown type {stype!r}"
+            )
+        if not sc.get("path"):
+            raise ConfigError(f"source '{name}': path not specified")
+        if not ckpt_root:
+            # Bolt-needing sources complain when boltdb is nil (config.go:55-58)
+            raise ConfigError(f"source '{name}': boltdb (checkpoint root) required")
+        # routing lives on the kafka sink in the reference (kafka.go:116-135);
+        # one pipeline serves all subscribed sinks, so merge their mappings
+        mapping: dict[str, str] = {}
+        fallback = None
+        for sink_name in subs[name]:
+            sk = sink_confs[sink_name]
+            mapping.update(sk.get("tableTopicMapping") or {})
+            fallback = sk.get("topicFallback", fallback)
+        pipelines[name] = CdcPipeline(
+            spark,
+            source_path=sc["path"],
+            checkpoint_dir=str(Path(ckpt_root) / f"source_{name}"),  # db.go:113
+            sinks=[sinks[sn] for sn in subs[name]],
+            topic_mapping=mapping,
+            topic_fallback=fallback,
+            max_files_per_trigger=sc.get("batchSize"),
+            processing_interval=(
+                _as_trigger_interval(sc["batchFlushInterval"])
+                if "batchFlushInterval" in sc
+                else None
+            ),
+        )
+
+    listener = EngineListener()
+    server = None
+    if http_listen:
+        host, _, port = str(http_listen).rpartition(":")
+        server = StatusServer(listener, host=host or "127.0.0.1", port=int(port))
+    engine = Engine(
+        spark,
+        pipelines=pipelines,
+        sinks=sinks,
+        listener=listener,
+        server=server,
+        ticker_interval_s=ticker,
+    )
+    if server is not None:
+        server.extra_stats = _EngineStatsProxy(engine)  # live view for /stats
+    return engine
+
+
+class _EngineStatsProxy(dict):
+    """Dict-shaped live view of engine stats for StatusServer.extra_stats."""
+
+    def __init__(self, engine: Engine):
+        super().__init__()
+        self._engine = engine
+
+    def items(self):
+        return self._engine.stats().items()

@@ -116,12 +116,22 @@ class StatusServer:
     host: str = "127.0.0.1"
     port: int = 0  # 0 = ephemeral
     extra_stats: dict = field(default_factory=dict)
+    debug: bool = False
     _httpd: ThreadingHTTPServer | None = None
     _thread: threading.Thread | None = None
+
+    def set_debug(self, on: bool) -> None:
+        """/debug/on|off toggles verbose logging engine-wide — the
+        reference's SetDebug broadcast over commonObjs (http.go:59-76)."""
+        self.debug = on
+        logging.getLogger("psql_streamer_spark").setLevel(
+            logging.DEBUG if on else logging.INFO
+        )
 
     def start(self) -> int:
         listener = self.listener
         extra = self.extra_stats
+        server = self
 
         class Handler(BaseHTTPRequestHandler):
             def _send(self, code: int, body: str, ctype="text/plain"):
@@ -146,6 +156,16 @@ class StatusServer:
                     self._send(200, json.dumps(body) + "\n", "application/json")
                 elif self.path == "/metrics":
                     self._send(200, listener.metrics_text())
+                elif self.path.startswith("/debug"):
+                    parts = self.path.strip("/").split("/")
+                    if len(parts) != 2:
+                        self._send(200, "Request should be in form /debug/[off|on]\n")
+                    elif parts[1] in ("on", "off"):
+                        server.set_debug(parts[1] == "on")
+                        on = str(parts[1] == "on").lower()  # Go %t style
+                        self._send(200, f"Debug is now {on}\n")
+                    else:
+                        self._send(400, "Debug can be [on] or [off]\n")
                 else:
                     self._send(404, "not found\n")
 

@@ -1,0 +1,225 @@
+"""Config-compiler tests — parity with the reference's configLoad
+(config.go:34-120): TOML → source/sink graph, validation failures, and an
+end-to-end compiled run matching psql-streamer.toml's shape."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from psql_streamer_spark.config import (
+    ConfigError,
+    compile_config,
+    parse_duration_ms,
+)
+from psql_streamer_spark.streaming.sinks import KafkaSink, MemorySink, NoopSink
+
+
+def _event(i: int, table: str = "users") -> str:
+    return json.dumps(
+        {
+            "Host": "db1",
+            "Database": "test",
+            "Table": table,
+            "Action": "insert",
+            "WALPosition": i,
+            "Timestamp": "2018-07-03T16:04:27Z",
+            "UUID": f"0000-{i:06d}",
+            "Columns": {"a": str(i)},
+        }
+    )
+
+
+def _base_conf(tmp_path) -> dict:
+    src = tmp_path / "cdc"
+    src.mkdir(exist_ok=True)
+    return {
+        "tickerInterval": 30,
+        "http": "127.0.0.1:0",
+        "boltdb": str(tmp_path / "ckpt"),
+        "source": {
+            "pg1": {"type": "file_cdc", "path": str(src), "batchSize": 10}
+        },
+        "sink": {
+            "logger": {"type": "stub_log", "sources": ["pg1"]},
+            "sink2": {"type": "stub_discard", "sources": ["pg1"]},
+        },
+    }
+
+
+# -- duration parsing (viper GetDuration) -----------------------------------
+@pytest.mark.parametrize(
+    "raw,ms",
+    [("5ms", 5), ("1s", 1000), ("2m", 120000), (1, 1000), (0.25, 250)],
+)
+def test_parse_go_durations(raw, ms):
+    assert parse_duration_ms(raw) == ms
+
+
+def test_parse_duration_rejects_garbage():
+    with pytest.raises(ConfigError):
+        parse_duration_ms("fast")
+
+
+# -- validation parity (config.go) ------------------------------------------
+def test_no_sources_is_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["source"] = {}
+    with pytest.raises(ConfigError, match="No sources defined"):
+        compile_config(spark, conf)
+
+
+def test_no_sinks_is_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["sink"] = {}
+    with pytest.raises(ConfigError, match="No sinks defined"):
+        compile_config(spark, conf)
+
+
+def test_sink_without_sources_is_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["sink"]["logger"]["sources"] = []
+    with pytest.raises(ConfigError, match="no sources defined"):
+        compile_config(spark, conf)
+
+
+def test_sink_with_undefined_source_is_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["sink"]["logger"]["sources"] = ["ghost"]
+    with pytest.raises(ConfigError, match="source 'ghost' undefined"):
+        compile_config(spark, conf)
+
+
+def test_duplicate_subscription_is_fatal(spark, tmp_path):
+    # the reference panics on duplicate Subscribe (mux/mux.go:119-126)
+    conf = _base_conf(tmp_path)
+    conf["sink"]["logger"]["sources"] = ["pg1", "pg1"]
+    with pytest.raises(ConfigError, match="already subscribed"):
+        compile_config(spark, conf)
+
+
+def test_unknown_types_are_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["sink"]["logger"]["type"] = "rabbitmq"
+    with pytest.raises(ConfigError, match="Unable to init sink"):
+        compile_config(spark, conf)
+    conf = _base_conf(tmp_path)
+    conf["source"]["pg1"]["type"] = "mysql"
+    with pytest.raises(ConfigError, match="Unable to init source"):
+        compile_config(spark, conf)
+
+
+def test_negative_ticker_is_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["tickerInterval"] = -1
+    with pytest.raises(ConfigError, match="tickerInterval"):
+        compile_config(spark, conf)
+
+
+def test_file_source_requires_checkpoint_root(spark, tmp_path):
+    # sources that need Bolt complain if boltdb is nil (config.go:55-61)
+    conf = _base_conf(tmp_path)
+    del conf["boltdb"]
+    with pytest.raises(ConfigError, match="boltdb"):
+        compile_config(spark, conf)
+
+
+# -- kafka sink option mapping (B4) -----------------------------------------
+def test_kafka_sink_producer_option_mapping(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["sink"]["kfk"] = {
+        "type": "kafka",
+        "hosts": ["b1:9092", "b2:9092"],
+        "batchTimeout": "10ms",
+        "requiredAcks": -1,
+        "maxAttempts": 3,
+        "sources": ["pg1"],
+        "tableTopicMapping": {"users": "topic_users"},
+        "topicFallback": "fb",
+    }
+    engine = compile_config(spark, conf)
+    k = engine.sinks["kfk"]
+    assert isinstance(k, KafkaSink)
+    assert k.bootstrap_servers == "b1:9092,b2:9092"
+    assert k.producer_conf == {
+        "kafka.linger.ms": "10",
+        "kafka.acks": "all",
+        "kafka.retries": "3",
+    }
+    # routing config flows from the sink into the source's pipeline
+    pipe = engine.pipelines["pg1"]
+    assert pipe.topic_mapping == {"users": "topic_users"}
+    assert pipe.topic_fallback == "fb"
+
+
+def test_kafka_sink_without_hosts_is_fatal(spark, tmp_path):
+    conf = _base_conf(tmp_path)
+    conf["sink"]["kfk"] = {"type": "kafka", "hosts": [], "sources": ["pg1"]}
+    with pytest.raises(ConfigError, match="hosts"):
+        compile_config(spark, conf)
+
+
+# -- end-to-end: TOML file → engine → drained run → control plane -----------
+def test_toml_roundtrip_end_to_end(spark, tmp_path):
+    src = tmp_path / "cdc"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_event(i) for i in range(6)) + "\n")
+
+    toml_text = f'''
+tickerInterval = 30
+http = "127.0.0.1:0"
+boltdb = "{tmp_path / "ckpt"}"
+
+[source.pg1]
+type = "file_cdc"
+path = "{src}"
+batchSize = 400
+
+[sink.logger]
+type = "stub_log"
+sources = ["pg1"]
+topicFallback = "events"
+[sink.logger.tableTopicMapping]
+users = "topic_users"
+
+[sink.counter]
+type = "stub_discard"
+sources = ["pg1"]
+'''
+    cfg_path = tmp_path / "engine.toml"
+    cfg_path.write_text(toml_text)
+
+    engine = compile_config(spark, cfg_path)
+    assert set(engine.pipelines) == {"pg1"}
+    assert set(engine.sinks) == {"logger", "counter"}
+
+    engine.start(available_now=True)
+    try:
+        engine.await_drained()
+
+        logger, counter = engine.sinks["logger"], engine.sinks["counter"]
+        assert isinstance(logger, MemorySink) and isinstance(counter, NoopSink)
+        # fan-out: both subscribed sinks got all 6 events (R4)
+        assert logger.events == counter.events == 6
+        assert {r.topic for r in logger.rows} == {"topic_users"}
+
+        stats = engine.stats()
+        assert "routed 6" in stats["source.pg1"]
+        assert "events 6" in stats["sink.logger"]
+
+        # control plane (O3) serves live engine stats + /debug toggle
+        port = engine.server.port
+        get = lambda p: urllib.request.urlopen(  # noqa: E731
+            f"http://127.0.0.1:{port}{p}"
+        )
+        live = json.loads(get("/stats").read())
+        assert "source.pg1" in live and "routed 6" in live["source.pg1"]
+        assert get("/health").read() == b"OK\n"
+        assert get("/debug/on").read() == b"Debug is now true\n"
+        assert engine.server.debug is True
+        assert get("/debug/off").read() == b"Debug is now false\n"
+        assert get("/debug").read().startswith(b"Request should be")
+    finally:
+        engine.stop()
