@@ -6,6 +6,12 @@ from psql_streamer_spark.streaming.sinks import (
     ParquetSink,
     Sink,
 )
+from psql_streamer_spark.streaming.stateful import (
+    dedup_events_within_watermark,
+    session_window_stats,
+    sessionize_with_state,
+    windowed_event_counts,
+)
 
 __all__ = [
     "CdcPipeline",
@@ -14,4 +20,8 @@ __all__ = [
     "NoopSink",
     "ParquetSink",
     "Sink",
+    "dedup_events_within_watermark",
+    "session_window_stats",
+    "sessionize_with_state",
+    "windowed_event_counts",
 ]

@@ -1,0 +1,206 @@
+"""Stateful streaming operators: watermarked dedup, windowed aggregation,
+sessionization (built-in and custom state).
+
+The reference is at-least-once (README.md:58): a batch the sink took but
+whose offset commit raced a crash is redelivered, and the per-event UUID
+(source/postgres/postgres.go:349) exists precisely so downstream can
+reconcile replays (F5). These operators ARE that downstream: bounded-state
+dedup by UUID, plus the event-time window/session analytics the reference
+lacks but a Spark-native engine gets from the same primitives.
+
+Scale notes: all state here is keyed and watermark-bounded — state size is
+O(live keys within the watermark horizon), not O(stream length), so the
+operators hold at 100 TB/day ingest as long as the watermark delay is
+finite. State lives in the per-partition state store (RocksDB on a real
+cluster: spark.sql.streaming.stateStore.providerClass), sharded by the
+grouping key — no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# -- F5: replay reconciliation ----------------------------------------------
+
+
+def dedup_events_within_watermark(
+    df: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    keys: tuple[str, ...] = ("uuid",),
+) -> DataFrame:
+    """Drop redelivered events by UUID with bounded state: a duplicate
+    arriving within `delay` of the original is suppressed; state for an
+    event is evicted once the watermark passes it. This turns the
+    pipeline's at-least-once delivery into effectively-once for any
+    consumer placed after it (F5; the reference leaves this entirely to
+    downstream, README.md:58)."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+# -- event-time windowed aggregation with late-data cutoff ------------------
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    delay: str = "10 minutes",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time counts. In append mode a window emits only when
+    the watermark passes its end — i.e. results are final, and events
+    later than `delay` are dropped rather than retracting published rows
+    (the B1 batch semantics upgraded to event time)."""
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(group_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            group_col,
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Built-in session windows: per-key sessions close after `gap` of
+    inactivity; watermark bounds how long an open session's state is
+    retained. This is the declarative fast path — use the custom operator
+    below only when per-session logic can't be expressed as an agg."""
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# -- custom stateful operator: applyInPandasWithState sessionizer -----------
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("emit_reason", StringType()),  # "gap" | "timeout"
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),  # session first-event epoch µs
+        StructField("last_us", LongType()),  # session last-event epoch µs
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_with_state(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom sessionizer over `applyInPandasWithState` — the engine's
+    template for operators whose per-group logic the built-ins can't
+    express (here: per-session aggregates + an explicit emit reason).
+
+    Semantics: events for a key extend its open session while the gap to
+    the previous event is < `gap_minutes`; a larger gap closes the old
+    session (emitted with reason "gap") and opens a new one. An open
+    session whose quiet period outlives the watermark is closed by
+    event-time timeout (reason "timeout") — so every session is emitted
+    exactly once, with state bounded by the watermark horizon.
+    """
+    import pandas as pd  # executor-side import
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        out: list[tuple] = []
+
+        def emit(st: tuple, reason: str) -> None:
+            start_us, last_us, n, total = st
+            out.append(
+                (
+                    user_id,
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(last_us, unit="us"),
+                    n,
+                    total,
+                    reason,
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                emit(tuple(state.get), "timeout")
+                state.remove()
+            yield pd.DataFrame(out, columns=SESSION_OUTPUT.names)
+            return
+
+        cur = tuple(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            # normalize to ns first: Arrow may hand datetime64[us] or [ns]
+            ts_us = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            ).tolist()
+            vals = pdf[value_col].astype("float64").tolist()
+            for t, v in zip(ts_us, vals):
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] < gap_us:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+                else:  # inactivity gap exceeded -> close and reopen
+                    emit(cur, "gap")
+                    cur = (t, t, 1, v)
+        if cur is not None:
+            state.update(cur)
+            # close via event-time timeout once the watermark passes the
+            # session's quiet period
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(out, columns=SESSION_OUTPUT.names)
+
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

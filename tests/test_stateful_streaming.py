@@ -1,0 +1,227 @@
+"""Stateful streaming tests: watermarked dedup (F5 replay reconciliation),
+append-mode windowed aggregation with late-data drop, and the custom
+applyInPandasWithState sessionizer.
+
+Watermark choreography: the watermark used by batch N is derived from data
+seen through batch N-1, so each test feeds one file per trigger
+(maxFilesPerTrigger=1) and uses later files to advance the watermark past
+the horizon under test — deterministic, broker-free, no sleeps.
+
+The file source orders files by MODIFICATION TIME, not path — files written
+back-to-back share an mtime and arrive in undefined order, letting the
+watermark race ahead and silently drop the "earlier" files' events as late.
+`_write` stamps strictly increasing mtimes to pin batch order."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from psql_streamer_spark.streaming.stateful import (
+    dedup_events_within_watermark,
+    sessionize_with_state,
+    session_window_stats,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("uuid", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _line(uuid: str, ts: str, user: int = 1, etype: str = "click", value: float = 1.0):
+    return json.dumps(
+        {"uuid": uuid, "ts": ts, "user_id": user, "event_type": etype, "value": value}
+    )
+
+
+@pytest.fixture()
+def srcdir(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    return d
+
+
+def _write(srcdir, fname: str, *lines: str) -> None:
+    """Write one batch file with an mtime that encodes its ordinal, so the
+    file source processes batches in filename order."""
+    p = srcdir / fname
+    p.write_text("\n".join(lines) + "\n")
+    seq = len(list(srcdir.iterdir()))
+    os.utime(p, (1_700_000_000 + seq * 10, 1_700_000_000 + seq * 10))
+
+
+def _read_stream(spark, srcdir):
+    return (
+        spark.readStream.format("json")
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(srcdir))
+    )
+
+
+def _run(spark, out_df, ckpt, name, mode="append"):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_dedup_within_watermark_suppresses_replays(spark, tmp_path, srcdir):
+    # b1: A,B -- b2: A again (replay within horizon) + C
+    _write(srcdir, "b1.json", _line("A", "2024-01-01 10:00:00"), _line("B", "2024-01-01 10:01:00"))
+    _write(srcdir, "b2.json", _line("A", "2024-01-01 10:00:00"), _line("C", "2024-01-01 10:02:00"))
+    deduped = dedup_events_within_watermark(
+        _read_stream(spark, srcdir), delay="10 minutes"
+    )
+    got = _run(spark, deduped, tmp_path / "ck", "dedup_sink")
+    assert sorted(r.uuid for r in got.collect()) == ["A", "B", "C"]
+
+
+def test_windowed_counts_finalize_when_watermark_passes(spark, tmp_path, srcdir):
+    # b1: three events in the 10:00 hour; b2: an event far ahead pushes the
+    # watermark past 11:00 so the 10:00 window becomes final and emits.
+    _write(
+        srcdir,
+        "b1.json",
+        _line("A", "2024-01-01 10:05:00"),
+        _line("B", "2024-01-01 10:45:00"),
+        _line("C", "2024-01-01 10:50:00", etype="buy"),
+    )
+    _write(srcdir, "b2.json", _line("D", "2024-01-01 13:00:00"))
+    _write(srcdir, "b3.json", _line("E", "2024-01-01 13:01:00"))
+
+    win = windowed_event_counts(
+        _read_stream(spark, srcdir), window="1 hour", delay="10 minutes"
+    )
+    got = {
+        (r.window_start.isoformat(), r.event_type): r.n_events
+        for r in _run(spark, win, tmp_path / "ck", "win_sink").collect()
+    }
+    assert got[("2024-01-01T10:00:00", "click")] == 2
+    assert got[("2024-01-01T10:00:00", "buy")] == 1
+    # the 13:00 window is still open (watermark hasn't passed 14:00) -> not
+    # emitted in append mode; late events older than the watermark would be
+    # dropped rather than retracting these finalized rows
+    assert not any(start.startswith("2024-01-01T13") for start, _ in got)
+
+
+def test_builtin_session_windows_close_after_gap(spark, tmp_path, srcdir):
+    # u1: two events 10 min apart (one session), then 2h silence, one more
+    # (second session); a far-future event finalizes both.
+    _write(
+        srcdir,
+        "b1.json",
+        _line("A", "2024-01-01 10:00:00"),
+        _line("B", "2024-01-01 10:10:00"),
+        _line("C", "2024-01-01 12:10:00"),
+    )
+    _write(srcdir, "b2.json", _line("D", "2024-01-01 20:00:00", user=2))
+    _write(srcdir, "b3.json", _line("E", "2024-01-01 20:01:00", user=2))
+
+    sess = session_window_stats(
+        _read_stream(spark, srcdir), gap="30 minutes", delay="10 minutes"
+    )
+    rows = [
+        r
+        for r in _run(spark, sess, tmp_path / "ck", "sess_sink").collect()
+        if r.user_id == 1
+    ]
+    got = {(r.session_start.isoformat(), r.n_events) for r in rows}
+    # session 1: [10:00, 10:10+gap); session 2: single event at 12:10
+    assert ("2024-01-01T10:00:00", 2) in got
+    assert ("2024-01-01T12:10:00", 1) in got
+
+
+def test_custom_sessionizer_gap_and_timeout_paths(spark, tmp_path, srcdir):
+    # b1: u1 @10:00 & 10:10 (one open session)
+    # b2: u1 @12:00 -> gap > 30m closes session 1 with reason "gap"
+    # b3+b4: u2 events push the watermark past 12:30 so session 2 closes
+    #        by event-time timeout
+    _write(
+        srcdir,
+        "b1.json",
+        _line("A", "2024-01-01 10:00:00", value=1.5),
+        _line("B", "2024-01-01 10:10:00", value=2.5),
+    )
+    _write(srcdir, "b2.json", _line("C", "2024-01-01 12:00:00", value=4.0))
+    _write(srcdir, "b3.json", _line("D", "2024-01-01 14:00:00", user=2))
+    _write(srcdir, "b4.json", _line("E", "2024-01-01 14:05:00", user=2))
+
+    sess = sessionize_with_state(
+        _read_stream(spark, srcdir), gap_minutes=30, delay="10 minutes"
+    )
+    rows = {
+        (r.user_id, r.session_start.isoformat()): r
+        for r in _run(spark, sess, tmp_path / "ck", "cust_sess_sink").collect()
+    }
+
+    s1 = rows[(1, "2024-01-01T10:00:00")]
+    assert s1.emit_reason == "gap"
+    assert s1.n_events == 2
+    assert s1.sum_value == pytest.approx(4.0)
+    assert s1.session_end.isoformat() == "2024-01-01T10:10:00"
+
+    s2 = rows[(1, "2024-01-01T12:00:00")]
+    assert s2.emit_reason == "timeout"
+    assert s2.n_events == 1
+    assert s2.sum_value == pytest.approx(4.0)
+
+
+def test_custom_sessionizer_state_survives_restart(spark, tmp_path, srcdir):
+    """F1/F2 for stateful ops: session state persists in the checkpointed
+    state store; a restarted query resumes it rather than re-opening."""
+    ckpt = tmp_path / "ck"
+    _write(srcdir, "b1.json", _line("A", "2024-01-01 10:00:00"))
+
+    collected: list = []
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        q = (
+            sessionize_with_state(
+                _read_stream(spark, srcdir), gap_minutes=30, delay="10 minutes"
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert collected == []  # session still open
+
+    # same session extended after restart, then closed by a gap event
+    _write(srcdir, "b2.json", _line("B", "2024-01-01 10:05:00"))
+    _write(srcdir, "b3.json", _line("C", "2024-01-01 13:00:00"))
+    run_once()
+    rows = [r for r in collected if r.emit_reason == "gap"]
+    assert len(rows) == 1
+    assert rows[0].n_events == 2  # A (pre-restart) + B (post-restart)
+    assert rows[0].session_start.isoformat() == "2024-01-01T10:00:00"
+    assert rows[0].session_end.isoformat() == "2024-01-01T10:05:00"
