@@ -97,6 +97,41 @@ def cdc_envelope_dml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_typed_projection",
+    oracle=f"""
+    SELECT host, "table", action, wal_position, uuid,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM ({_ORACLE_CDC_BASE})
+    WHERE "table" = 'tbl_signup'
+    """,
+)
+def cdc_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+T2: RelationRegistry-driven typed projection. The relation for
+    tbl_signup declares k:int4 plus a column of unsupported PG type, which
+    is dropped at registration — the whitelist coercion of generateEvent
+    (postgres.go:399-425) enforced by the projection list, not per-row
+    code. The dynamic payload travels as map<string,string> and the casts
+    run JVM-side."""
+    from psql_streamer_spark.schema import RelationRegistry
+    from psql_streamer_spark.transforms import project_table
+
+    registry = RelationRegistry()
+    # 'geom geometry' is outside the type whitelist -> dropped, logged-drop
+    # parity with postgres.go:421-423
+    registry.register("tbl_signup", [("k", "int4"), ("geom", "geometry")])
+
+    ev = _as_cdc_events(spark, sf_dir).withColumn(
+        "columns", F.from_json("props", "map<string,string>")
+    )
+    return project_table(
+        ev,
+        registry,
+        "tbl_signup",
+        envelope_cols=("host", "table", "action", "wal_position", "uuid"),
+    )
+
+
+@register(
     "cdc_route_with_fallback",
     oracle=f"""
     SELECT CASE "table" WHEN 'tbl_signup' THEN 'topic_users'

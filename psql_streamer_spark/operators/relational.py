@@ -167,28 +167,43 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(revenue=sql_dsum("l.l_extendedprice * (1 - l.l_discount)")),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, "customer", sf_dir)
+    # Scale-first join order: the region filter keeps 1 of 5 regions, so
+    # semi-reducing customer AND supplier through the broadcast nation list
+    # BEFORE the fact joins cuts the shuffled build sides ~5x — at 100 TB
+    # that's the difference between shuffling 20% of customer/supplier and
+    # all of it. nation/region are fixed-size (25/5 rows) at every SF ->
+    # always broadcast; the big joins stay shuffle joins for AQE to manage.
+    asia_nations = F.broadcast(
+        load_table(spark, "nation", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "region", sf_dir).filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, "customer", sf_dir).join(
+        asia_nations, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    s = load_table(spark, "supplier", sf_dir).join(
+        asia_nations, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
     o = load_table(spark, "orders", sf_dir).filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
     )
     l = load_table(spark, "lineitem", sf_dir)
-    s = load_table(spark, "supplier", sf_dir)
-    # nation/region are fixed-size (25/5 rows) at every SF -> always broadcast.
-    n = F.broadcast(load_table(spark, "nation", sf_dir))
-    r = F.broadcast(
-        load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
-    )
     joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("n_name").agg(dsum(revenue).alias("revenue"))

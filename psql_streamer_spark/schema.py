@@ -95,3 +95,36 @@ def relation_to_struct(columns: list[tuple[str, str]]) -> T.StructType:
         if spark_type is not None:
             fields.append(T.StructField(name, spark_type, True))
     return T.StructType(fields)
+
+
+class RelationRegistry:
+    """Driver-side schema cache — the Spark analogue of the reference's
+    RelationSet (source/postgres/postgres.go:33,303-309): per-table column
+    metadata registered as it becomes known, looked up at decode time.
+    Unknown relations error exactly like generateEvent's lookup
+    (postgres.go:380-384)."""
+
+    def __init__(self) -> None:
+        self._relations: dict[str, T.StructType] = {}
+
+    def register(self, table: str, columns: list[tuple[str, str]]) -> T.StructType:
+        """Cache (or replace — relations are re-sent on schema change) the
+        relation for `table`. Unsupported PG types are dropped here, once,
+        not per-row."""
+        struct = relation_to_struct(columns)
+        self._relations[table] = struct
+        return struct
+
+    def struct(self, table: str) -> T.StructType:
+        if table not in self._relations:
+            raise KeyError(
+                f"unknown relation {table!r} (no Relation message seen; "
+                "postgres.go:380-384)"
+            )
+        return self._relations[table]
+
+    def tables(self) -> list[str]:
+        return sorted(self._relations)
+
+    def __contains__(self, table: str) -> bool:
+        return table in self._relations

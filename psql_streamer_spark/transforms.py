@@ -49,6 +49,32 @@ def decode_cdc_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+# -- T2: typed per-table projection (postgres.go:379-428 decode+coerce) -----
+ENVELOPE_COLS = ("host", "database", "table", "action", "wal_position", "ts", "uuid")
+
+
+def project_table(
+    df: DataFrame,
+    registry,
+    table: str,
+    envelope_cols: tuple[str, ...] = ENVELOPE_COLS,
+) -> DataFrame:
+    """Decode the dynamic `columns` map into typed per-table columns using
+    the relation registry (the RelationSet lookup + whitelist coercion of
+    generateEvent, postgres.go:379-428). Columns whose PG type is
+    unsupported were already dropped at registration (postgres.go:421-423),
+    so the projection list — not per-row code — enforces the whitelist; the
+    casts run JVM-side inside codegen."""
+    struct = registry.struct(table)  # KeyError on unknown relation (:380-384)
+    typed = [
+        F.col("columns").getItem(f.name).cast(f.dataType).alias(f.name)
+        for f in struct.fields
+    ]
+    return df.filter(F.col("table") == table).select(
+        *[F.col(c) for c in envelope_cols], *typed
+    )
+
+
 # -- T3: envelope enrichment (postgres.go:349-350,386-397) ------------------
 def with_envelope(
     df: DataFrame,

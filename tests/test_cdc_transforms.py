@@ -146,3 +146,29 @@ def test_handler_chain_composes(spark, raw_df):
     )
     assert {"key", "value"} <= set(out.columns)
     assert out.count() == 5
+
+
+def test_relation_registry_typed_projection(spark, raw_df):
+    """S3+T2: registry-driven decode of the dynamic Columns map into typed
+    columns; unsupported PG types dropped at registration; unknown
+    relations error like generateEvent (postgres.go:380-384)."""
+    from psql_streamer_spark.schema import RelationRegistry
+    from psql_streamer_spark.transforms import project_table
+
+    registry = RelationRegistry()
+    struct = registry.register(
+        "test", [("a", "int4"), ("b", "text"), ("geom", "geometry")]
+    )
+    assert [f.name for f in struct.fields] == ["a", "b"]  # geom dropped
+    assert "test" in registry and registry.tables() == ["test"]
+
+    decoded, _ = validate_split(decode_cdc_json(raw_df))
+    typed = project_table(decoded, registry, "test")
+    row = typed.filter(F.col("action") == "insert").collect()[0]
+    assert row.a == 369223 and isinstance(row.a, int)  # int4 cast applied
+    assert row.b == "a"
+    assert "geom" not in typed.columns
+    assert row.uuid.endswith("0001")
+
+    with pytest.raises(KeyError, match="unknown relation"):
+        project_table(decoded, registry, "ghost")
