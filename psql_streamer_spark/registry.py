@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "psql_streamer_spark.operators.similarity",
     "psql_streamer_spark.operators.text",
     "psql_streamer_spark.operators.multimodal",
+    "psql_streamer_spark.operators.udfs",
 )
 
 
