@@ -61,7 +61,7 @@ from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
-from psql_streamer_spark.observe import EngineListener, StatusServer
+from psql_streamer_spark.observe import EngineListener, StatsTicker, StatusServer
 from psql_streamer_spark.streaming.pipeline import CdcPipeline
 from psql_streamer_spark.streaming.sinks import (
     KafkaSink,
@@ -137,6 +137,7 @@ class Engine:
     listener: EngineListener
     server: StatusServer | None = None
     ticker_interval_s: float = 0.0
+    ticker: StatsTicker | None = None
     _started: list = field(default_factory=list)
 
     def start(self, available_now: bool = False) -> None:
@@ -145,6 +146,9 @@ class Engine:
             self._started.append(pipe.start(available_now=available_now))
         if self.server is not None:
             self.server.start()
+        if self.ticker_interval_s > 0:
+            self.ticker = StatsTicker(self.stats, self.ticker_interval_s)
+            self.ticker.start()
 
     def await_drained(self) -> None:
         """Block until every availableNow query finishes (shutdown flush,
@@ -157,6 +161,8 @@ class Engine:
         for q in self._started:
             q.stop()
         self._started.clear()
+        if self.ticker is not None:
+            self.ticker.stop()
         if self.server is not None:
             self.server.stop()
         try:

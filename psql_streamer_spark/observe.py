@@ -107,6 +107,43 @@ class EngineListener(StreamingQueryListener):
         return "\n".join(lines) + ("\n" if lines else "")
 
 
+class StatsTicker:
+    """Periodic stats logger (O4: stats.go:10-36, started from main.go:47-50).
+    Calls `stats_fn() -> dict[str,str]` every `interval_s` and logs one
+    line per object — driver-side observability only, no executor work."""
+
+    def __init__(self, stats_fn, interval_s: float = 30.0):
+        self.stats_fn = stats_fn
+        self.interval_s = interval_s
+        self.ticks = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        if self.interval_s <= 0:  # tickerInterval=0 disables (config.go:46)
+            return
+
+        def loop():
+            while not self._stop.wait(self.interval_s):
+                self.tick()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def tick(self) -> dict[str, str]:
+        stats = dict(self.stats_fn())
+        self.ticks += 1
+        for name, line in stats.items():
+            log.info("stats %s: %s", name, line)
+        return stats
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
 @dataclass
 class StatusServer:
     """Tiny HTTP control plane (O3: /health /status /stats /metrics).

@@ -409,6 +409,31 @@ def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets_line_flags",
+    oracle="""
+    SELECT l_linenumber, l_returnflag, COUNT(*) AS n, {qty} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_linenumber), (l_returnflag),
+                            (l_linenumber, l_returnflag))
+    """.format(qty=sql_dsum("l_quantity")),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube). One
+    scan, one Expand node, one shuffle — vs three unioned aggregations."""
+    l = load_table(spark, "lineitem", sf_dir)
+    l.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_linenumber, l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_linenumber), (l_returnflag),
+                                (l_linenumber, l_returnflag))
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / limit / global top-k. Deterministic via total order.
 # --------------------------------------------------------------------------
