@@ -92,6 +92,48 @@ def read_jdbc(
     return reader.load()
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    hosts: list[str],
+    topics: list[str],
+    group_id: str | None = None,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    **options: str,
+):
+    """Streaming Kafka reader — S4 parity (source/kafka/kafka.go:68-133):
+    `hosts` -> bootstrap servers, `topics` -> subscribe list, `group_id` ->
+    consumer group prefix. The reference's per-topic reader goroutines and
+    whole-batch commit-after-sink-ACK (kafka.go:104-108,199-221) are
+    subsumed by one-task-per-topic-partition parallelism and the
+    checkpoint's offset-commit-after-epoch contract.
+
+    `starting_offsets` doubles as the F3/walRetain rewind lever: restart
+    with a fresh checkpoint and `earliest` (or a JSON offset map) to replay
+    from the broker's retention window.
+
+    Returns an unbound streaming reader's DataFrame; `.load()` requires the
+    spark-sql-kafka connector jar on the classpath.
+    """
+    if not hosts:
+        raise ValueError("hosts not specified (source/kafka/kafka.go:78-80)")
+    if not topics:
+        raise ValueError("topics not specified (source/kafka/kafka.go:86-89)")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", ",".join(hosts))
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+    )
+    if group_id is not None:
+        reader = reader.option("kafka.group.id", group_id)
+    if max_offsets_per_trigger is not None:  # B1 size-capped batches
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -91,3 +91,17 @@ def test_stats_ticker_ticks_and_stops():
     t0 = StatsTicker(stats_fn, interval_s=0)
     t0.start()
     assert t0._thread is None
+
+
+def test_kafka_stream_reader_validates_and_builds(spark):
+    # S4 config parity: required hosts/topics (source/kafka/kafka.go:78-89)
+    with pytest.raises(ValueError, match="hosts"):
+        io.read_kafka_stream(spark, [], ["t"])
+    with pytest.raises(ValueError, match="topics"):
+        io.read_kafka_stream(spark, ["b:9092"], [])
+    reader = io.read_kafka_stream(
+        spark, ["b1:9092", "b2:9092"], ["t1", "t2"],
+        group_id="g1", max_offsets_per_trigger=400,
+    )
+    # reader builds without the connector jar; .load() would need it
+    assert reader is not None
