@@ -1,0 +1,171 @@
+"""Custom join strategies Spark lacks as built-ins: as-of join, salted
+skew join.
+
+Reference scope note: the reference has no joins at all (SURVEY.md §2.3);
+these belong to the engine's extended surface. Both are implemented as
+compositions of built-in operators (SURVEY §7 custom-operator rule (a)) —
+no UDFs, no driver-side state.
+
+As-of join (point-in-time): for each left row, the single latest right row
+whose timestamp is <= the left row's, per key. The classic uses: "the
+order state a click saw", feature stores, slowly-changing dims.
+
+Implementation: union both sides tagged, one window per key ordered by
+(time, side) forward-fills the latest right payload onto every left row —
+ONE shuffle on the key, O(n log n) per partition, no per-key loops, no
+range cross-join blowup. merge_asof-in-pandas would cap each key's history
+at executor memory; the window form spills.
+
+Salted join: pre-split hot keys so one reducer doesn't take the whole hot
+partition. AQE's skew-join handles this at runtime for sort-merge joins;
+the explicit salt is for when you KNOW the skew (power-law keys at 100 TB)
+and want the split at plan time, or the join is hash-based where AQE skew
+handling doesn't apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: latest right row with right_ts <= left_ts per
+    key. Right rows must be unique per (key, ts) — pre-aggregate if not,
+    or the fill picks an arbitrary one of the ties.
+
+    Returns left columns + right payload columns (right key column is
+    dropped; right_ts is kept). how="left" keeps unmatched left rows with
+    NULL payload; "inner" drops them.
+    """
+    right_payload = [c for c in right.columns if c != right_on]
+    l = (
+        left.withColumn("_t", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+        .withColumn("_k", F.col(left_on))
+    )
+    r = (
+        right.withColumn("_t", F.col(right_ts))
+        .withColumn("_side", F.lit(0))
+        .withColumn("_k", F.col(right_on))
+        .drop(right_on)
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal time -> `<=` semantics
+    w = W.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_fill_{c}")
+            for c in right_payload
+        ],
+    )
+    out = (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"_fill_{c}").alias(c) for c in right_payload],
+        )
+    )
+    if how == "inner":
+        # no right row at or before the left ts -> fills are all NULL
+        out = out.filter(F.col(right_payload[0]).isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    return out
+
+
+@register(
+    "join_asof_latest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event sees the customer's latest order at or
+    before the event time (checked against DuckDB's native ASOF JOIN).
+    Orders are pre-deduped per (custkey, orderdate) so the as-of pick is
+    deterministic on both engines."""
+    e = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+    )
+    return asof_join(
+        e, o, left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_on: str,
+    small_on: str,
+    buckets: int = 8,
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Equi-join with explicit key salting: the big side's hot keys split
+    across `buckets` reducers; the small side is replicated `buckets`
+    times (explode of a literal range — cheap for dim-sized tables).
+    Result is row-identical to a plain inner join.
+
+    `salt_by`: a big-side column whose hash spreads rows across buckets
+    (default: the rows' own key + a per-row disambiguator column you pass;
+    using only the join key would put each hot key in ONE bucket and
+    defeat the salt)."""
+    salt_col = F.pmod(F.hash(F.col(salt_by if salt_by else big_on)), F.lit(buckets))
+    b = big.withColumn("_salt", salt_col)
+    s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    out = b.join(
+        s,
+        (F.col(big_on) == F.col(small_on)) & (b["_salt"] == s["_salt"]),
+    )
+    return out.drop("_salt")
+
+
+@register(
+    "join_salted_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines, MAX(l.l_orderkey) AS max_ok
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join correctness proof: lineitem⋈orders with 8-way salting
+    (salted on l_linenumber so a hot orderkey's lines spread across
+    buckets) aggregates to exactly the plain-join result."""
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l, o, big_on="l_orderkey", small_on="o_orderkey",
+        buckets=8, salt_by="l_linenumber",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"), F.max("l_orderkey").alias("max_ok")
+    )

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "psql_streamer_spark.operators.text",
     "psql_streamer_spark.operators.multimodal",
     "psql_streamer_spark.operators.udfs",
+    "psql_streamer_spark.operators.asof",
 )
 
 

@@ -1,0 +1,81 @@
+"""As-of join semantics on hand-built fixtures: equal-timestamp inclusion
+(>= semantics), per-key isolation, inner vs left behavior."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from psql_streamer_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "e1"),  # before any right row
+            (1, _ts("2024-01-01 12:00:00"), "e2"),  # exactly at r1
+            (1, _ts("2024-01-01 15:00:00"), "e3"),  # between r1 and r2
+            (1, _ts("2024-01-01 18:00:00"), "e4"),  # after r2
+            (2, _ts("2024-01-01 13:00:00"), "e5"),  # other key, own history
+        ],
+        ["uid", "ts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 12:00:00"), "r1"),
+            (1, _ts("2024-01-01 16:00:00"), "r2"),
+            (2, _ts("2024-01-01 11:00:00"), "r3"),
+        ],
+        ["cid", "state_ts", "state"],
+    )
+    return left, right
+
+
+def test_asof_inner_matches_latest_at_or_before(spark, sides):
+    left, right = sides
+    got = {
+        r.eid: r.state
+        for r in asof_join(
+            left, right, "uid", "cid", "ts", "state_ts", how="inner"
+        ).collect()
+    }
+    # e1 has no state yet -> dropped (inner); e2 sees r1 (equality counts);
+    # e3 still r1; e4 sees r2; e5 (key 2) sees r3, never key 1's rows
+    assert got == {"e2": "r1", "e3": "r1", "e4": "r2", "e5": "r3"}
+
+
+def test_asof_left_keeps_unmatched_with_null(spark, sides):
+    left, right = sides
+    rows = asof_join(
+        left, right, "uid", "cid", "ts", "state_ts", how="left"
+    ).collect()
+    assert len(rows) == 5
+    by_eid = {r.eid: r.state for r in rows}
+    assert by_eid["e1"] is None
+
+
+def test_asof_rejects_unknown_how(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="inner/left"):
+        asof_join(left, right, "uid", "cid", "ts", "state_ts", how="outer")
+
+
+def test_asof_plan_is_single_shuffle(spark, sides):
+    left, right = sides
+    plan = (
+        asof_join(left, right, "uid", "cid", "ts", "state_ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the union+window form shuffles ONCE on the key; a naive range join
+    # would show BroadcastNestedLoopJoin / CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
