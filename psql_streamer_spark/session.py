@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split small inputs across all cores: with the default 128 MiB
+        # maxPartitionBytes a 10 MiB bench file scans in ONE task and the
+        # whole partial-aggregate runs single-threaded. minPartitionNum is
+        # a minimum hint — at cluster scale (thousands of files) it is
+        # already satisfied and changes nothing.
+        .config("spark.sql.files.minPartitionNum", str(int(_LOCAL_CPUS)))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

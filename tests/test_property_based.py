@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis): duration parsing, relation registry
+whitelist, routing-expression equivalence, and decode/serialize roundtrip
+over generated CDC payloads.
+
+Spark sessions are expensive per-example, so DataFrame properties batch
+many generated rows into ONE DataFrame per example and keep max_examples
+small; pure-Python properties run at full default volume."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from psql_streamer_spark.config import ConfigError, parse_duration_ms
+from psql_streamer_spark.schema import PG_TO_SPARK, RelationRegistry
+
+# -- parse_duration_ms: Go-style durations ----------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+def test_duration_bare_numbers_are_seconds(n):
+    assert parse_duration_ms(n) == n * 1000
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.sampled_from([("ms", 1), ("s", 1000), ("m", 60_000), ("h", 3_600_000)]),
+)
+def test_duration_go_suffixes(n, unit):
+    suffix, factor = unit
+    assert parse_duration_ms(f"{n}{suffix}") == n * factor
+
+
+@given(st.text(max_size=10).filter(lambda s: not s.strip().isdigit()))
+def test_duration_garbage_always_raises_not_misparses(s):
+    """Any non-numeric junk raises ConfigError — never silently parses."""
+    try:
+        parse_duration_ms(s)
+    except ConfigError:
+        pass  # the only acceptable failure mode
+    else:
+        # parses only if it genuinely was <number><unit>
+        stripped = s.strip()
+        assert any(
+            stripped.endswith(u) and stripped[: -len(u)].replace(".", "", 1).isdigit()
+            for u in ("ms", "s", "m", "h")
+        )
+
+
+# -- RelationRegistry: whitelist projection is order/duplication-safe -------
+
+_PG_TYPES = st.sampled_from(sorted(PG_TO_SPARK) + ["geometry", "jsonb", "xml"])
+_COLS = st.lists(
+    st.tuples(st.text("abcdefg", min_size=1, max_size=8), _PG_TYPES),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda c: c[0],
+)
+
+
+@given(_COLS)
+def test_registry_keeps_exactly_whitelisted_columns_in_order(cols):
+    reg = RelationRegistry()
+    struct = reg.register("t", cols)
+    expected = [name for name, pg in cols if pg.lower() in PG_TO_SPARK]
+    assert [f.name for f in struct.fields] == expected
+    assert reg.struct("t") is struct
+
+
+# -- routing expression == dict lookup, for arbitrary mappings --------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.text("abcxyz_", min_size=1, max_size=6),
+        st.text("topic0123", min_size=1, max_size=8),
+        max_size=6,
+    ),
+    st.lists(st.text("abcxyz_", min_size=1, max_size=6), min_size=1, max_size=20),
+    st.one_of(st.none(), st.just("fb")),
+)
+def test_topic_expr_equals_dict_semantics(spark, mapping, tables, fallback):
+    from psql_streamer_spark.routing import topic_expr
+
+    df = spark.createDataFrame([(t,) for t in tables], ["table"])
+    got = [
+        r.topic
+        for r in df.select(
+            topic_expr(mapping, fallback).alias("topic")
+        ).collect()
+    ]
+    want = [mapping.get(t, fallback) for t in tables]
+    assert got == want
+
+
+# -- decode -> serialize -> decode identity on generated events -------------
+
+_EVENTS = st.lists(
+    st.fixed_dictionaries(
+        {
+            "Host": st.text("hostdb19", min_size=1, max_size=8),
+            "Database": st.text("testdb", min_size=1, max_size=6),
+            "Table": st.text("abc_", min_size=1, max_size=6),
+            "Action": st.sampled_from(["insert", "update", "delete"]),
+            "WALPosition": st.integers(min_value=0, max_value=2**62),
+            "Timestamp": st.just("2024-01-01T10:00:00Z"),
+            "UUID": st.uuids().map(str),
+            "Columns": st.dictionaries(
+                st.text("abxy", min_size=1, max_size=4),
+                st.text("val0189 ", max_size=12),
+                max_size=4,
+            ),
+        }
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_EVENTS)
+def test_decode_serialize_roundtrip_identity(spark, events):
+    """decode∘serialize∘decode == decode for ANY valid wire payload —
+    the reference's passthrough contract (sink/kafka/passthrough.go)."""
+    from psql_streamer_spark.transforms import decode_cdc_json, serialize_passthrough
+
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    once = decode_cdc_json(raw)
+    twice = decode_cdc_json(serialize_passthrough(once).select("value"))
+    cols = ["host", "database", "table", "action", "wal_position", "uuid", "columns"]
+    a = sorted(map(str, once.select(*cols).collect()))
+    b = sorted(map(str, twice.select(*cols).collect()))
+    assert a == b
