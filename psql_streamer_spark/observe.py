@@ -23,6 +23,11 @@ log = logging.getLogger("psql_streamer_spark.observe")
 
 ERROR_HEALTH_THRESHOLD = 30  # consecutive errors before unhealthy (F6)
 
+# batch-duration histogram buckets (ms) — parity with the reference's
+# per-event processing-time histograms (source/prom/prometheus.go:10-39,
+# sink/prom/prometheus.go:10-43), at micro-batch granularity
+DURATION_BUCKETS_MS = (5, 10, 25, 50, 100, 250, 500, 1000, 2500, 5000, 10000)
+
 
 @dataclass
 class QueryStats:
@@ -32,6 +37,18 @@ class QueryStats:
     errors: int = 0
     consecutive_errors: int = 0
     last_batch_duration_ms: float = 0.0
+    duration_sum_ms: float = 0.0
+    duration_bucket_counts: list = field(
+        default_factory=lambda: [0] * (len(DURATION_BUCKETS_MS) + 1)
+    )
+
+    def observe_duration(self, ms: float) -> None:
+        self.last_batch_duration_ms = ms
+        self.duration_sum_ms += ms
+        for i, le in enumerate(DURATION_BUCKETS_MS):
+            if ms <= le:
+                self.duration_bucket_counts[i] += 1
+        self.duration_bucket_counts[-1] += 1  # +Inf
 
     @property
     def healthy(self) -> bool:
@@ -49,6 +66,7 @@ class EngineListener(StreamingQueryListener):
 
     def __init__(self):
         self._stats: dict[str, QueryStats] = {}
+        self._id_to_key: dict[str, str] = {}
         self._lock = threading.Lock()
 
     # StreamingQueryListener API
@@ -56,26 +74,30 @@ class EngineListener(StreamingQueryListener):
         key = event.name or str(event.id)
         with self._lock:
             self._stats.setdefault(key, QueryStats(key))
+            self._id_to_key[str(event.id)] = key
 
     def onQueryProgress(self, event):
         p = event.progress
         key = p.name or str(p.id)
         with self._lock:
             st = self._stats.setdefault(key, QueryStats(key))
+            self._id_to_key[str(p.id)] = key
             st.batches += 1
             st.input_rows += int(p.numInputRows)
             st.consecutive_errors = 0
-            st.last_batch_duration_ms = float(
-                p.durationMs.get("triggerExecution", 0)
-            )
+            st.observe_duration(float(p.durationMs.get("triggerExecution", 0)))
         log.info("progress %s", st.as_line())
 
     def onQueryTerminated(self, event):
+        """Attribute the failure to the terminated query ONLY (F6 is a
+        per-source threshold, source/kafka/kafka.go:22-24) — one crash-looping
+        pipeline must not flip every healthy query unhealthy."""
         if event.exception is not None:
             with self._lock:
-                for st in self._stats.values():
-                    st.errors += 1
-                    st.consecutive_errors += 1
+                key = self._id_to_key.get(str(event.id), str(event.id))
+                st = self._stats.setdefault(key, QueryStats(key))
+                st.errors += 1
+                st.consecutive_errors += 1
 
     def onQueryIdle(self, event):
         pass
@@ -94,7 +116,8 @@ class EngineListener(StreamingQueryListener):
         return True, "\n".join(s.as_line() for s in sts) or "no queries"
 
     def metrics_text(self) -> str:
-        """Prometheus exposition format (O2)."""
+        """Prometheus exposition format (O2): counters, gauges, and a
+        per-query batch-duration histogram (_bucket/_sum/_count)."""
         lines = []
         for s in self.stats().values():
             labels = f'{{query="{s.name}"}}'
@@ -103,6 +126,16 @@ class EngineListener(StreamingQueryListener):
                 f"engine_input_rows_total{labels} {s.input_rows}",
                 f"engine_errors_total{labels} {s.errors}",
                 f"engine_healthy{labels} {1 if s.healthy else 0}",
+            ]
+            for le, n in zip(DURATION_BUCKETS_MS, s.duration_bucket_counts):
+                lines.append(
+                    f'engine_batch_duration_ms_bucket{{query="{s.name}",le="{le}"}} {n}'
+                )
+            lines += [
+                f'engine_batch_duration_ms_bucket{{query="{s.name}",le="+Inf"}} '
+                f"{s.duration_bucket_counts[-1]}",
+                f"engine_batch_duration_ms_sum{labels} {s.duration_sum_ms}",
+                f"engine_batch_duration_ms_count{labels} {s.duration_bucket_counts[-1]}",
             ]
         return "\n".join(lines) + ("\n" if lines else "")
 

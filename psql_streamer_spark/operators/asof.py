@@ -67,26 +67,26 @@ def asof_join(
     w = W.partitionBy("_k").orderBy("_t", "_side").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    filled = merged.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_fill_{c}")
-            for c in right_payload
-        ],
+    # Fill ONE struct of all payload columns, not each column independently:
+    # per-column fills could stitch together values from different right
+    # rows when a payload column is NULL in the matched row. The struct is
+    # non-null for every right row (a struct of NULL fields is still a
+    # value), so it doubles as the inner-match marker — NULL means "no
+    # right row at or before this left ts", even if every payload column
+    # of the matched row is NULL.
+    payload_struct = F.when(F.col("_side") == 0, F.struct(*right_payload))
+    filled = merged.withColumn(
+        "_r", F.last(payload_struct, ignorenulls=True).over(w)
     )
-    out = (
-        filled.filter(F.col("_side") == 1)
-        .select(
-            *left.columns,
-            *[F.col(f"_fill_{c}").alias(c) for c in right_payload],
-        )
-    )
+    out = filled.filter(F.col("_side") == 1)
     if how == "inner":
-        # no right row at or before the left ts -> fills are all NULL
-        out = out.filter(F.col(right_payload[0]).isNotNull())
+        out = out.filter(F.col("_r").isNotNull())
     elif how != "left":
         raise ValueError(f"asof_join supports inner/left, got {how!r}")
-    return out
+    return out.select(
+        *left.columns,
+        *[F.col("_r").getField(c).alias(c) for c in right_payload],
+    )
 
 
 @register(

@@ -87,8 +87,9 @@ def evt_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -105,8 +106,10 @@ def evt_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment itself is shuffle-free after that."""
     e = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # full-precision gap: ts has microsecond parts; unix_timestamp() truncates
+    # to whole seconds and would misclassify gaps within 1s of the boundary
     gap_ok = (
-        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     ) <= 30 * 60
     flagged = e.withColumn(
         "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))

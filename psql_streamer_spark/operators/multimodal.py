@@ -104,14 +104,16 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> typed features through a real mapInPandas pass
     (Arrow batches of bytes), with the codec stubbed deterministically."""
     media = _media_frame(spark, sf_dir)
-    # spread payloads across workers: a single small parquet file would
-    # otherwise feed ONE Python worker the entire corpus
+    # Spread payloads across workers ONLY when the scan is under-split (a
+    # single small local file would feed one Python worker the whole
+    # corpus). At cluster scale the parquet scan already yields >= cores
+    # partitions, and an unconditional repartition would full-shuffle every
+    # payload byte before a narrow map — decode must stay shuffle-free.
+    selected = media.select("doc_id", "payload")
     parallelism = spark.sparkContext.defaultParallelism
-    return (
-        media.select("doc_id", "payload")
-        .repartition(parallelism)
-        .mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
-    )
+    if selected.rdd.getNumPartitions() < parallelism:
+        selected = selected.repartition(parallelism)
+    return selected.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -172,7 +174,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n_chars < 300 THEN 'image'
                 ELSE 'video' END AS modality,
            COUNT(*) AS n_assets,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(octet_length(encode(text))) AS min_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents

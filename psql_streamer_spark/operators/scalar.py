@@ -91,7 +91,7 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
            GREATEST(l_tax, l_discount) AS max_rate,
            LEAST(l_tax, l_discount) AS min_rate,
-           SIGN(l_discount - 0.05) AS disc_sign
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )

@@ -60,6 +60,31 @@ def test_asof_left_keeps_unmatched_with_null(spark, sides):
     assert by_eid["e1"] is None
 
 
+def test_asof_null_payload_not_stitched_and_inner_keeps_match(spark):
+    """A NULL payload column in the matched right row must (a) NOT be
+    back-filled from an older right row (no stitched rows that never
+    existed) and (b) NOT drop the match in inner mode."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 15:00:00"), "e1")], ["uid", "ts", "eid"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "old-state", "old-note"),
+            # matched row: first payload column NULL
+            (1, _ts("2024-01-01 14:00:00"), None, "new-note"),
+        ],
+        ["cid", "state_ts", "state", "note"],
+    )
+    rows = asof_join(
+        left, right, "uid", "cid", "ts", "state_ts", how="inner"
+    ).collect()
+    assert len(rows) == 1  # NULL first payload col must not drop the match
+    r = rows[0]
+    assert r.note == "new-note"
+    assert r.state is None  # not stitched from the 10:00 row
+    assert r.state_ts == _ts("2024-01-01 14:00:00")
+
+
 def test_asof_rejects_unknown_how(spark, sides):
     left, right = sides
     with pytest.raises(ValueError, match="inner/left"):

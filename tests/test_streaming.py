@@ -169,6 +169,49 @@ def test_kafka_sink_fails_descriptively_without_jar(spark, dirs):
         pipe.run_to_completion()
 
 
+def test_terminated_error_blames_only_the_failed_query():
+    """F6 is a per-source threshold: one crash-looping query must not flip
+    other healthy queries unhealthy (reference: per-source consecutive-error
+    counter, source/kafka/kafka.go:22-24)."""
+    from types import SimpleNamespace as NS
+
+    from psql_streamer_spark.observe import ERROR_HEALTH_THRESHOLD, EngineListener
+
+    listener = EngineListener()
+    listener.onQueryStarted(NS(name="good", id="id-good"))
+    listener.onQueryStarted(NS(name="bad", id="id-bad"))
+    for _ in range(ERROR_HEALTH_THRESHOLD):
+        listener.onQueryTerminated(NS(id="id-bad", exception="boom"))
+    st = listener.stats()
+    assert not st["bad"].healthy
+    assert st["bad"].errors == ERROR_HEALTH_THRESHOLD
+    assert st["good"].healthy and st["good"].errors == 0
+    healthy, text = listener.status()
+    assert not healthy and "bad" in text and "good" not in text
+
+
+def test_metrics_histogram_exposition():
+    """O2 parity: per-query batch-duration histogram with cumulative
+    buckets, _sum and _count (source/prom/prometheus.go:10-39)."""
+    from types import SimpleNamespace as NS
+
+    from psql_streamer_spark.observe import EngineListener
+
+    listener = EngineListener()
+    for ms in (3, 40, 700):
+        listener.onQueryProgress(
+            NS(progress=NS(name="q", id="id-q", numInputRows=1,
+                           durationMs={"triggerExecution": ms}))
+        )
+    m = listener.metrics_text()
+    assert 'engine_batch_duration_ms_bucket{query="q",le="5"} 1' in m
+    assert 'engine_batch_duration_ms_bucket{query="q",le="50"} 2' in m
+    assert 'engine_batch_duration_ms_bucket{query="q",le="1000"} 3' in m
+    assert 'engine_batch_duration_ms_bucket{query="q",le="+Inf"} 3' in m
+    assert 'engine_batch_duration_ms_sum{query="q"} 743.0' in m
+    assert 'engine_batch_duration_ms_count{query="q"} 3' in m
+
+
 def test_observability_listener_and_http(spark, dirs):
     """O1-O4: listener collects progress; HTTP plane serves health/stats/
     Prometheus metrics."""

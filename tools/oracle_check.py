@@ -49,6 +49,63 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _col_kind(s: pd.Series) -> str:
+    """Canonical type kind of a column, for cross-engine dtype-strict compare.
+
+    The driver hashes *formatted* values, so int ``1`` vs double ``1.0`` is a
+    hash mismatch even though Python ``1 == 1.0``. Collapse dtypes into kinds
+    that format identically (all int widths together, all float widths
+    together) and fail on any kind skew — this catches DuckDB ``SIGN()``→int8
+    vs Spark ``signum``→double and HUGEINT→float64 vs bigint before the
+    driver does.
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    dt = s.dtype
+    if str(dt).startswith("datetime"):
+        return "timestamp"
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    # object column: classify by the first non-null value
+    for v in s:
+        if v is None:
+            continue
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, bytes):
+            return "binary"
+        if isinstance(v, datetime.datetime):
+            return "timestamp"
+        if isinstance(v, datetime.date):
+            return "date"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, dict):
+            return "struct"
+        return type(v).__name__
+    return "all-null"
+
+
 def _cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -72,6 +129,17 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"row count mismatch: spark={len(sp)} oracle={len(oracle_df)}")
+        return problems
+    for col in sorted(sp.columns):
+        ks, ko = _col_kind(sp[col]), _col_kind(oracle_df[col])
+        if "all-null" in (ks, ko):
+            continue
+        if ks != ko:
+            problems.append(
+                f"dtype-kind mismatch col={col}: spark={ks}({sp[col].dtype}) "
+                f"oracle={ko}({oracle_df[col].dtype}) — driver hash WILL differ"
+            )
+    if problems:
         return problems
     a, b = _normalize(sp), _normalize(oracle_df)
     n_bad = 0
