@@ -62,7 +62,7 @@ from typing import Any, Callable
 from pyspark.sql import SparkSession
 
 from psql_streamer_spark.observe import EngineListener, StatsTicker, StatusServer
-from psql_streamer_spark.streaming.pipeline import CdcPipeline
+from psql_streamer_spark.streaming.pipeline import CdcPipeline, SinkRoute
 from psql_streamer_spark.streaming.sinks import (
     KafkaSink,
     MemorySink,
@@ -237,21 +237,23 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
         if not ckpt_root:
             # Bolt-needing sources complain when boltdb is nil (config.go:55-58)
             raise ConfigError(f"source '{name}': boltdb (checkpoint root) required")
-        # routing lives on the kafka sink in the reference (kafka.go:116-135);
-        # one pipeline serves all subscribed sinks, so merge their mappings
-        mapping: dict[str, str] = {}
-        fallback = None
-        for sink_name in subs[name]:
-            sk = sink_confs[sink_name]
-            mapping.update(sk.get("tableTopicMapping") or {})
-            fallback = sk.get("topicFallback", fallback)
+        # routing lives on each kafka sink in the reference (kafka.go:116-135):
+        # every subscribed sink routes the shared batch by ITS OWN
+        # mapping/fallback — never a merged pipeline-level mapping, which
+        # would let one sink's rules leak into another's
+        routes = [
+            SinkRoute(
+                sinks[sn],
+                dict(sink_confs[sn].get("tableTopicMapping") or {}),
+                sink_confs[sn].get("topicFallback"),
+            )
+            for sn in subs[name]
+        ]
         pipelines[name] = CdcPipeline(
             spark,
             source_path=sc["path"],
             checkpoint_dir=str(Path(ckpt_root) / f"source_{name}"),  # db.go:113
-            sinks=[sinks[sn] for sn in subs[name]],
-            topic_mapping=mapping,
-            topic_fallback=fallback,
+            routes=routes,
             max_files_per_trigger=sc.get("batchSize"),
             processing_interval=(
                 _as_trigger_interval(sc["batchFlushInterval"])

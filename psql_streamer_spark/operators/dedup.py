@@ -363,7 +363,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force pairwise cosine (ground truth / small-N path). The dot
     product is a sequential left fold so both engines sum in the same
     order — bit-identical doubles, no rounding slack needed. Scale path:
-    LSH bucketing (see similarity.py) before the pair join."""
+    dedup_embedding_lsh_pairs (bucketed pair mining) below."""
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -386,5 +386,92 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cosine.alias("cosine"),
         )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup pair mining, bucketed (the 100 TB path).
+# --------------------------------------------------------------------------
+# Reuses similarity.py's deterministic random-hyperplane signatures as band
+# keys: same multi-table OR-construction, but self-joined per (table,
+# bucket) to mine ALL near-dup pairs instead of answering query top-k.
+# Exact cosine then verifies only the candidate set, so the quadratic
+# theta-join of dedup_embedding_cosine_pairs never materializes. Candidate
+# cost scales with bucket collisions (corpus/2^planes per bucket per
+# table), not with N^2; hot buckets are the skew risk, handled by AQE
+# skew-join or by raising LSH_PLANES.
+from psql_streamer_spark.operators.similarity import (  # noqa: E402
+    LSH_TABLES,
+    _SQL_NORM as _SIM_SQL_NORM,
+    _SQL_DOT as _SIM_SQL_DOT,
+    _dot as _sim_dot,
+    _norm as _sim_norm,
+    _signature as _sim_signature,
+    _signature_sql as _sim_signature_sql,
+    _vectors as _sim_vectors,
+)
+
+_pairband_selects = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_sim_signature_sql(t, 'e')} AS bucket FROM v"
+    for t in range(LSH_TABLES)
+)
+
+_SQL_EMBEDDING_LSH_PAIRS = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                      {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+               FROM embeddings),
+    sig AS ({_pairband_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           {_SIM_SQL_DOT.format(a='va.e', b='vb.e')} / (va.nrm * vb.nrm) AS cosine
+    FROM cand
+    JOIN v va ON va.vec_id = vec_a
+    JOIN v vb ON vb.vec_id = vec_b
+    WHERE {_SIM_SQL_DOT.format(a='va.e', b='vb.e')} / (va.nrm * vb.nrm)
+            >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_lsh_pairs", oracle=_SQL_EMBEDDING_LSH_PAIRS)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs: hyperplane-signature band keys ->
+    per-bucket self-join -> exact-cosine verify of candidates only. Same
+    shape as dedup_minhash_lsh_pairs; recall vs the brute-force ground
+    truth is measured in tests/test_quality_metrics.py."""
+    v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
+    # signature index: computed once, feeds both sides of the band join
+    sig = None
+    for t in range(LSH_TABLES):
+        part = v.select(
+            "vec_id",
+            F.lit(t).alias("tbl"),
+            _sim_signature(t, F.col("e")).alias("bucket"),
+        )
+        sig = part if sig is None else sig.unionByName(part)
+    sig = sig.persist()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    cosine = _sim_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )

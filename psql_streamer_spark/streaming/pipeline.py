@@ -30,14 +30,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psql_streamer_spark.routing import topic_expr
+from psql_streamer_spark.schema import ACTIONS
 from psql_streamer_spark.streaming.sinks import Sink
 from psql_streamer_spark.transforms import (
     decode_cdc_json,
-    filter_dml,
+    is_valid_event,
     serialize_passthrough,
-    validate_split,
     with_default_key,
 )
+
+
+@dataclass
+class SinkRoute:
+    """A sink plus ITS OWN routing rules. In the reference, table→topic
+    mapping and fallback live on each kafka sink (kafka.go:116-135), so two
+    sinks subscribed to one source may route the same event differently —
+    merging their mappings at the pipeline level would cross-route.
+
+    A route with NO rules at all is a passthrough: the reference's stub
+    sinks (sink/stub/stub.go) take every event and do no routing — only
+    kafka sinks have a routing table — so "no rules" must mean "deliver
+    everything (topic NULL)", not "discard everything"."""
+
+    sink: Sink
+    topic_mapping: dict = field(default_factory=dict)
+    topic_fallback: str | None = None
+
+    @property
+    def passthrough(self) -> bool:
+        return not self.topic_mapping and self.topic_fallback is None
 
 
 @dataclass
@@ -79,20 +100,34 @@ class CdcPipeline:
         spark: SparkSession,
         source_path: str,
         checkpoint_dir: str,
-        sinks: list[Sink],
+        sinks: list[Sink] | None = None,
         topic_mapping: dict[str, str] | None = None,
         topic_fallback: str | None = None,
+        routes: list[SinkRoute] | None = None,
         dlq_sink: Sink | None = None,
         dml_only: bool = True,
         max_files_per_trigger: int | None = None,
         processing_interval: str | None = None,
     ):
-        if not sinks:
-            raise ValueError("at least one sink required (config.go:98-110)")
+        # two spellings: `sinks` + shared mapping (all sinks route alike),
+        # or explicit per-sink `routes` (the reference's per-sink rules)
+        if routes is not None:
+            if sinks:
+                raise ValueError("pass either sinks or routes, not both")
+            if not routes:
+                raise ValueError("at least one sink required (config.go:98-110)")
+            self.routes = list(routes)
+        else:
+            if not sinks:
+                raise ValueError("at least one sink required (config.go:98-110)")
+            self.routes = [
+                SinkRoute(s, dict(topic_mapping or {}), topic_fallback)
+                for s in sinks
+            ]
         self.spark = spark
         self.source_path = source_path
         self.checkpoint_dir = checkpoint_dir
-        self.sinks = list(sinks)
+        self.sinks = [r.sink for r in self.routes]
         self.topic_mapping = dict(topic_mapping or {})
         self.topic_fallback = topic_fallback
         self.dlq_sink = dlq_sink
@@ -104,32 +139,62 @@ class CdcPipeline:
 
     # -- the per-epoch body (the mux flush) --------------------------------
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # one materialization serves every branch (mux buffer reuse, B2)
-        batch_df = batch_df.persist()
+        # ONE annotated frame serves every branch and every counter (mux
+        # buffer reuse, B2): validity/DML flags and the routed topic are
+        # columns, so stats need a single aggregate job instead of four
+        # count() passes, and the cache is released in finally (a leaked
+        # persist per micro-batch is a storage-memory leak on an always-on
+        # stream).
+        decoded = decode_cdc_json(batch_df)
+        keep = is_valid_event(decoded)
+        if self.dml_only:
+            keep = keep & F.col("action").isin(*ACTIONS)
+        annotated = (
+            decoded.withColumn("_valid", is_valid_event(decoded))
+            .withColumn("_keep", keep)
+            .persist()
+        )
+        # each route evaluates its OWN topic expression (per-sink rules);
+        # `routed`/`discarded` use union semantics: an event counts as
+        # routed if ANY route takes it, discarded if none does
+        route_topics = [
+            topic_expr(r.topic_mapping, r.topic_fallback) for r in self.routes
+        ]
+        route_takes = [
+            F.lit(True) if r.passthrough else t.isNotNull()
+            for r, t in zip(self.routes, route_topics)
+        ]
+        any_topic = route_takes[0]
+        for t in route_takes[1:]:
+            any_topic = any_topic | t
         try:
-            n_in = batch_df.count()
-            decoded = decode_cdc_json(batch_df)
-            valid, dlq = validate_split(decoded)
-            if self.dml_only:
-                valid = filter_dml(valid)
-            routed = valid.withColumn(
-                "topic", topic_expr(self.topic_mapping, self.topic_fallback)
-            )
-            deliverable = routed.filter(F.col("topic").isNotNull()).persist()
-            out = serialize_passthrough(with_default_key(deliverable))
+            counts = annotated.agg(
+                F.count("*").alias("n_in"),
+                F.count(F.when(~F.col("_valid"), 1)).alias("n_dlq"),
+                F.count(F.when(F.col("_keep"), 1)).alias("n_valid"),
+                F.count(F.when(F.col("_keep") & any_topic, 1)).alias("n_routed"),
+            ).collect()[0]
 
-            n_dlq = dlq.count()
-            n_routed = deliverable.count()
-            n_valid = valid.count()
+            if self.dlq_sink is not None and counts.n_dlq:
+                self.dlq_sink.write(
+                    annotated.filter(~F.col("_valid")).drop("_valid", "_keep"),
+                    batch_id,
+                )
 
-            if self.dlq_sink is not None and n_dlq:
-                self.dlq_sink.write(dlq, batch_id)
-
-            # fan-out: every sink gets the batch; any failure aborts the
-            # epoch BEFORE offsets commit (all-or-nothing ACK)
-            for sink in self.sinks:
+            # fan-out: every sink gets the batch routed by its own mapping;
+            # any failure aborts the epoch BEFORE offsets commit
+            # (all-or-nothing ACK)
+            for route, topic in zip(self.routes, route_topics):
+                deliverable = (
+                    annotated.filter(F.col("_keep"))
+                    .withColumn("topic", topic.cast("string"))
+                    .drop("_valid", "_keep")
+                )
+                if not route.passthrough:
+                    deliverable = deliverable.filter(F.col("topic").isNotNull())
+                out = serialize_passthrough(with_default_key(deliverable))
                 try:
-                    sink.write(out, batch_id)
+                    route.sink.write(out, batch_id)
                 except Exception:
                     with self.stats._lock:
                         self.stats.sink_errors += 1
@@ -137,13 +202,13 @@ class CdcPipeline:
 
             with self.stats._lock:
                 self.stats.batches += 1
-                self.stats.events_in += n_in
-                self.stats.events_valid += n_valid
-                self.stats.events_dlq += n_dlq
-                self.stats.events_routed += n_routed
-                self.stats.events_discarded += n_valid - n_routed
+                self.stats.events_in += counts.n_in
+                self.stats.events_valid += counts.n_valid
+                self.stats.events_dlq += counts.n_dlq
+                self.stats.events_routed += counts.n_routed
+                self.stats.events_discarded += counts.n_valid - counts.n_routed
         finally:
-            batch_df.unpersist()
+            annotated.unpersist()
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, available_now: bool = False):
@@ -172,3 +237,18 @@ class CdcPipeline:
         q = self.start(available_now=True)
         q.awaitTermination()
         self.query = None
+
+    def rewind(self, new_checkpoint_dir: str, available_now: bool = False):
+        """Executable offset override (F2: walPositionOverride,
+        source/postgres/postgres.go:131-140): abandon the current
+        checkpoint's committed offsets and reprocess the source from the
+        beginning under a fresh checkpoint. Replays are at-least-once by
+        design — the per-event UUID lets downstream dedup reconcile (F5),
+        same caveat as the reference's manual rewind. For offset-addressable
+        sources (Kafka), pair the new checkpoint with `startingOffsets` on
+        the reader instead of a full replay."""
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+        self.checkpoint_dir = new_checkpoint_dir
+        return self.start(available_now=available_now)

@@ -171,8 +171,14 @@ def sessionize_with_state(
             return
 
         cur = tuple(state.get) if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # applyInPandasWithState splits big groups into multiple Arrow
+        # chunks with NO cross-chunk time ordering — sorting each chunk
+        # independently would corrupt session assignment (spurious gap
+        # closes) once a key's batch exceeds maxRecordsPerBatch. Gather
+        # the whole group's batch, sort ONCE, then scan.
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
             # normalize to ns first: Arrow may hand datetime64[us] or [ns]
             ts_us = (
                 pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000

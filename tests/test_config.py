@@ -148,10 +148,16 @@ def test_kafka_sink_producer_option_mapping(spark, tmp_path):
         "kafka.acks": "all",
         "kafka.retries": "3",
     }
-    # routing config flows from the sink into the source's pipeline
+    # routing config flows from the sink into ITS route on the source's
+    # pipeline (per-sink rules, kafka.go:116-135 — never merged globally)
     pipe = engine.pipelines["pg1"]
-    assert pipe.topic_mapping == {"users": "topic_users"}
-    assert pipe.topic_fallback == "fb"
+    kfk_route = next(r for r in pipe.routes if r.sink is k)
+    assert kfk_route.topic_mapping == {"users": "topic_users"}
+    assert kfk_route.topic_fallback == "fb"
+    # the other subscribed sink keeps its own (empty) rules
+    for r in pipe.routes:
+        if r.sink is not k:
+            assert r.topic_mapping == {} and r.topic_fallback is None
 
 
 def test_kafka_sink_without_hosts_is_fatal(spark, tmp_path):

@@ -60,6 +60,21 @@ def test_ann_recall_vs_bruteforce(spark, sfdir):
     assert len(exact & ivf) / len(exact) >= 0.3
 
 
+def test_embedding_lsh_pairs_subset_and_recall(spark, sfdir):
+    """Bucketed pair mining must return a SUBSET of the brute-force pairs
+    (same exact-cosine verify, candidates can only shrink the set), with
+    non-trivial recall even on unclustered random vectors."""
+    gt = _pairs(QUERIES["dedup_embedding_cosine_pairs"](spark, sfdir), "vec_a", "vec_b")
+    lsh = _pairs(QUERIES["dedup_embedding_lsh_pairs"](spark, sfdir), "vec_a", "vec_b")
+    if not gt:
+        pytest.skip("no cosine near-dup pairs at this sf")
+    assert lsh <= gt
+    recall = len(gt & lsh) / len(gt)
+    # pairs at cosine ~0.4-0.5 on random vectors: per-table collision
+    # prob ~ (1 - theta/pi)^4 ~ 0.2, OR over 4 tables ~ 0.6; floor at 0.3
+    assert recall >= 0.3, f"embedding LSH pair recall {recall}"
+
+
 def test_bruteforce_topk_shape(spark, sfdir):
     rows = QUERIES["sim_bruteforce_topk"](spark, sfdir).collect()
     by_q = {}

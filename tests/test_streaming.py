@@ -158,6 +158,60 @@ def test_fallback_topic_and_stats(spark, dirs):
     assert "routed 3" in pipe.stats.as_line()
 
 
+def test_per_sink_routing_rules_do_not_leak(spark, dirs):
+    """R1 per-sink: two sinks subscribed to one source route the SAME
+    batch by their OWN mapping/fallback (kafka.go:116-135) — one sink's
+    rules must not apply to the other."""
+    from psql_streamer_spark.streaming.pipeline import SinkRoute
+
+    src, ckpt, _ = dirs
+    _write_batch(
+        src, "b1.json",
+        [_event(1), _event(2, table="users"), _event(3, table="ghost")],
+    )
+    s1, s2 = MemorySink("s1"), MemorySink("s2")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt,
+        routes=[
+            # s1 maps only `test`, no fallback -> users/ghost discarded
+            SinkRoute(s1, {"test": "s1_test"}),
+            # s2 maps only `users`, with fallback -> test/ghost go to fb
+            SinkRoute(s2, {"users": "s2_users"}, "s2_fb"),
+        ],
+    )
+    pipe.run_to_completion()
+
+    assert [(r.table, r.topic) for r in sorted(s1.rows, key=lambda r: r.uuid)] == [
+        ("test", "s1_test")
+    ]
+    assert [(r.table, r.topic) for r in sorted(s2.rows, key=lambda r: r.uuid)] == [
+        ("test", "s2_fb"), ("users", "s2_users"), ("ghost", "s2_fb")
+    ]
+    # union semantics: every event found a topic on at least one sink
+    assert pipe.stats.events_routed == 3
+    assert pipe.stats.events_discarded == 0
+
+
+def test_rewind_reprocesses_from_override(spark, dirs):
+    """F2 executable override: rewind() abandons committed offsets under a
+    fresh checkpoint and replays the source (walPositionOverride,
+    postgres.go:131-140); the UUIDs show the same events delivered twice."""
+    src, ckpt, tmp = dirs
+    _write_batch(src, "b1.json", [_event(i) for i in range(4)])
+    sink = MemorySink("m")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink], topic_mapping={"test": "t"}
+    )
+    pipe.run_to_completion()
+    assert sink.events == 4
+
+    q = pipe.rewind(str(tmp / "ckpt2"), available_now=True)
+    q.awaitTermination()
+    assert sink.events == 8  # full replay (at-least-once, F5 dedups downstream)
+    uuids = [r.uuid for r in sink.rows]
+    assert len(set(uuids)) == 4 and len(uuids) == 8
+
+
 def test_kafka_sink_fails_descriptively_without_jar(spark, dirs):
     src, ckpt, _ = dirs
     _write_batch(src, "b1.json", [_event(1)])
