@@ -258,3 +258,163 @@ def cdc_validate_dlq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("table").alias("n_tables"),
     )
     return count(valid, "valid").unionByName(count(dlq, "dead_letter"))
+
+
+# --------------------------------------------------------------------------
+# CDC envelope dialect decoders (S1 decode parity): wal2json v2 + Debezium.
+# The events table is re-serialized into each dialect's wire JSON, then run
+# through the REAL decoder (sources/cdc_formats.py) — the oracle computes
+# the expected decode output directly, so the whole build->parse->normalize
+# round trip is what's verified (golden-fixture decode, SURVEY §5 pattern).
+# --------------------------------------------------------------------------
+_W2J_LETTER_SQL = """
+    CASE event_type WHEN 'signup' THEN 'I'
+                    WHEN 'purchase' THEN 'U'
+                    WHEN 'error' THEN 'D'
+                    WHEN 'click' THEN 'I'
+                    ELSE 'B' END
+"""
+
+_ORACLE_DIALECT_DML = """
+    SELECT 'tbl_' || event_type AS "table",
+           CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'purchase' THEN 'update'
+                           WHEN 'error' THEN 'delete'
+                           WHEN 'click' THEN 'insert' END AS action,
+           event_id, ts,
+           md5(CAST(event_id AS VARCHAR)) AS uuid,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           event_type AS etype
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error', 'click')
+"""
+
+
+def _wal2json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> wal2json v2 wire lines (deterministic, both-engine safe:
+    payload values are int/text so string coercion is format-stable)."""
+    e = load_table(spark, "events", sf_dir)
+    entry = lambda n, t, v: F.struct(  # noqa: E731
+        F.lit(n).alias("name"), F.lit(t).alias("type"), v.cast("string").alias("value")
+    )
+    cols_arr = F.array(
+        entry("k", "int4", F.get_json_object("props", "$.k")),
+        entry("etype", "text", F.col("event_type")),
+    )
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.expr(_W2J_LETTER_SQL.strip()).alias("action"),
+                F.lit("public").alias("schema"),
+                F.concat(F.lit("tbl_"), F.col("event_type")).alias("table"),
+                cols_arr.alias("columns"),
+                cols_arr.alias("identity"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS+00").alias("timestamp"),
+                F.concat(
+                    F.hex(F.col("event_id") % 4),
+                    F.lit("/"),
+                    F.hex(F.col("event_id")),
+                ).alias("lsn"),
+            )
+        ).alias("value"),
+    )
+
+
+@register(
+    "cdc_wal2json_decode",
+    oracle=f"""
+    SELECT "table", action,
+           (event_id % 4) * 4294967296 + event_id AS wal_position,
+           ts, uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    """,
+)
+def cdc_wal2json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json v2 round trip: wire JSON -> decode_wal2json -> envelope.
+    Exercises the action-letter map (B dropped by T1), hex LSN -> numeric
+    WAL position, µs timestamp reparse, and the columns->map transport."""
+    from psql_streamer_spark.sources.cdc_formats import decode_wal2json
+
+    raw = _wal2json_lines(spark, sf_dir)
+    decoded = decode_wal2json(
+        raw, uuid=F.md5(F.col("event_id").cast("string"))
+    )
+    return filter_dml(decoded).select(
+        "table",
+        "action",
+        "wal_position",
+        "ts",
+        "uuid",
+        F.col("columns")["k"].cast("int").alias("k"),
+        F.col("columns")["etype"].alias("etype"),
+    )
+
+
+def _debezium_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> Debezium envelopes: op c/u/d/r (+'t' for the non-DML
+    leftover), delete rows carrying only a `before` image."""
+    e = load_table(spark, "events", sf_dir)
+    op = F.expr(
+        """CASE event_type WHEN 'signup' THEN 'c'
+                           WHEN 'purchase' THEN 'u'
+                           WHEN 'error' THEN 'd'
+                           WHEN 'click' THEN 'r'
+                           ELSE 't' END"""
+    )
+    row_image = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("etype"), F.col("event_type"),
+    )
+    source = F.struct(
+        F.lit("pgsrv1").alias("name"),
+        F.lit("test").alias("db"),
+        F.lit("public").alias("schema"),
+        F.concat(F.lit("tbl_"), F.col("event_type")).alias("table"),
+        F.col("event_id").alias("lsn"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    payload = F.struct(
+        F.when(op == "d", row_image).alias("before"),
+        F.when(op != "d", row_image).alias("after"),
+        source.alias("source"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    return e.select(
+        "event_id",
+        F.to_json(F.struct(payload.alias("payload"))).alias("value"),
+    )
+
+
+@register(
+    "cdc_debezium_decode",
+    oracle=f"""
+    SELECT 'pgsrv1' AS host, 'test' AS database, "table", action,
+           event_id AS wal_position,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts,
+           uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    """,
+)
+def cdc_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium round trip: envelope -> decode_debezium -> canonical form.
+    op r (snapshot read) normalizes to insert; deletes read the `before`
+    image; event time is the connector's ms-precision source.ts_ms."""
+    from psql_streamer_spark.sources.cdc_formats import decode_debezium
+
+    raw = _debezium_lines(spark, sf_dir)
+    decoded = decode_debezium(
+        raw, uuid=F.md5(F.col("event_id").cast("string"))
+    )
+    return filter_dml(decoded).select(
+        "host",
+        "database",
+        "table",
+        "action",
+        "wal_position",
+        "ts",
+        "uuid",
+        F.col("columns")["k"].cast("int").alias("k"),
+        F.col("columns")["etype"].alias("etype"),
+    )

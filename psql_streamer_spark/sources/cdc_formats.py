@@ -1,0 +1,171 @@
+"""CDC envelope-variant decoders: wal2json v2 and Debezium.
+
+The reference decodes pgoutput wire tuples against a cached relation
+(source/postgres/postgres.go:298-355,379-428). Our engine ingests CDC as
+JSON (SURVEY §2.1 S1 mapping); this module is the analogue of that decode
+step for the two JSON envelope dialects a PostgreSQL CDC feed actually
+ships: wal2json (format-version 2, one JSON object per change) and
+Debezium's connector envelope. Each decoder normalizes its dialect into
+the engine's canonical Event envelope (schema.EVENT_SCHEMA) entirely with
+JVM-side expressions — `from_json` + column maps, no Python in the path —
+so the decode runs at scan speed inside WholeStageCodegen.
+
+Heterogeneous JSON payload values (numbers/bools/strings) are transported
+as their literal text in `map<string,string>` — the same lossless
+schema-on-read contract as the reference's `Columns map[string]interface{}`
+(event/event.go:33), with RelationRegistry projection (transforms.
+project_table) recovering types downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# wal2json format-version 2: one object per DML, actions I/U/D plus
+# B(egin)/C(ommit)/T(runcate)/M(essage). `columns` carries new values,
+# `identity` the replica-identity (old) values on U/D.
+WAL2JSON_SCHEMA = (
+    "action string, schema string, `table` string, "
+    "columns array<struct<name:string,type:string,value:string>>, "
+    "identity array<struct<name:string,type:string,value:string>>, "
+    "timestamp string, lsn string"
+)
+
+# Debezium envelope (payload part; works with or without the schema
+# wrapper since from_json ignores absent fields): op c/u/d/r, before/after
+# row images, source block with lsn + db/table coordinates.
+DEBEZIUM_SCHEMA = (
+    "payload struct<"
+    "before:map<string,string>, after:map<string,string>, "
+    "source:struct<name:string,db:string,schema:string,`table`:string,"
+    "lsn:bigint,ts_ms:bigint>, "
+    "op:string, ts_ms:bigint>"
+)
+
+_WAL2JSON_ACTIONS = {
+    "I": "insert",
+    "U": "update",
+    "D": "delete",
+    "B": "begin",
+    "C": "commit",
+    "T": "truncate",
+    "M": "message",
+}
+
+_DEBEZIUM_OPS = {
+    "c": "insert",
+    "r": "insert",  # snapshot read = initial load insert
+    "u": "update",
+    "d": "delete",
+}
+
+
+def _entries_to_map(entries: Column) -> Column:
+    """array<struct<name,type,value>> -> map<string,string> (values keep
+    their literal JSON text; NULL JSON values stay NULL)."""
+    return F.map_from_entries(
+        F.transform(
+            entries,
+            lambda c: F.struct(c["name"].alias("key"), c["value"].alias("value")),
+        )
+    )
+
+
+def lsn_to_wal_position(lsn: Column) -> Column:
+    """PostgreSQL LSN text ('hi/lo' in hex, e.g. '0/16B3748') -> the
+    numeric WAL position the reference tracks (uint64: hi<<32 | lo).
+    Bitwise composition, not multiplication: Spark's long is signed, and
+    ANSI mode would raise on hi >= 2^31 where the same 64-bit pattern is a
+    valid uint64 to the reference (the sign flip only occurs past 8 EB of
+    WAL; ordering is preserved for every physically reachable LSN)."""
+    hi = F.conv(F.split_part(lsn, F.lit("/"), F.lit(1)), 16, 10).cast("bigint")
+    lo = F.conv(F.split_part(lsn, F.lit("/"), F.lit(2)), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo).alias("wal_position")
+
+
+def decode_wal2json(
+    df: DataFrame,
+    value_col: str = "value",
+    host: str = "unknown",
+    database: str = "unknown",
+    uuid: Column | None = None,
+) -> DataFrame:
+    """wal2json v2 lines -> canonical Event envelope.
+
+    Action letters map to the closed enum; non-DML records (B/C/T/M) keep
+    their marker action so filter_dml (T1) drops them exactly like the
+    reference drops Begin/Commit (postgres.go:327-330). DELETE rows carry
+    their replica identity as the payload (`identity`), matching pgoutput's
+    old-tuple decode. Malformed JSON yields NULL fields -> DLQ split (T5).
+
+    `uuid` defaults to a fresh v4 per event (postgres.go:349); pass a
+    deterministic expression for oracle-compared outputs.
+    """
+    p = F.from_json(F.col(value_col).cast("string"), WAL2JSON_SCHEMA)
+    action: Column = F.lit(None).cast("string")
+    mapped = None
+    for letter, name in _WAL2JSON_ACTIONS.items():
+        mapped = (
+            F.when(p["action"] == letter, name)
+            if mapped is None
+            else mapped.when(p["action"] == letter, name)
+        )
+    action = mapped.otherwise(F.lower(p["action"]))
+    payload = F.when(p["action"] == "D", p["identity"]).otherwise(p["columns"])
+    ts = F.to_timestamp(F.regexp_replace(p["timestamp"], r"([+-]\d{2}(:?\d{2})?)$", ""))
+    # stamp the uuid ONLY for parsed records (every wal2json record carries
+    # an action): a malformed line must stay uuid-less so validate_split
+    # routes it to the DLQ, like the reference's decode-failure skip
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    return df.select(
+        F.lit(host).alias("host"),
+        F.lit(database).alias("database"),
+        p["table"].alias("table"),
+        action.alias("action"),
+        lsn_to_wal_position(p["lsn"]),
+        ts.alias("ts"),
+        F.when(p["action"].isNotNull(), stamp).alias("uuid"),
+        _entries_to_map(payload).alias("columns"),
+    )
+
+
+def decode_debezium(
+    df: DataFrame,
+    value_col: str = "value",
+    host: str | None = None,
+    uuid: Column | None = None,
+) -> DataFrame:
+    """Debezium envelopes -> canonical Event envelope.
+
+    op c/r -> insert (snapshot reads are initial-load inserts), u -> update,
+    d -> delete with the `before` image as payload (the replica identity the
+    reference decodes from pgoutput's old tuple). host defaults to the
+    connector's logical `source.name`; event time is source.ts_ms (the
+    commit timestamp), millisecond precision by Debezium's contract.
+    """
+    p = F.from_json(F.col(value_col).cast("string"), DEBEZIUM_SCHEMA)["payload"]
+    mapped = None
+    for op, name in _DEBEZIUM_OPS.items():
+        mapped = (
+            F.when(p["op"] == op, name)
+            if mapped is None
+            else mapped.when(p["op"] == op, name)
+        )
+    action = mapped.otherwise(F.lower(p["op"]))
+    payload = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    host_col = F.lit(host) if host is not None else F.coalesce(
+        p["source"]["name"], F.lit("unknown")
+    )
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    return df.select(
+        host_col.alias("host"),
+        F.coalesce(p["source"]["db"], F.lit("unknown")).alias("database"),
+        p["source"]["table"].alias("table"),
+        action.alias("action"),
+        p["source"]["lsn"].alias("wal_position"),
+        F.timestamp_millis(p["source"]["ts_ms"]).alias("ts"),
+        # uuid only when the envelope parsed (op is mandatory in Debezium)
+        F.when(p["op"].isNotNull(), stamp).alias("uuid"),
+        payload.alias("columns"),
+    )

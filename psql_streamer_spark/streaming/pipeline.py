@@ -108,6 +108,7 @@ class CdcPipeline:
         dml_only: bool = True,
         max_files_per_trigger: int | None = None,
         processing_interval: str | None = None,
+        decoder=None,
     ):
         # two spellings: `sinks` + shared mapping (all sinks route alike),
         # or explicit per-sink `routes` (the reference's per-sink rules)
@@ -131,6 +132,11 @@ class CdcPipeline:
         self.topic_mapping = dict(topic_mapping or {})
         self.topic_fallback = topic_fallback
         self.dlq_sink = dlq_sink
+        # wire-format decoder: raw lines -> Event envelope. Defaults to the
+        # reference's own JSON wire format; sources/cdc_formats.py provides
+        # decode_wal2json / decode_debezium for the other dialects a PG CDC
+        # feed ships (the reference's `type` switch, source/source.go:23-37)
+        self.decoder = decoder if decoder is not None else decode_cdc_json
         self.dml_only = dml_only
         self.max_files_per_trigger = max_files_per_trigger
         self.processing_interval = processing_interval
@@ -145,7 +151,7 @@ class CdcPipeline:
         # count() passes, and the cache is released in finally (a leaked
         # persist per micro-batch is a storage-memory leak on an always-on
         # stream).
-        decoded = decode_cdc_json(batch_df)
+        decoded = self.decoder(batch_df)
         keep = is_valid_event(decoded)
         if self.dml_only:
             keep = keep & F.col("action").isin(*ACTIONS)

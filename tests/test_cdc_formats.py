@@ -1,0 +1,142 @@
+"""Golden-fixture decode tests for the CDC envelope dialects — the Spark
+analogue of the reference's hand-captured pgoutput fixtures
+(source/postgres/postgres_test.go:20-25,97-105): literal wire payloads in,
+exact typed envelope out."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.sources.cdc_formats import (
+    decode_debezium,
+    decode_wal2json,
+    lsn_to_wal_position,
+)
+from psql_streamer_spark.transforms import filter_dml, validate_split
+
+W2J_INSERT = json.dumps(
+    {
+        "action": "I",
+        "schema": "public",
+        "table": "users",
+        "columns": [
+            {"name": "id", "type": "integer", "value": 400166},
+            {"name": "name", "type": "text", "value": "a"},
+            {"name": "active", "type": "boolean", "value": True},
+            {"name": "bio", "type": "text", "value": None},
+        ],
+        "timestamp": "2024-03-01 10:15:30.123456+00",
+        "lsn": "1/6B3748",
+    }
+)
+W2J_DELETE = json.dumps(
+    {
+        "action": "D",
+        "schema": "public",
+        "table": "users",
+        "identity": [{"name": "id", "type": "integer", "value": 7}],
+        "timestamp": "2024-03-01 10:16:00.5+00",
+        "lsn": "0/FF",
+    }
+)
+W2J_BEGIN = json.dumps(
+    {"action": "B", "timestamp": "2024-03-01 10:15:30.1+00", "lsn": "1/6B3700"}
+)
+
+DBZ_CREATE = json.dumps(
+    {
+        "payload": {
+            "before": None,
+            "after": {"id": 42, "name": "bob", "score": 1.5},
+            "source": {
+                "name": "pg1",
+                "db": "appdb",
+                "schema": "public",
+                "table": "users",
+                "lsn": 123456789,
+                "ts_ms": 1709287530123,
+            },
+            "op": "c",
+            "ts_ms": 1709287530200,
+        }
+    }
+)
+DBZ_DELETE = json.dumps(
+    {
+        "payload": {
+            "before": {"id": 42},
+            "after": None,
+            "source": {
+                "name": "pg1",
+                "db": "appdb",
+                "schema": "public",
+                "table": "users",
+                "lsn": 123456999,
+                "ts_ms": 1709287531000,
+            },
+            "op": "d",
+        }
+    }
+)
+
+
+def _df(spark, *lines):
+    return spark.createDataFrame([(ln,) for ln in lines], ["value"])
+
+
+def test_wal2json_insert_decodes_types_and_lsn(spark):
+    row = decode_wal2json(_df(spark, W2J_INSERT), host="h1", database="d1").first()
+    assert row.host == "h1" and row.database == "d1"
+    assert row.table == "users" and row.action == "insert"
+    # lsn '1/6B3748' -> 1<<32 | 0x6B3748
+    assert row.wal_position == (1 << 32) + 0x6B3748
+    assert row.ts.isoformat() == "2024-03-01T10:15:30.123456"
+    # heterogeneous JSON values arrive as literal text; JSON null stays NULL
+    assert row.columns == {"id": "400166", "name": "a", "active": "true", "bio": None}
+    assert row.uuid  # fresh v4 by default (postgres.go:349)
+
+
+def test_wal2json_delete_uses_identity_and_begin_is_filtered(spark):
+    decoded = decode_wal2json(_df(spark, W2J_INSERT, W2J_DELETE, W2J_BEGIN))
+    assert decoded.count() == 3  # decode keeps protocol records...
+    dml = filter_dml(decoded).orderBy("wal_position").collect()
+    assert [r.action for r in dml] == ["delete", "insert"]  # ...T1 drops B
+    delete = dml[0]
+    assert delete.columns == {"id": "7"}  # replica identity, not `columns`
+    assert delete.wal_position == 0xFF
+
+
+def test_wal2json_malformed_goes_to_dlq(spark):
+    decoded = decode_wal2json(_df(spark, W2J_INSERT, "not json at all"))
+    valid, dlq = validate_split(decoded)
+    assert valid.count() == 1 and dlq.count() == 1
+    assert dlq.first().table is None  # from_json NULLed every field
+
+
+def test_debezium_create_and_snapshot_read_normalize_to_insert(spark):
+    read = DBZ_CREATE.replace('"op": "c"', '"op": "r"')
+    rows = decode_debezium(_df(spark, DBZ_CREATE, read)).collect()
+    assert [r.action for r in rows] == ["insert", "insert"]
+    r = rows[0]
+    assert r.host == "pg1" and r.database == "appdb" and r.table == "users"
+    assert r.wal_position == 123456789
+    # event time = source.ts_ms (commit time), ms precision
+    assert r.ts.isoformat() == "2024-03-01T10:05:30.123000"
+    assert r.columns == {"id": "42", "name": "bob", "score": "1.5"}
+
+
+def test_debezium_delete_reads_before_image(spark):
+    r = decode_debezium(_df(spark, DBZ_DELETE)).first()
+    assert r.action == "delete"
+    assert r.columns == {"id": "42"}
+    assert r.wal_position == 123456999
+
+
+def test_lsn_conversion_expression(spark):
+    df = spark.createDataFrame(
+        [("0/0",), ("0/1",), ("1/6B3748",), ("7FFFFFFF/FFFFFFFF",)], ["lsn"]
+    )
+    got = [r[0] for r in df.select(lsn_to_wal_position(F.col("lsn"))).collect()]
+    assert got == [0, 1, (1 << 32) + 0x6B3748, (0x7FFFFFFF << 32) + 0xFFFFFFFF]

@@ -192,6 +192,43 @@ def test_per_sink_routing_rules_do_not_leak(spark, dirs):
     assert pipe.stats.events_discarded == 0
 
 
+def test_pipeline_with_wal2json_decoder(spark, dirs):
+    """The decoder is pluggable per source: a wal2json feed runs through
+    the same validate/route/fan-out path as the native wire format."""
+    import json as _json
+
+    from psql_streamer_spark.sources.cdc_formats import decode_wal2json
+
+    src, ckpt, _ = dirs
+    lines = [
+        _json.dumps(
+            {
+                "action": "I",
+                "schema": "public",
+                "table": "test",
+                "columns": [{"name": "id", "type": "integer", "value": i}],
+                "timestamp": "2024-03-01 10:15:30.1+00",
+                "lsn": f"0/{i:X}",
+            }
+        )
+        for i in range(3)
+    ]
+    lines.append(_json.dumps({"action": "B", "lsn": "0/FF"}))  # dropped by T1
+    lines.append("garbage")  # -> DLQ
+    _write_batch(src, "b1.json", lines)
+
+    sink, dlq = MemorySink("m"), MemorySink("dlq")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink], topic_mapping={"test": "t"},
+        dlq_sink=dlq, decoder=decode_wal2json,
+    )
+    pipe.run_to_completion()
+    assert sink.events == 3 and dlq.events == 1
+    payload = json.loads(sink.rows[0].value)
+    assert payload["Table"] == "test" and payload["Action"] == "insert"
+    assert payload["Columns"]["id"] in {"0", "1", "2"}
+
+
 def test_rewind_reprocesses_from_override(spark, dirs):
     """F2 executable override: rewind() abandons committed offsets under a
     fresh checkpoint and replays the source (walPositionOverride,
