@@ -1,0 +1,147 @@
+"""Training-data preparation operators: deterministic splits, stratified
+sampling, PII redaction.
+
+North-star scope (BASELINE.json): a 100 TB corpus pipeline needs
+reproducible train/val/test assignment and sampling that is a pure
+function of the row key — never rand(), whose result would change per run,
+per retry, and per partition layout. The md5-bucket idiom used here is the
+distributed-systems standard: assignment is stable under repartitioning,
+retries, and incremental reprocessing, and both engines replay it exactly
+(same idiom as similarity.py's deterministic hyperplanes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.registry import register
+from psql_streamer_spark.sources.tables import load_table
+
+
+def md5_bucket(key: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
+    key as an integer, mod buckets. Stable across engines, runs, and
+    partitionings — the property rand(seed) does NOT have under retries."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def sql_md5_bucket(key_expr: str, buckets: int) -> str:
+    """DuckDB twin of :func:`md5_bucket`."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % {buckets}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split: 80/10/10 by document key.
+# --------------------------------------------------------------------------
+_B = sql_md5_bucket("doc_id", 100)
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_B} < 80 THEN 'train'
+                WHEN {_B} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split as a pure function of doc_id. A doc's split never
+    changes when the corpus grows — append-only ingestion keeps historical
+    assignments, which leakage audits depend on."""
+    d = load_table(spark, "documents", sf_dir)
+    b = md5_bucket(F.col("doc_id"), 100)
+    return (
+        d.withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: fixed rate per stratum, deterministic membership.
+# --------------------------------------------------------------------------
+@register(
+    "sample_stratified_events",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE {sql_md5_bucket("event_id", 1000)} < 100)
+             AS n_sampled
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% per event_type stratum via key-hash membership. Unlike
+    df.sampleBy, membership is reproducible row-identical across runs and
+    engines; the count-vs-sampled output doubles as the rate audit."""
+    e = load_table(spark, "events", sf_dir)
+    sampled = md5_bucket(F.col("event_id"), 1000) < 100
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(sampled, 1)).alias("n_sampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrub of emails/phone patterns before training.
+# --------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || doc_id
+               || '@example.com or 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training scrub: emails and phone-shaped tokens replaced with
+    typed placeholders. Narrow regexp_replace map — scan-bound, no shuffle;
+    the synthetic injection makes the redaction observable on the test
+    corpus (documents.text itself carries no PII)."""
+    d = load_table(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select("doc_id", redacted.alias("redacted"))

@@ -40,6 +40,8 @@ _OPERATOR_MODULES = (
     "psql_streamer_spark.operators.multimodal",
     "psql_streamer_spark.operators.udfs",
     "psql_streamer_spark.operators.asof",
+    "psql_streamer_spark.operators.relational_ext",
+    "psql_streamer_spark.operators.mlprep",
 )
 
 
