@@ -475,3 +475,114 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs -> connected components -> canonical
+# doc per cluster. The step every dedup pipeline runs after pair mining.
+# --------------------------------------------------------------------------
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation: every vertex converges to the smallest vertex
+    id reachable from it (= its component's canonical id).
+
+    Each round is one join + one min-aggregate — all shuffles on the vertex
+    id, no driver-side graph. Rounds needed = component diameter; near-dup
+    clusters are shallow (dups of dups of one original), so convergence is
+    2-4 rounds in practice. For adversarial long-chain graphs the
+    large-star/small-star variant (halves diameter per round) is the
+    upgrade path; the fixed-point loop and convergence check stay the same.
+
+    `edges` must contain both directions (or pass pairs and we mirror)."""
+    both = edges.select(
+        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
+    )
+    both = both.unionByName(
+        both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        prop = both.join(labels, both["src"] == labels["vid"]).select(
+            F.col("dst").alias("vid"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("vid")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    return labels.select(F.col("vid").alias(id_col), "label")
+
+
+_SQL_LSH_CLUSTERS = f"""
+    WITH RECURSIVE {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sql_minhash_aggs()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+      JOIN cnt ca ON ca.doc_id = s1.doc_id
+      JOIN cnt cb ON cb.doc_id = s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id, ca.c, cb.c
+      HAVING COUNT(*) * 1.0 / (ca.c + cb.c - COUNT(*)) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT doc AS doc_id, MIN(r) AS cluster_id,
+           COUNT(*) OVER (PARTITION BY MIN(r)) AS cluster_size
+    FROM reach GROUP BY doc
+"""
+
+
+@register("dedup_lsh_clusters", oracle=_SQL_LSH_CLUSTERS)
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash+LSH pairs -> connected components
+    -> every document labeled with its cluster's canonical (minimum)
+    doc_id and the cluster size. Keeping `WHERE doc_id = cluster_id` (or
+    ranking within cluster) IS the dedup; the full assignment is emitted so
+    the oracle checks the clustering itself, not just survivor counts."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(W.partitionBy("label")).alias("cluster_size"),
+    )

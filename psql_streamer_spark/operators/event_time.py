@@ -176,3 +176,52 @@ def evt_late_data_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("ts") < F.col("cutoff"), 1)).alias("n_late"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical rollup re-aggregation (the continuous-aggregate pattern):
+# daily stats computed FROM the hourly pre-aggregate, never from raw rows.
+# --------------------------------------------------------------------------
+@register(
+    "evt_rollup_daily_from_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n, {v} AS sv,
+             MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', h) AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           {sv2} AS sum_value,
+           MIN(mn) AS min_value, MAX(mx) AS max_value,
+           CAST(COUNT(*) AS INT) AS n_hours_active
+    FROM hourly GROUP BY 1, 2
+    """.format(v=sql_dsum("value"), sv2=sql_dsum("sv")),
+)
+def evt_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup: raw -> hourly -> daily, where the daily pass reads
+    ONLY the hourly aggregate. This is the 100 TB reporting shape — the
+    hourly layer is what a materialized/continuous aggregate stores, and
+    every coarser window (day/week/month) re-aggregates ~24x fewer rows
+    instead of rescanning raw events. Works because count/sum/min/max are
+    reaggregable (decomposable aggregates); avg = sum/count derived at the
+    end; percentiles need sketches (approx_percentile mergeable buffers)."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "h").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        dsum("sv").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        F.count("*").cast("int").alias("n_hours_active"),
+    )

@@ -9,6 +9,7 @@ and routing free of shuffles."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from psql_streamer_spark.registry import all_queries
 
@@ -92,3 +93,107 @@ def test_exact_dedup_is_partial_aggregated(spark, queries):
     # phase — the dedup shuffles only one row per key, not the raw data
     plan = _physical(queries["dedup_exact_text"](spark, SF_DIR))
     assert "HashAggregate" in plan
+
+
+def test_embedding_lsh_pairs_has_no_cartesian(spark, queries):
+    # the bucketed pair miner must join on (tbl, bucket) equi-keys — the
+    # quadratic theta-join shape it replaces would show up as a nested loop
+    plan = _physical(queries["dedup_embedding_lsh_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm_image_features_no_shuffle_when_well_split(spark):
+    # once the scan yields >= defaultParallelism partitions the decode path
+    # must stay a narrow map: repartition would shuffle every payload byte
+    from psql_streamer_spark.operators.multimodal import (
+        _FEATURES_SCHEMA,
+        _extract_features,
+        _media_frame,
+    )
+
+    media = _media_frame(spark, SF_DIR).select("doc_id", "payload")
+    well_split = media.repartition(spark.sparkContext.defaultParallelism * 2)
+    # build the operator body on an already-split input (what a 100 TB scan
+    # provides): mapInPandas directly, no Exchange on top
+    plan = _physical(well_split.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA))
+    assert plan.count("Exchange") == 1  # only the test's own repartition
+
+
+def test_pivot_with_explicit_values_skips_discovery_job(spark, queries):
+    # pivot with a value list compiles straight to one aggregate; without
+    # it Spark runs a separate distinct collect first (invisible here but
+    # the plan would carry its result as a local relation) — assert the
+    # dims broadcast and the agg is partial+final
+    plan = _physical(queries["pivot_nation_priority_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_shuffle_free(spark, queries):
+    plan = _physical(queries["unpivot_part_metrics"](spark, SF_DIR))
+    assert "Exchange" not in plan  # expand + project only
+
+
+def test_split_and_sample_are_shuffle_free_scans(spark):
+    # split/sample membership is a pure row-local function of the key —
+    # anything with an Exchange before the final agg would be wrong
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+    from psql_streamer_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", SF_DIR)
+    tagged = d.select("doc_id", (md5_bucket(F.col("doc_id"), 100) < 80).alias("is_train"))
+    assert "Exchange" not in _physical(tagged)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Bucketing discipline at 100 TB: pre-bucketed fact tables co-locate
+    on the join key, so the repeated daily join runs with ZERO Exchange —
+    the shuffle was paid once at write time. (local demo of the cluster
+    layout; saveAsTable + bucketBy is the same API on a real warehouse)"""
+    import uuid as _uuid
+
+    from psql_streamer_spark.sources.tables import load_table
+
+    db = f"bkt_{_uuid.uuid4().hex[:8]}"
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{warehouse}'")
+    try:
+        load_table(spark, "orders", SF_DIR).select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            f"{db}.orders_b"
+        )
+        load_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            f"{db}.lineitem_b"
+        )
+        joined = spark.table(f"{db}.lineitem_b").join(
+            spark.table(f"{db}.orders_b"),
+            spark.table(f"{db}.lineitem_b")["l_orderkey"]
+            == spark.table(f"{db}.orders_b")["o_orderkey"],
+        )
+        # disable auto-broadcast: at real scale neither side broadcasts —
+        # the point is the SMJ runs WITHOUT exchanges on bucketed tables
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _physical(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # sanity: result matches the plain join
+        n_plain = (
+            load_table(spark, "lineitem", SF_DIR)
+            .join(
+                load_table(spark, "orders", SF_DIR),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == n_plain
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
