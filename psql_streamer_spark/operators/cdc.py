@@ -418,3 +418,92 @@ def cdc_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("columns")["k"].cast("int").alias("k"),
         F.col("columns")["etype"].alias("etype"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply: change stream -> current table state (the consumer's merge).
+# --------------------------------------------------------------------------
+@register(
+    "cdc_apply_snapshot",
+    oracle=f"""
+    WITH dml AS (
+      SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM ({_ORACLE_CDC_BASE})
+      WHERE action IN ('insert','update','delete')
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY "table", k
+                                   ORDER BY wal_position DESC) AS rn
+      FROM dml
+    )
+    SELECT "table", k, action AS last_action, wal_position AS last_wal, uuid
+    FROM latest WHERE rn = 1 AND action <> 'delete'
+    """,
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize current table state from the change stream: per primary
+    key, the highest-WAL event wins; a winning delete removes the row.
+    This is what every consumer of the reference's Kafka topics ultimately
+    computes (replicate-to-warehouse), expressed as one window pass.
+
+    Scale shape: ONE shuffle on (table, pk); at 100 TB the same semantics
+    run incrementally inside foreachBatch as a MERGE INTO against the
+    snapshot store, with the window only over each micro-batch."""
+    from pyspark.sql import Window as W
+
+    ev = filter_dml(_as_cdc_events(spark, sf_dir)).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    w = W.partitionBy("table", "k").orderBy(F.desc("wal_position"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("action") != "delete"))
+        .select(
+            "table",
+            "k",
+            F.col("action").alias("last_action"),
+            F.col("wal_position").alias("last_wal"),
+            "uuid",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# WAL continuity audit: gaps/regressions in the offset sequence per table.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_wal_gap_audit",
+    oracle=f"""
+    WITH dml AS (
+      SELECT * FROM ({_ORACLE_CDC_BASE})
+      WHERE action IN ('insert','update','delete')
+    ), seq AS (
+      SELECT "table", wal_position,
+             LAG(wal_position) OVER (PARTITION BY "table"
+                                     ORDER BY wal_position) AS prev_wal
+      FROM dml
+    )
+    SELECT "table",
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE wal_position - prev_wal > 5) AS BIGINT)
+             AS n_gaps_over_5,
+           CAST(MAX(wal_position - prev_wal) AS BIGINT) AS max_gap
+    FROM seq GROUP BY "table"
+    """,
+)
+def cdc_wal_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational audit of offset continuity — the query an operator runs
+    after a rewind (F2/F3) to confirm nothing was skipped: per table, gap
+    sizes between consecutive WAL positions. The reference exposes only
+    walPosition/walPositionPersisted gauges; over the event log itself this
+    finds holes those counters can't see."""
+    from pyspark.sql import Window as W
+
+    ev = filter_dml(_as_cdc_events(spark, sf_dir))
+    w = W.partitionBy("table").orderBy("wal_position")
+    seq = ev.withColumn("prev_wal", F.lag("wal_position").over(w))
+    gap = F.col("wal_position") - F.col("prev_wal")
+    return seq.groupBy("table").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(gap > 5, 1)).alias("n_gaps_over_5"),
+        F.max(gap).alias("max_gap"),
+    )
