@@ -189,3 +189,31 @@ def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal") > 0, F.round(F.col("c_acctbal") / 100.0, 2)
         ).alias("bal_pct"),
     )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+           CAST(len(json_keys(props)) AS INT) AS n_props,
+           json_extract_string(props, '$.k') AS k_text,
+           CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END
+             AS has_k
+    FROM events
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_* surface over the dynamic JSON payload — the same
+    map<string,string> transport the CDC envelope uses for row columns.
+    Keys are sorted before comparison: map iteration order is not part of
+    either engine's contract."""
+    e = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_props"),
+        F.element_at(m, "k").alias("k_text"),
+        F.when(F.array_contains(F.map_keys(m), "k"), 1).otherwise(0).alias("has_k"),
+    )

@@ -133,3 +133,75 @@ def test_decode_serialize_roundtrip_identity(spark, events):
     a = sorted(map(str, once.select(*cols).collect()))
     b = sorted(map(str, twice.select(*cols).collect()))
     assert a == b
+
+
+# -- wal2json / Debezium decoders: build->decode roundtrip ------------------
+
+_IDENT = st.text("abcdefghij_", min_size=1, max_size=12)
+# JSON-representable payload values incl. unicode text, ints, bools, null
+_VAL = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(max_size=20),
+)
+
+
+def _expected_text(v):
+    """The literal-text transport contract for heterogeneous JSON values."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _IDENT,  # table
+            st.sampled_from(["I", "U", "D"]),
+            st.dictionaries(_IDENT, _VAL, min_size=0, max_size=5),
+            st.integers(min_value=0, max_value=2**31 - 1),  # lsn lo
+            st.integers(min_value=0, max_value=2**31 - 1),  # lsn hi
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_wal2json_roundtrip_property(spark, rows):
+    """decode(build(event)) recovers table/action/wal/columns for arbitrary
+    generated payloads — unicode, negatives, bools, nulls."""
+    import json as _json
+
+    from psql_streamer_spark.sources.cdc_formats import decode_wal2json
+
+    lines = []
+    expected = {}
+    for i, (table, act, cols, _lo, hi) in enumerate(rows):
+        payload = [
+            {"name": k, "type": "text", "value": v} for k, v in cols.items()
+        ]
+        # low LSN half = row index -> wal_position doubles as a unique key
+        body = {
+            "action": act,
+            "schema": "public",
+            "table": table,
+            "timestamp": "2024-03-01 10:15:30.1+00",
+            "lsn": f"{hi:X}/{i:X}",
+        }
+        # wal2json: D carries identity, I/U carry columns
+        body["identity" if act == "D" else "columns"] = payload
+        lines.append((_json.dumps(body),))
+        expected[(hi << 32) | i] = (
+            table,
+            {"I": "insert", "U": "update", "D": "delete"}[act],
+            {k: _expected_text(v) for k, v in cols.items()},
+        )
+    df = spark.createDataFrame(lines, ["value"])
+    got = {
+        r.wal_position: (r.table, r.action, dict(r.columns or {}))
+        for r in decode_wal2json(df).collect()
+    }
+    assert got == expected

@@ -41,10 +41,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        # unify list-likes for comparison
+        # unify list-likes for comparison (DuckDB yields numpy arrays)
         if df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
