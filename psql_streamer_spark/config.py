@@ -69,6 +69,7 @@ from psql_streamer_spark.streaming.sinks import (
     NoopSink,
     ParquetSink,
     Sink,
+    SnapshotSink,
 )
 
 
@@ -118,8 +119,11 @@ _SINK_FACTORY: dict[str, Callable[[str, dict], Sink]] = {
     "kafka": _kafka_sink,
     "stub_log": lambda name, conf: MemorySink(name),
     "stub_discard": lambda name, conf: NoopSink(name),
-    # engine extension: durable file sink (not in the reference)
+    # engine extensions: durable sinks (not in the reference)
     "parquet": lambda name, conf: ParquetSink(conf["path"], name),
+    "snapshot": lambda name, conf: SnapshotSink(
+        conf["path"], conf.get("keyField", "a"), name
+    ),
 }
 
 _SOURCE_TYPES = {"file_cdc"}  # "kafka" readStream needs the connector jar

@@ -192,6 +192,48 @@ def test_per_sink_routing_rules_do_not_leak(spark, dirs):
     assert pipe.stats.events_discarded == 0
 
 
+def test_snapshot_sink_materializes_current_state(spark, dirs, tmp_path):
+    """Replicate-to-table: insert/update/delete stream -> current rows,
+    latest WAL wins, deletes remove; a full replay converges to the SAME
+    state (idempotent merge = exactly-once state over at-least-once)."""
+    from psql_streamer_spark.streaming.sinks import SnapshotSink
+
+    src, ckpt, tmp = dirs
+    ev = lambda i, key, action: json.dumps(  # noqa: E731
+        {
+            "Host": "db1", "Database": "test", "Table": "users",
+            "Action": action, "WALPosition": i,
+            "Timestamp": "2018-07-03T16:04:27Z", "UUID": f"u-{i:04d}",
+            "Columns": {"a": key, "payload": f"p{i}"},
+        }
+    )
+    _write_batch(src, "b1.json", [ev(1, "k1", "insert"), ev(2, "k2", "insert")])
+    _write_batch(src, "b2.json", [
+        ev(3, "k1", "update"), ev(4, "k2", "delete"), ev(5, "k3", "insert"),
+    ])
+
+    snap = SnapshotSink(str(tmp_path / "snap"), key_field="a")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[snap],
+        topic_mapping={"users": "t"}, max_files_per_trigger=1,
+    )
+    pipe.run_to_completion()
+
+    state = {
+        r.row_key: (r.action, r.wal_position, r.columns["payload"])
+        for r in snap.current(spark).collect()
+    }
+    assert state == {"k1": ("update", 3, "p3"), "k3": ("insert", 5, "p5")}
+
+    # full replay from a fresh checkpoint (rewind) converges, not duplicates
+    pipe.rewind(str(tmp / "ckpt2"), available_now=True).awaitTermination()
+    state2 = {
+        r.row_key: (r.action, r.wal_position, r.columns["payload"])
+        for r in snap.current(spark).collect()
+    }
+    assert state2 == state
+
+
 def test_pipeline_with_wal2json_decoder(spark, dirs):
     """The decoder is pluggable per source: a wal2json feed runs through
     the same validate/route/fan-out path as the native wire format."""
