@@ -184,3 +184,121 @@ def agg_listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q7 shape: disjunctive two-nation join condition.
+# --------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, {rev} AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 23:59:59'
+    )
+    GROUP BY 1, 2, 3
+    """.format(rev=sql_dsum("volume")),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q7: trade volume between two nations by year. The disjunctive
+    nation-pair predicate lands on broadcast dims; supplier and customer
+    are nation-filtered BEFORE touching the fact joins (same semi-reduce
+    discipline as q5), so the big shuffles carry only the two nations'
+    rows."""
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    pair = n.filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    joined = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume").alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H q10 shape: returned-item reporting, top 20 by revenue.
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, {rev} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10: customers who returned the most revenue in a quarter. Both
+    selective predicates (order date, return flag) reach their scans as
+    pushed filters; the top-20 compiles to TakeOrdered (tie-broken by
+    custkey so the limit boundary is deterministic cross-engine)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", revenue.alias("rev"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum("rev").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
