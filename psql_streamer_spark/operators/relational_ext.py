@@ -302,3 +302,74 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentile sketch, contract-checked against the exact value.
+# --------------------------------------------------------------------------
+@register(
+    "agg_approx_percentile_price",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+           TRUE AS approx_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch (Greenwald-Khanna in Spark). Sketch
+    outputs differ across engines by construction, so — like the HLL
+    check — the oracle verifies the CONTRACT: the approximation lands
+    within 2% of the exact median, and both engines emit the exact value.
+    At 100 TB the sketch is the only shuffle-sane percentile: fixed-size
+    partial state, map-side combined; the exact form sorts every group."""
+    l = load_table(spark, "lineitem", sf_dir)
+    exact = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10000).cast("double")
+    return l.groupBy("l_returnflag").agg(
+        exact.alias("exact_p50"),
+        (F.abs(approx - exact) / exact < 0.02).alias("approx_within_2pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-range window frame: trailing 90-day revenue per customer.
+# --------------------------------------------------------------------------
+@register(
+    "window_range_frame_trailing_90d",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_revenue
+    FROM orders
+    """,
+)
+def window_range_frame_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (not ROWS): every order sees the sum of
+    its customer's orders in the trailing 90 days — the standard trailing-
+    metric shape. Spark range frames are numeric, so time is ordered by
+    epoch seconds with the frame in seconds; same interval arithmetic as
+    the oracle's INTERVAL frame because order dates are midnight-aligned."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, "orders", sf_dir)
+    # NTZ -> (UTC session) timestamp -> epoch seconds: range frames need a
+    # numeric ordering column
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_revenue"),
+    )

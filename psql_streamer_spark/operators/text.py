@@ -237,3 +237,49 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.col("text"))).alias("doc_md5"),
         F.array_min(F.transform(sh, lambda s: h32(s))).alias("min_shingle_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-frequency scoring (IDF-style two-pass): rare-token density per doc.
+# --------------------------------------------------------------------------
+@register(
+    "text_token_corpus_freq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cf FROM tok GROUP BY w)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(cf) AS BIGINT) AS sum_corpus_freq,
+           CAST(COUNT(*) FILTER (WHERE cf <= 2) AS BIGINT) AS n_rare_tokens
+    FROM tok JOIN freq USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-style quality signal without transcendental math: each doc's
+    token count, summed corpus frequency of its tokens, and how many of
+    its tokens are corpus-rare (frequency <= 2). High sum_corpus_freq /
+    n_tokens = boilerplate; high n_rare_tokens = noise or novelty — the
+    integer-only form of the tf-idf quality gates a training pipeline
+    applies (log-weighting is engine-local float territory; counts
+    hash-compare exactly).
+
+    Two-pass shape: explode -> corpus vocab aggregate -> join back on the
+    token. The vocab is Zipf-skewed; at 100 TB the top-K head of `freq`
+    is broadcastable and the tail join is the shuffle — AQE's skew-join
+    split handles the hot stopword keys."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(words_expr("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("cf"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cf").alias("sum_corpus_freq"),
+            F.count(F.when(F.col("cf") <= 2, 1)).alias("n_rare_tokens"),
+        )
+    )
