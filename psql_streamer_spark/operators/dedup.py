@@ -503,10 +503,16 @@ def connected_components(
     )
     both = both.unionByName(
         both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()  # the edge list feeds EVERY round — without this the whole
+    # upstream pair-mining pipeline (LSH banding + verify joins) re-executes
+    # per iteration
+    # localCheckpoint (eager) per round: iterative plans otherwise nest one
+    # join+agg per iteration — analysis cost and driver heap grow without
+    # bound (the classic iterative-algorithm lineage explosion). Truncating
+    # lineage each round keeps every iteration's plan constant-size.
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iter):
         prop = both.join(labels, both["src"] == labels["vid"]).select(
             F.col("dst").alias("vid"), F.col("label")
@@ -515,7 +521,7 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("vid")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -523,7 +529,6 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -373,3 +373,27 @@ def window_range_frame_trailing_90d(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("trailing_90d_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Synthetic range source (generate_series scan).
+# --------------------------------------------------------------------------
+@register(
+    "scan_range_synthetic",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range AS BIGINT) % 7 AS bucket,
+           CAST(range AS BIGINT) * 3 + 1 AS derived
+    FROM range(0, 10000)
+    """,
+)
+def scan_range_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.range: the zero-IO synthetic source (backfill drivers, key
+    enumeration, dimension seeding). Partitioned generation — numSlices
+    splits the range across tasks, so a trillion-row seed is still
+    parallel and never materializes on the driver."""
+    return spark.range(0, 10000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        (F.col("id") * 3 + 1).alias("derived"),
+    )

@@ -105,3 +105,28 @@ def test_kafka_stream_reader_validates_and_builds(spark):
     )
     # reader builds without the connector jar; .load() would need it
     assert reader is not None
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Many per-epoch file sets -> few compacted files, same data."""
+    import os
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "sinkout")
+    # simulate 10 micro-batch appends (10 file sets)
+    for b in range(10):
+        spark.range(b * 100, (b + 1) * 100).write.mode("append").parquet(out)
+    files_before = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs
+    )
+    assert files_before >= 10
+
+    n = compact_parquet(spark, out, target_file_mb=128)
+    files_after = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(out) for f in fs
+    )
+    assert files_after == n == 1  # tiny data -> one file
+    df = spark.read.parquet(out)
+    assert df.count() == 1000
+    assert df.selectExpr("sum(id)").first()[0] == sum(range(1000))

@@ -103,3 +103,20 @@ def test_fake_image_features_deterministic():
     b = fake_image_features(b"hello world")
     assert a == b
     assert a[0] == 11 and a[1] == 11 % 640 + 1 and a[2] == (11 * 7) % 480 + 1
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph is the worst case for min-label propagation (diameter
+    = n-1): the fixpoint loop must still converge and label every vertex
+    with the chain's minimum id."""
+    from psql_streamer_spark.operators.dedup import connected_components
+
+    n = 12
+    vertices = spark.createDataFrame([(i,) for i in range(n + 3)], ["id"])
+    # chain 0-1-...-11, plus isolated 12,13,14
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    got = {
+        r.id: r.label
+        for r in connected_components(vertices, edges, id_col="id", max_iter=n + 2).collect()
+    }
+    assert got == {**{i: 0 for i in range(n)}, 12: 12, 13: 13, 14: 14}
