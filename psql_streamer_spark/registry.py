@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "psql_streamer_spark.operators.asof",
     "psql_streamer_spark.operators.relational_ext",
     "psql_streamer_spark.operators.mlprep",
+    "psql_streamer_spark.operators.profiling",
 )
 
 
