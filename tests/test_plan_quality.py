@@ -147,6 +147,30 @@ def test_split_and_sample_are_shuffle_free_scans(spark):
     assert "Exchange" not in _physical(tagged)
 
 
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes Spark's full join-strategy control surface:
+    hints override the optimizer's choice when the operator author knows
+    better (e.g. shuffle_hash beats sort-merge when one side fits a hash
+    table per partition but not a broadcast)."""
+    from psql_streamer_spark.sources.tables import load_table
+
+    l = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", SF_DIR).select("o_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shj = _physical(
+            l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        )
+        smj = _physical(
+            l.join(o.hint("merge"), l["l_orderkey"] == o["o_orderkey"])
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "ShuffledHashJoin" in shj
+    assert "SortMergeJoin" in smj
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     """Bucketing discipline at 100 TB: pre-bucketed fact tables co-locate
     on the join key, so the repeated daily join runs with ZERO Exchange —
