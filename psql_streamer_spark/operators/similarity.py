@@ -349,3 +349,51 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 quantization: the storage path for ANN at scale (4x smaller, SIMD
+# distance kernels). Per-vector affine quantization, element-wise exact.
+# --------------------------------------------------------------------------
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_min(embedding::DOUBLE[]) AS lo,
+             list_max(embedding::DOUBLE[]) AS hi
+      FROM embeddings
+    )
+    SELECT vec_id, lo, hi,
+           CAST(list_sum(list_transform(e,
+                x -> FLOOR((x - lo) / (hi - lo) * 255))) AS BIGINT) AS qsum,
+           CAST(FLOOR((e[1] - lo) / (hi - lo) * 255) AS BIGINT) AS q_first,
+           CAST(FLOOR((e[len(e)] - lo) / (hi - lo) * 255) AS BIGINT) AS q_last
+    FROM v
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization: x -> floor((x-lo)/(hi-lo)*255).
+    Narrow map, no shuffle; every arithmetic step is the same IEEE
+    expression in both engines so the codes hash-compare exactly. The
+    (lo, hi) pair rides along as the dequantization key — at 100 TB this
+    cuts ANN storage 4x and enables int8 SIMD distance kernels; recall
+    loss is bounded by the per-vector range, which is why lo/hi are
+    per-vector and not global."""
+    v = _vectors(spark, sf_dir).select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("lo"),
+        F.array_max("e").alias("hi"),
+    )
+    q = lambda x: F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255)  # noqa: E731
+    return v.select(
+        "vec_id",
+        "lo",
+        "hi",
+        F.aggregate(
+            F.transform(F.col("e"), q), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("qsum"),
+        q(F.element_at("e", 1)).cast("long").alias("q_first"),
+        q(F.element_at("e", -1)).cast("long").alias("q_last"),
+    )

@@ -283,3 +283,47 @@ def text_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("cf") <= 2, 1)).alias("n_rare_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: subword-tokenizer cost estimation without the
+# tokenizer library.
+# --------------------------------------------------------------------------
+_BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT)
+             AS n_word_punct_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS chars_div4_estimate,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT)
+             AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT)
+             AS n_punct_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation for LLM pipelines without shipping a
+    tokenizer: the GPT-style pre-tokenization regex (word runs | single
+    punctuation) counts the units a BPE vocabulary would start from, and
+    chars/4 is the standard English-text budget rule of thumb. Pure
+    regexp_extract_all — scan-bound narrow map, the cheapest way to cost
+    a 100 TB corpus before committing tokenizer compute."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_word_punct_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).alias("chars_div4_estimate"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias(
+            "n_punct_tokens"
+        ),
+    )
