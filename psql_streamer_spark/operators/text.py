@@ -169,9 +169,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     ws = words_expr()
     n_tokens = F.size(ws)
-    stop_hits = F.lit(0)
-    for s in _STOPWORDS:
-        stop_hits = stop_hits + F.size(F.filter(ws, lambda w: w == F.lit(s)))  # noqa: B023
+    # ONE membership pass over the token array; the oracle's sum of
+    # per-stopword filters is the same integer (stopwords are distinct
+    # tokens) but this scans the array once instead of len(_STOPWORDS)x
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
     unique_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_tokens
     return d.select(
         "doc_id",

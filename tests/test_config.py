@@ -17,10 +17,10 @@ from psql_streamer_spark.config import (
 from psql_streamer_spark.streaming.sinks import KafkaSink, MemorySink, NoopSink
 
 
-def _event(i: int, table: str = "users") -> str:
+def _event(i: int, table: str = "users", host: str = "db1") -> str:
     return json.dumps(
         {
-            "Host": "db1",
+            "Host": host,
             "Database": "test",
             "Table": table,
             "Action": "insert",
@@ -227,5 +227,52 @@ sources = ["pg1"]
         assert engine.server.debug is True
         assert get("/debug/off").read() == b"Debug is now false\n"
         assert get("/debug").read().startswith(b"Request should be")
+    finally:
+        engine.stop()
+
+
+def test_multi_source_fan_in_and_isolated_checkpoints(spark, tmp_path):
+    """R4 both directions: one sink subscribed to TWO sources receives both
+    streams; each source keeps its own checkpoint (db.go:113 per-source
+    buckets), so draining one never advances the other's offsets."""
+    import json as _json
+
+    srcs = {}
+    for name in ("pg1", "pg2"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "b1.json").write_text(
+            "\n".join(_event(i, host=name) for i in range(3)) + "\n"
+        )
+        srcs[name] = d
+
+    conf = {
+        "boltdb": str(tmp_path / "ckpt"),
+        "source": {
+            "pg1": {"type": "file_cdc", "path": str(srcs["pg1"])},
+            "pg2": {"type": "file_cdc", "path": str(srcs["pg2"])},
+        },
+        "sink": {
+            "log": {
+                "type": "stub_log",
+                "sources": ["pg1", "pg2"],
+                "topicFallback": "t",
+            }
+        },
+    }
+    engine = compile_config(spark, conf)
+    assert set(engine.pipelines) == {"pg1", "pg2"}
+    engine.start(available_now=True)
+    try:
+        engine.await_drained()
+        log = engine.sinks["log"]
+        assert log.events == 6
+        hosts = {_json.loads(r.value)["Host"] for r in log.rows}
+        assert hosts == {"pg1", "pg2"}
+        # per-source checkpoint dirs exist and are distinct
+        import os
+
+        assert os.path.isdir(str(tmp_path / "ckpt" / "source_pg1"))
+        assert os.path.isdir(str(tmp_path / "ckpt" / "source_pg2"))
     finally:
         engine.stop()
