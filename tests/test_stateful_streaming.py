@@ -225,3 +225,42 @@ def test_custom_sessionizer_state_survives_restart(spark, tmp_path, srcdir):
     assert rows[0].n_events == 2  # A (pre-restart) + B (post-restart)
     assert rows[0].session_start.isoformat() == "2024-01-01T10:00:00"
     assert rows[0].session_end.isoformat() == "2024-01-01T10:05:00"
+
+
+def test_custom_sessionizer_survives_arrow_chunk_splits(spark, tmp_path, srcdir):
+    """applyInPandasWithState splits large groups into multiple Arrow
+    chunks with NO cross-chunk ordering. With maxRecordsPerBatch=2 a
+    10-event batch arrives as 5 unordered chunks; sorting per-chunk would
+    fabricate gap closes. The sessionizer must still see ONE session."""
+    import random
+
+    times = [f"2024-01-01 10:{m:02d}:00" for m in range(0, 50, 5)]  # 10 evts, 5m apart
+    rng = random.Random(7)
+    shuffled = times[:]
+    rng.shuffle(shuffled)
+    _write(
+        srcdir, "b1.json",
+        *[_line(f"E{i}", t) for i, t in enumerate(shuffled)],
+    )
+    # watermark pusher: closes user 1's session by timeout
+    _write(srcdir, "b2.json", _line("Z", "2024-01-01 14:00:00", user=2))
+    _write(srcdir, "b3.json", _line("Z2", "2024-01-01 14:10:00", user=2))
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        sess = sessionize_with_state(
+            _read_stream(spark, srcdir), gap_minutes=30, delay="10 minutes"
+        )
+        rows = [
+            r
+            for r in _run(spark, sess, tmp_path / "ck", "chunk_sess_sink").collect()
+            if r.user_id == 1
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert len(rows) == 1, f"chunk-split fabricated sessions: {rows}"
+    (s,) = rows
+    assert s.n_events == 10
+    assert s.session_start.isoformat() == "2024-01-01T10:00:00"
+    assert s.session_end.isoformat() == "2024-01-01T10:45:00"
