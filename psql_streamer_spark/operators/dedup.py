@@ -533,7 +533,9 @@ def connected_components(
         if changed == 0:
             break
     else:
+        both.unpersist()
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    both.unpersist()  # labels is checkpointed; the edge cache is done
     return labels.select(F.col("vid").alias(id_col), "label")
 
 
