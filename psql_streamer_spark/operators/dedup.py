@@ -585,8 +585,11 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # max_iter bounds component DIAMETER, not size: a transitive dup chain
+    # of N docs needs ~N rounds under plain min-label propagation, so the
+    # cap is generous; truly deeper graphs call for the large-star variant
     labels = connected_components(
-        d.select("doc_id"), pairs, id_col="doc_id"
+        d.select("doc_id"), pairs, id_col="doc_id", max_iter=50
     )
     return labels.select(
         "doc_id",

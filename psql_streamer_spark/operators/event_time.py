@@ -106,11 +106,12 @@ def evt_session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment itself is shuffle-free after that."""
     e = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # full-precision gap: ts has microsecond parts; unix_timestamp() truncates
-    # to whole seconds and would misclassify gaps within 1s of the boundary
+    # exact integer-µs gap: unix_timestamp() truncates to whole seconds,
+    # and double-seconds arithmetic rounds at ~0.24µs ULP near epoch scale
+    # — a gap of exactly 1800s could misclassify; long microseconds cannot
     gap_ok = (
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    ) <= 30 * 60
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ) <= 30 * 60 * 1_000_000
     flagged = e.withColumn(
         "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
     )

@@ -366,9 +366,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, lo, hi,
            CAST(list_sum(list_transform(e,
-                x -> FLOOR((x - lo) / (hi - lo) * 255))) AS BIGINT) AS qsum,
-           CAST(FLOOR((e[1] - lo) / (hi - lo) * 255) AS BIGINT) AS q_first,
-           CAST(FLOOR((e[len(e)] - lo) / (hi - lo) * 255) AS BIGINT) AS q_last
+                x -> CASE WHEN hi = lo THEN 0
+                          ELSE FLOOR((x - lo) / (hi - lo) * 255) END))
+                AS BIGINT) AS qsum,
+           CAST(CASE WHEN hi = lo THEN 0
+                     ELSE FLOOR((e[1] - lo) / (hi - lo) * 255) END
+                AS BIGINT) AS q_first,
+           CAST(CASE WHEN hi = lo THEN 0
+                     ELSE FLOOR((e[len(e)] - lo) / (hi - lo) * 255) END
+                AS BIGINT) AS q_last
     FROM v
     """,
 )
@@ -386,7 +392,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("e").alias("lo"),
         F.array_max("e").alias("hi"),
     )
-    q = lambda x: F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255)  # noqa: E731
+    # constant vectors (hi == lo) quantize to 0 instead of dividing 0/0
+    q = lambda x: F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(  # noqa: E731
+        F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255)
+    )
     return v.select(
         "vec_id",
         "lo",

@@ -103,7 +103,6 @@ def decode_wal2json(
     deterministic expression for oracle-compared outputs.
     """
     p = F.from_json(F.col(value_col).cast("string"), WAL2JSON_SCHEMA)
-    action: Column = F.lit(None).cast("string")
     mapped = None
     for letter, name in _WAL2JSON_ACTIONS.items():
         mapped = (
@@ -113,7 +112,11 @@ def decode_wal2json(
         )
     action = mapped.otherwise(F.lower(p["action"]))
     payload = F.when(p["action"] == "D", p["identity"]).otherwise(p["columns"])
-    ts = F.to_timestamp(F.regexp_replace(p["timestamp"], r"([+-]\d{2}(:?\d{2})?)$", ""))
+    # wal2json stamps the commit time in the server's log_timezone, e.g.
+    # '... 10:15:30.123456+02'. The timestamp CAST parses the offset and
+    # converts to the (UTC) session zone — stripping it instead would shift
+    # event time by the server offset for any non-UTC feed.
+    ts = p["timestamp"].cast("timestamp")
     # stamp the uuid ONLY for parsed records (every wal2json record carries
     # an action): a malformed line must stay uuid-less so validate_split
     # routes it to the DLQ, like the reference's decode-failure skip

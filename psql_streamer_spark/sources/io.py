@@ -168,16 +168,27 @@ def compact_parquet(
     trigger that is ~86k file sets/day — scan planning and footer reads
     dominate long before data volume does. Compaction rewrites the
     dataset into ceil(bytes / target) files and swaps directories
-    atomically (write to `<path>.__compact__`, rename over). Returns the
-    new file count.
+    (write to `<path>.__compact__`, two renames). Returns the new file
+    count.
 
-    At warehouse scale this is the OPTIMIZE/rewrite-data-files job of a
-    table format (Delta/Iceberg); the directory swap is the no-dependency
-    equivalent with the same reader-visible atomicity on POSIX renames.
-    Run it from maintenance, not the hot path."""
+    The swap is two renames, NOT one atomic operation: a reader in the
+    instant between them sees the path briefly absent, and a crash there
+    strands data at `<path>.__old__` — which the next invocation detects
+    and restores before proceeding. Run from maintenance with readers
+    quiesced (the table-format OPTIMIZE has the same requirement for
+    non-snapshot readers)."""
     import math
     import os
     import shutil
+
+    old = path.rstrip("/") + ".__old__"
+    tmp = path.rstrip("/") + ".__compact__"
+    # crash recovery: a previous run may have died between the renames
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (old, tmp):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -187,9 +198,7 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact__"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

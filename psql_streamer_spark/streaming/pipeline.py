@@ -47,10 +47,13 @@ class SinkRoute:
     sinks subscribed to one source may route the same event differently —
     merging their mappings at the pipeline level would cross-route.
 
-    A route with NO rules at all is a passthrough: the reference's stub
-    sinks (sink/stub/stub.go) take every event and do no routing — only
-    kafka sinks have a routing table — so "no rules" must mean "deliver
-    everything (topic NULL)", not "discard everything"."""
+    A route with NO rules means different things by sink kind, matching
+    the reference: stub sinks (sink/stub/stub.go) do no routing and take
+    every event — passthrough with a NULL topic. Topic-requiring sinks
+    (Kafka, `requires_topic = True`) without mapping or fallback DISCARD
+    everything, exactly the reference's counted `noTopic` path
+    (kafka.go:129-134) — a passthrough there would feed NULL topics to the
+    producer and crash every epoch."""
 
     sink: Sink
     topic_mapping: dict = field(default_factory=dict)
@@ -58,7 +61,9 @@ class SinkRoute:
 
     @property
     def passthrough(self) -> bool:
-        return not self.topic_mapping and self.topic_fallback is None
+        if self.topic_mapping or self.topic_fallback is not None:
+            return False
+        return not getattr(self.sink, "requires_topic", False)
 
 
 @dataclass

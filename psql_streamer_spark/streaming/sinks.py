@@ -101,6 +101,8 @@ class KafkaSink:
     descriptive error until the jar is on the classpath.
     """
 
+    requires_topic = True  # no-rules routes discard, never passthrough
+
     def __init__(
         self,
         bootstrap_servers: str,
@@ -146,23 +148,34 @@ class SnapshotSink:
     pipeline (stream PG changes out, rebuild the table downstream).
 
     Per batch: reduce to the latest event per (table, key), merge with the
-    stored snapshot latest-wins by WAL position, drop rows whose winning
-    action is delete, and publish a new snapshot version with an atomic
-    pointer swap. Because the merge is latest-wins on a monotone WAL, a
-    redelivered batch (at-least-once epoch retry) is IDEMPOTENT — the
-    snapshot is exactly-once state over an at-least-once stream, no UUID
-    dedup needed.
+    stored snapshot latest-wins by WAL position, and publish a new snapshot
+    version with an atomic pointer swap. Deletes are kept as TOMBSTONES in
+    the stored versions (only `current()` filters them out): without the
+    tombstone, an out-of-order or replayed OLDER event for a deleted key
+    would win the merge and resurrect the row. Because the merge is
+    latest-wins on a monotone WAL, a redelivered batch (at-least-once epoch
+    retry) is IDEMPOTENT — the snapshot is exactly-once state over an
+    at-least-once stream, no UUID dedup needed.
 
-    At 100 TB this same write() body targets a table format with real
-    upserts (MERGE INTO on Delta/Iceberg/Hudi); the parquet-version +
+    Superseded versions are pruned down to `keep_versions` after each
+    pointer swap — an always-on stream must not retain one full-table copy
+    per epoch. At 100 TB this same write() body targets a table format with
+    real upserts (MERGE INTO on Delta/Iceberg/Hudi); the parquet-version +
     pointer-file scheme here is the dependency-free stand-in with the same
     semantics (snapshot isolation via immutable versions).
     """
 
-    def __init__(self, path: str, key_field: str = "a", name: str = "snapshot"):
+    def __init__(
+        self,
+        path: str,
+        key_field: str = "a",
+        name: str = "snapshot",
+        keep_versions: int = 2,
+    ):
         self.name = name
         self.path = path
         self.key_field = key_field
+        self.keep_versions = max(1, keep_versions)
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
@@ -175,7 +188,17 @@ class SnapshotSink:
             return None
 
     def current(self, spark) -> DataFrame | None:
-        """The live snapshot (None before the first batch)."""
+        """The live snapshot (None before the first batch). Tombstones are
+        internal merge state — readers never see deleted rows."""
+        df = self._stored(spark)
+        if df is None:
+            return None
+        from pyspark.sql import functions as F
+
+        return df.filter(F.col("action") != "delete")
+
+    def _stored(self, spark) -> DataFrame | None:
+        """The stored version INCLUDING delete tombstones (merge input)."""
         v = self._current_version()
         if v is None:
             return None
@@ -193,14 +216,16 @@ class SnapshotSink:
             "wal_position",
             "columns",
         )
-        cur = self.current(spark)
+        cur = self._stored(spark)
         merged = incoming if cur is None else cur.unionByName(incoming)
         w = W.partitionBy("table", "row_key").orderBy(
             F.desc("wal_position"), F.desc("action")
         )
+        # keep the winning row even when it is a delete (tombstone): it
+        # must continue to outrank older replayed events in future merges
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (F.col("action") != "delete"))
+            .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
         version = f"v{batch_id:012d}"
@@ -212,3 +237,17 @@ class SnapshotSink:
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer())
+        self._prune(version)
+
+    def _prune(self, current_version: str) -> None:
+        """Drop superseded version dirs beyond keep_versions (never the
+        pointed-to one) — bounds storage at O(keep_versions x table)."""
+        import shutil
+
+        versions = sorted(
+            d for d in os.listdir(self.path)
+            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
+        )
+        for d in versions[: -self.keep_versions]:
+            if d != current_version:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

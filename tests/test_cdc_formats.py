@@ -140,3 +140,11 @@ def test_lsn_conversion_expression(spark):
     )
     got = [r[0] for r in df.select(lsn_to_wal_position(F.col("lsn"))).collect()]
     assert got == [0, 1, (1 << 32) + 0x6B3748, (0x7FFFFFFF << 32) + 0xFFFFFFFF]
+
+
+def test_wal2json_non_utc_offset_converts_to_utc(spark):
+    """wal2json stamps commit time in the server's log_timezone; a '+02'
+    feed must convert to UTC, not have its offset stripped."""
+    line = W2J_INSERT.replace("10:15:30.123456+00", "10:15:30.123456+02")
+    row = decode_wal2json(_df(spark, line)).first()
+    assert row.ts.isoformat() == "2024-03-01T08:15:30.123456"

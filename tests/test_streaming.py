@@ -380,3 +380,63 @@ def test_observability_listener_and_http(spark, dirs):
             server.stop()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_snapshot_sink_tombstone_blocks_stale_resurrection(spark, dirs, tmp_path):
+    """A delete must leave a tombstone: an out-of-order OLDER event for the
+    deleted key arriving in a later batch must NOT resurrect the row."""
+    from psql_streamer_spark.streaming.sinks import SnapshotSink
+
+    src, ckpt, _ = dirs
+    ev = lambda i, key, action: json.dumps(  # noqa: E731
+        {
+            "Host": "db1", "Database": "test", "Table": "users",
+            "Action": action, "WALPosition": i,
+            "Timestamp": "2018-07-03T16:04:27Z", "UUID": f"u-{i:04d}",
+            "Columns": {"a": key, "payload": f"p{i}"},
+        }
+    )
+    _write_batch(src, "b1.json", [ev(10, "k1", "insert"), ev(20, "k1", "delete")])
+    # later batch delivers a STALE event (WAL 15 < the delete's 20) — e.g.
+    # a multi-partition source without global order, or a partial replay
+    _write_batch(src, "b2.json", [ev(15, "k1", "update")])
+
+    snap = SnapshotSink(str(tmp_path / "snap"), key_field="a")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[snap],
+        topic_mapping={"users": "t"}, max_files_per_trigger=1,
+    )
+    pipe.run_to_completion()
+    assert snap.current(spark).count() == 0  # still deleted
+    # the tombstone is retained internally with the winning WAL
+    stored = {(r.row_key, r.action, r.wal_position)
+              for r in snap._stored(spark).collect()}
+    assert stored == {("k1", "delete", 20)}
+
+
+def test_snapshot_sink_prunes_old_versions(spark, dirs, tmp_path):
+    import os
+
+    from psql_streamer_spark.streaming.sinks import SnapshotSink
+
+    src, ckpt, _ = dirs
+    for b in range(4):
+        _write_batch(src, f"b{b}.json", [_event(b * 10 + i) for i in range(2)])
+    snap = SnapshotSink(str(tmp_path / "snap"), key_field="a", keep_versions=2)
+    CdcPipeline(
+        spark, str(src), ckpt, sinks=[snap],
+        topic_mapping={"test": "t"}, max_files_per_trigger=1,
+    ).run_to_completion()
+    versions = [d for d in os.listdir(str(tmp_path / "snap")) if d.startswith("v")]
+    assert len(versions) == 2  # 4 epochs, retention 2
+    assert snap.current(spark).count() == 8
+
+
+def test_topic_requiring_sink_without_rules_discards(spark):
+    """A Kafka-style sink with no mapping/fallback must DISCARD (reference
+    noTopic path) — never passthrough NULL topics into the producer."""
+    from psql_streamer_spark.streaming.pipeline import SinkRoute
+
+    assert SinkRoute(MemorySink("m")).passthrough  # stub: takes everything
+    assert not SinkRoute(KafkaSink("b:9092")).passthrough  # kafka: discards
+    assert not SinkRoute(MemorySink("m"), {"t": "x"}).passthrough
