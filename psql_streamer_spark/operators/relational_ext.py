@@ -397,3 +397,103 @@ def scan_range_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % 7).alias("bucket"),
         (F.col("id") * 3 + 1).alias("derived"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — per-customer order-chain walk.
+# --------------------------------------------------------------------------
+@register(
+    "recursive_order_chains",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE o_custkey <= 200
+      ) WHERE rn <= 8
+    ),
+    chain(o_custkey, o_orderkey, rn, depth) AS (
+      SELECT o_custkey, o_orderkey, rn, 1 FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.o_custkey, b.o_orderkey, b.rn, c.depth + 1
+      FROM chain c JOIN base b
+        ON b.o_custkey = c.o_custkey AND b.rn = c.rn + 1
+      WHERE c.depth < 12
+    )
+    SELECT o_custkey, CAST(MAX(depth) AS INT) AS chain_len,
+           COUNT(*) AS n_links,
+           MAX(o_orderkey) AS last_orderkey
+    FROM chain GROUP BY o_custkey
+    """,
+)
+def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through Spark's SQL front door (4.x): walk each
+    customer's order sequence link by link. The recursion is ACYCLIC by
+    construction (rn -> rn+1) because Spark's recursive CTEs support only
+    UNION ALL — cyclic reachability (e.g. dedup clustering) does not
+    terminate under UNION ALL, which is exactly why the clustering
+    operator uses the iterative-DataFrame fixpoint (connected_components)
+    instead; this query covers the recursion machinery itself. Chains are
+    capped at 8 links (identically in both engines): recursion rounds =
+    max chain depth, and each round is a separately scheduled join, so
+    the bound is what keeps the demo cheap on a vanilla session."""
+    for t in ("orders",):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"rec_{t}")
+    return spark.sql("""
+      WITH RECURSIVE base AS (
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM rec_orders WHERE o_custkey <= 200
+        ) WHERE rn <= 8
+      ),
+      chain(o_custkey, o_orderkey, rn, depth) AS (
+        SELECT o_custkey, o_orderkey, rn, 1 FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.o_custkey, b.o_orderkey, b.rn, c.depth + 1
+        FROM chain c JOIN base b
+          ON b.o_custkey = c.o_custkey AND b.rn = c.rn + 1
+        WHERE c.depth < 12
+      )
+      SELECT o_custkey, CAST(MAX(depth) AS INT) AS chain_len,
+             COUNT(*) AS n_links,
+             MAX(o_orderkey) AS last_orderkey
+      FROM chain GROUP BY o_custkey
+    """)
+
+
+# --------------------------------------------------------------------------
+# Pure-SQL front door: the same engine through spark.sql over views.
+# --------------------------------------------------------------------------
+@register(
+    "sql_api_revenue_by_region",
+    oracle="""
+    SELECT r_name,
+           {rev} AS revenue,
+           COUNT(DISTINCT c_custkey) AS n_customers
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY r_name
+    """.format(rev=sql_dsum("o_totalprice")),
+)
+def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API end to end: tables registered as temp views, the query
+    written as ANSI SQL, Catalyst planning identical to the DataFrame
+    form (same broadcast dims, same partial aggregates) — a user can run
+    the whole engine through spark.sql alone."""
+    for t in ("region", "nation", "customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql("""
+      SELECT r_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+             COUNT(DISTINCT c_custkey) AS n_customers
+      FROM sqlv_region
+      JOIN sqlv_nation ON n_regionkey = r_regionkey
+      JOIN sqlv_customer ON c_nationkey = n_nationkey
+      JOIN sqlv_orders ON o_custkey = c_custkey
+      GROUP BY r_name
+    """)
