@@ -497,3 +497,30 @@ def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sqlv_orders ON o_custkey = c_custkey
       GROUP BY r_name
     """)
+
+
+# --------------------------------------------------------------------------
+# Boolean aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "agg_bool_flags_per_order",
+    oracle="""
+    SELECT l_orderkey,
+           bool_and(l_quantity >= 5) AS all_qty_5plus,
+           bool_or(l_returnflag = 'R') AS any_returned,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+             AS n_discounted
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_bool_flags_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """every()/some() boolean aggregates plus a filtered count — the
+    predicate-rollup shape of data-quality rules ('all lines conforming',
+    'any line flagged')."""
+    l = load_table(spark, "lineitem", sf_dir)
+    return l.groupBy("l_orderkey").agg(
+        F.every(F.col("l_quantity") >= 5).alias("all_qty_5plus"),
+        F.some(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )

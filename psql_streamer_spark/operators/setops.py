@@ -84,3 +84,40 @@ def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("signup").alias("kind"), "user_id"
     )
     return p.unionByName(s).groupBy("kind").agg(F.count("*").alias("n"))
+
+
+@register(
+    "setop_intersect_all_multiset",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_quantity >= 10
+    """,
+)
+def setop_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each orderkey appears min(m, n)
+    times — the multiset form neither DISTINCT-intersect nor a semi-join
+    can express. Compiles to a count-compare aggregate join, one shuffle
+    per side."""
+    l = load_table(spark, "lineitem", sf_dir)
+    a = l.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = l.filter(F.col("l_quantity") >= 10).select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all_multiset",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_quantity >= 10
+    """,
+)
+def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: each orderkey survives max(m - n, 0) times (bag
+    difference) — the replay-accounting primitive: 'events delivered more
+    times than acknowledged'."""
+    l = load_table(spark, "lineitem", sf_dir)
+    a = l.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = l.filter(F.col("l_quantity") >= 10).select("l_orderkey")
+    return a.exceptAll(b)

@@ -156,3 +156,36 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w)
         ).alias("moving_avg_price"),
     )
+
+
+@register(
+    "window_first_last_nth_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value — last/nth need the full-partition frame
+    (default frame stops at CURRENT ROW, a classic silent-wrong-answer);
+    ordering includes the key so ties can't differ across engines."""
+    o = load_table(spark, "orders", sf_dir)
+    w_default = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_default.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w_default).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_ok"),
+    )
