@@ -524,3 +524,72 @@ def agg_bool_flags_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_returnflag") == "R").alias("any_returned"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING() disambiguation for rollup NULLs.
+# --------------------------------------------------------------------------
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<total>') AS priority,
+           CAST(GROUPING(o_orderpriority) AS INT) AS is_total_row,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() marks subtotal rows explicitly — the only correct way to
+    tell a rollup's total row from a genuine NULL group value (COALESCE
+    alone would conflate them if the column were nullable)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderpriority")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("is_total_row"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<total>")).alias("priority"),
+            "is_total_row",
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS through the SQL front door.
+# --------------------------------------------------------------------------
+@register(
+    "sql_exists_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice > 300000)
+    """,
+)
+def sql_exists_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS in SQL form: Catalyst decorrelates
+    both into left-semi and left-anti joins — same physical plan the
+    DataFrame semi/anti operators produce, proving subquery planning is
+    covered end to end."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("ex_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("ex_orders")
+    return spark.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM ex_customer c
+      WHERE EXISTS (SELECT 1 FROM ex_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM ex_orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F'
+                          AND o2.o_totalprice > 300000)
+    """)
