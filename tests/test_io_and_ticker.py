@@ -130,3 +130,28 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 1000
     assert df.selectExpr("sum(id)").first()[0] == sum(range(1000))
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two renames strands data at <path>.__old__; the
+    next invocation must restore it and complete normally."""
+    import os
+    import shutil
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "sinkout")
+    for b in range(3):
+        spark.range(b * 10, (b + 1) * 10).write.mode("append").parquet(out)
+    # simulate the crash window: dataset renamed away, nothing at path
+    os.rename(out, out + ".__old__")
+    assert not os.path.exists(out)
+    # plus a stale partial compact dir from the dead run
+    os.makedirs(out + ".__compact__")
+
+    n = compact_parquet(spark, out, target_file_mb=128)
+    assert n == 1
+    assert spark.read.parquet(out).count() == 30
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__compact__")
+    shutil.rmtree(out)

@@ -221,3 +221,22 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         assert joined.count() == n_plain
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_q7_broadcasts_dims_no_cartesian(spark, queries):
+    # disjunctive nation-pair predicate must not degrade the join graph:
+    # dims broadcast, the single big-big join is SMJ, nothing cartesian
+    plan = _physical(queries["q7_volume_shipping"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_topk_is_take_ordered_with_pushed_filters(spark, queries):
+    plan = _physical(queries["q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # both selective predicates reach their scans
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "o_orderdate" in next(
+        l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l
+    )
