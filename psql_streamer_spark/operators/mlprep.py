@@ -145,3 +145,64 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
     return d.select("doc_id", redacted.alias("redacted"))
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs that cross train/val/test boundaries.
+# --------------------------------------------------------------------------
+from psql_streamer_spark.operators.dedup import (  # noqa: E402
+    _SQL_MINHASH_LSH,
+    dedup_minhash_lsh_pairs,
+)
+
+_SPLIT_CASE = (
+    f"CASE WHEN {_B} < 80 THEN 'train' WHEN {_B} < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "audit_split_leakage",
+    oracle=f"""
+    WITH pairs AS ({_SQL_MINHASH_LSH}),
+    splits AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE sa.split <> sb.split) AS BIGINT)
+             AS n_leaking
+    FROM pairs
+    JOIN splits sa ON sa.doc_id = doc_a
+    JOIN splits sb ON sb.doc_id = doc_b
+    GROUP BY 1, 2
+    """,
+)
+def audit_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check: a near-duplicate pair with one side in train
+    and the other in val/test is evaluation leakage — the metric looks
+    great because the model saw the answer. Composes the LSH pair miner
+    with the deterministic split: pairs grouped by their sides' splits,
+    cross-split pairs counted as leaking. The fix in a real pipeline is
+    cluster-level splitting (assign dedup_lsh_clusters' cluster_id, not
+    doc_id, to splits) — this query is the audit that proves you need it."""
+    from psql_streamer_spark.sources.tables import load_table as _lt
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = _lt(spark, "documents", sf_dir)
+    b = md5_bucket(F.col("doc_id"), 100)
+    splits = d.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("split_a") != F.col("split_b"), 1)).alias(
+                "n_leaking"
+            ),
+        )
+    )
