@@ -421,6 +421,139 @@ def cdc_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pgoutput binary wire decode (S1's actual ingest format): events are
+# re-framed as documented pgoutput protocol bytes — Insert/Update/Delete
+# tuples plus Begin frames for the non-DML leftovers — entirely JVM-side
+# (hex assembly + unhex), prepended with Relation frames built by the pure
+# encoder, then run through the REAL binary decoder (sources/pgoutput_cdc).
+# The oracle computes the expected envelope directly from events, so the
+# verified property is encode -> wire bytes -> parse -> relation-resolve ->
+# whitelist-project == identity on the content. Byte-level parser vectors
+# live in tests/test_pgoutput_wire.py (postgres_test.go:20-25 parity).
+# --------------------------------------------------------------------------
+_PGOUT_RELIDS = {"signup": 1001, "purchase": 1002, "error": 1003, "click": 1004}
+_PGOUT_OID_POINT = 600  # not whitelisted -> column dropped at decode
+
+
+def _pgoutput_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> one pgoutput wire frame per row + 4 Relation frames.
+
+    DML frame hex is assembled with built-in functions (concat/hex/lpad/
+    octet_length) and unhex'd to binary, so fixture generation runs at scan
+    speed; NULL payload values encode as 'n' columns; deletes ship only the
+    replica identity ('K' old tuple) with non-key columns null — the exact
+    shapes of postgres_test.go:21-23."""
+    from psql_streamer_spark.sources.pgoutput_wire import (
+        OID_INT4,
+        OID_TEXT,
+        Column as PgColumn,
+        Relation,
+        encode_relation,
+    )
+
+    e = load_table(spark, "events", sf_dir)
+    h32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    h64 = lambda c: F.lpad(F.hex(c), 16, "0")  # noqa: E731
+
+    def tcol(c: F.Column) -> F.Column:
+        c = c.cast("string")
+        return F.when(c.isNull(), F.lit("6E")).otherwise(
+            F.concat(F.lit("74"), h32(F.octet_length(c)), F.hex(c))
+        )
+
+    relid = F.expr(
+        """CASE event_type WHEN 'signup' THEN 1001 WHEN 'purchase' THEN 1002
+                           WHEN 'error' THEN 1003 WHEN 'click' THEN 1004
+                           ELSE 0 END"""
+    )
+    k = F.get_json_object("props", "$.k")
+    etype = F.col("event_type")
+    new_tuple = F.concat(F.lit("0003"), tcol(k), tcol(etype), tcol(F.lit("(1,2)")))
+    ins = F.concat(F.lit("49"), h32(relid), F.lit("4E"), new_tuple)
+    upd = F.concat(F.lit("55"), h32(relid), F.lit("4E"), new_tuple)
+    dele = F.concat(
+        F.lit("44"), h32(relid), F.lit("4B"), F.lit("0003"), tcol(k), F.lit("6E6E")
+    )
+    pg_us = F.unix_micros("ts") - F.lit(946_684_800_000_000)
+    begin = F.concat(
+        F.lit("42"), h64(F.col("event_id")), h64(pg_us), h32(F.col("event_id") % 100000)
+    )
+    frame = (
+        F.when(etype == "signup", ins)
+        .when(etype == "purchase", upd)
+        .when(etype == "error", dele)
+        .when(etype == "click", ins)
+        .otherwise(begin)
+    )
+    dml = e.select(
+        (F.col("event_id") + 1000).alias("seq"),
+        F.col("event_id").alias("wal_position"),
+        F.unhex(frame).alias("value"),
+    )
+    rel_rows = []
+    for name, rid in _PGOUT_RELIDS.items():
+        rel = Relation(
+            rid,
+            "public",
+            f"tbl_{name}",
+            0x64,
+            [
+                PgColumn("k", OID_INT4, is_key=True),
+                PgColumn("etype", OID_TEXT),
+                PgColumn("geom", _PGOUT_OID_POINT),
+            ],
+        )
+        rel_rows.append((rid - 1000, 0, encode_relation(rel)))
+    rel_df = spark.createDataFrame(
+        rel_rows, "seq long, wal_position long, value binary"
+    )
+    return rel_df.unionByName(dml)
+
+
+@register(
+    "cdc_pgoutput_decode",
+    oracle="""
+    SELECT 'db1' AS host, 'tbl_' || event_type AS "table",
+           CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'purchase' THEN 'update'
+                           WHEN 'error' THEN 'delete'
+                           WHEN 'click' THEN 'insert' END AS action,
+           event_id AS wal_position,
+           md5(CAST(event_id AS VARCHAR)) AS uuid,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE event_type END AS etype
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error', 'click')
+    """,
+)
+def cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 wire parity: pgoutput binary frames -> Event envelope through the
+    full decode path — Arrow-batched protocol parse, Relation cache
+    resolution, Begin-frame drop (postgres.go:320-331), whitelist tuple
+    projection (the unsupported-OID `geom` column vanishes, :421-424), and
+    delete-as-replica-identity payloads."""
+    from psql_streamer_spark.sources.pgoutput_cdc import decode_pgoutput
+
+    frames = _pgoutput_frames(spark, sf_dir)
+    decoded = decode_pgoutput(
+        frames,
+        host="db1",
+        database="test",
+        uuid=F.md5(F.col("wal_position").cast("string")),
+    )
+    return filter_dml(decoded).select(
+        "host",
+        "table",
+        "action",
+        "wal_position",
+        "uuid",
+        F.col("columns")["k"].cast("int").alias("k"),
+        F.col("columns")["etype"].alias("etype"),
+    )
+
+
+# --------------------------------------------------------------------------
 # CDC apply: change stream -> current table state (the consumer's merge).
 # --------------------------------------------------------------------------
 @register(

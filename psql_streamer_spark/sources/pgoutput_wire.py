@@ -1,0 +1,463 @@
+"""pgoutput logical-replication wire codec — pure Python, no Spark imports.
+
+This is the binary decode the reference performs via the pgoutput library
+(source/postgres/postgres.go:298-355 dispatches Relation/Insert/Update/
+Delete and drops Begin/Commit; :379-428 decodes tuples against the cached
+relation with a type whitelist). The message formats implemented here are
+PostgreSQL's *documented* logical streaming replication protocol
+("Logical Replication Message Formats", protocol version 1): single-byte
+message kind, big-endian fixed-width integers, NUL-terminated strings,
+and TupleData columns flagged 'n' (null) / 'u' (unchanged TOAST) /
+'t' (text-format value) / 'b' (binary-format value).
+
+Design split:
+- this module: stateless ``parse_message`` / ``encode_*`` plus a
+  ``RelationCache`` (the reference's RelationSet) — importable anywhere,
+  golden-fixture testable without a SparkSession;
+- sources/pgoutput_cdc.py: the distributed decode (Arrow-batched parse,
+  relation resolution, JVM-side tuple->map projection).
+
+Encoders exist so tests and fixture builders can produce byte-exact
+frames; they are the inverse of the parser and are *not* needed on the
+decode path.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+# PostgreSQL timestamps on the wire: microseconds since 2000-01-01 UTC.
+PG_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+# Type OIDs from PostgreSQL's public catalog (pg_type.dat). Only the
+# whitelist the reference accepts (postgres.go:405-425): basic scalars,
+# bytea coerced to string (:414-416), inet/cidr to string (:418-419).
+OID_BOOL = 16
+OID_BYTEA = 17
+OID_CHAR = 18
+OID_NAME = 19
+OID_INT8 = 20
+OID_INT2 = 21
+OID_INT4 = 23
+OID_TEXT = 25
+OID_FLOAT4 = 700
+OID_FLOAT8 = 701
+OID_CIDR = 650
+OID_INET = 869
+OID_BPCHAR = 1042
+OID_VARCHAR = 1043
+OID_DATE = 1082
+OID_TIMESTAMP = 1114
+OID_TIMESTAMPTZ = 1184
+
+#: OID -> canonical PG type name (keys of schema.PG_TO_SPARK).
+SUPPORTED_OIDS: dict[int, str] = {
+    OID_BOOL: "bool",
+    OID_BYTEA: "bytea",
+    OID_CHAR: "char",
+    OID_NAME: "name",
+    OID_INT8: "int8",
+    OID_INT2: "int2",
+    OID_INT4: "int4",
+    OID_TEXT: "text",
+    OID_FLOAT4: "float4",
+    OID_FLOAT8: "float8",
+    OID_CIDR: "cidr",
+    OID_INET: "inet",
+    OID_BPCHAR: "char",
+    OID_VARCHAR: "varchar",
+    OID_DATE: "date",
+    OID_TIMESTAMP: "timestamp",
+    OID_TIMESTAMPTZ: "timestamptz",
+}
+
+# Tuple-column flags (documented TupleData encoding).
+TUPLE_NULL = "n"
+TUPLE_UNCHANGED = "u"
+TUPLE_TEXT = "t"
+TUPLE_BINARY = "b"
+
+
+@dataclass
+class Column:
+    """Relation column metadata (name, type OID, replica-identity key)."""
+
+    name: str
+    type_oid: int
+    is_key: bool = False
+    type_mod: int = -1
+
+
+@dataclass
+class Relation:
+    """A Relation ('R') message — the table metadata the decode caches."""
+
+    relation_id: int
+    namespace: str
+    name: str
+    replica_identity: int
+    columns: list[Column] = field(default_factory=list)
+
+
+class ProtocolError(ValueError):
+    """Malformed pgoutput frame."""
+
+
+# --------------------------------------------------------------------------
+# Primitive readers.
+# --------------------------------------------------------------------------
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        end = self.pos + n
+        if end > len(self.data):
+            raise ProtocolError(
+                f"truncated frame: need {n} bytes at offset {self.pos}, "
+                f"have {len(self.data) - self.pos}"
+            )
+        out = self.data[self.pos : end]
+        self.pos = end
+        return out
+
+    def int8(self) -> int:
+        return self._take(1)[0]
+
+    def int16(self) -> int:
+        return struct.unpack(">h", self._take(2))[0]
+
+    def uint16(self) -> int:
+        return struct.unpack(">H", self._take(2))[0]
+
+    def int32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def uint32(self) -> int:
+        return struct.unpack(">I", self._take(4))[0]
+
+    def int64(self) -> int:
+        return struct.unpack(">q", self._take(8))[0]
+
+    def uint64(self) -> int:
+        return struct.unpack(">Q", self._take(8))[0]
+
+    def byte1(self) -> str:
+        return chr(self._take(1)[0])
+
+    def cstring(self) -> str:
+        end = self.data.find(b"\x00", self.pos)
+        if end < 0:
+            raise ProtocolError("unterminated string")
+        out = self.data[self.pos : end].decode("utf-8")
+        self.pos = end + 1
+        return out
+
+    def done(self) -> bool:
+        return self.pos >= len(self.data)
+
+
+def _read_tuple(r: _Reader) -> list[tuple[str, bytes | None]]:
+    """TupleData: int16 ncols, then per column a flag byte and, for
+    't'/'b', an int32 length + that many value bytes."""
+    ncols = r.uint16()
+    cols: list[tuple[str, bytes | None]] = []
+    for _ in range(ncols):
+        flag = r.byte1()
+        if flag in (TUPLE_NULL, TUPLE_UNCHANGED):
+            cols.append((flag, None))
+        elif flag in (TUPLE_TEXT, TUPLE_BINARY):
+            n = r.int32()
+            cols.append((flag, bytes(r._take(n))))
+        else:
+            raise ProtocolError(f"unknown tuple column flag {flag!r}")
+    return cols
+
+
+def pg_micros_to_datetime(micros: int) -> datetime:
+    return PG_EPOCH + timedelta(microseconds=micros)
+
+
+def datetime_to_pg_micros(dt: datetime) -> int:
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int((dt - PG_EPOCH) / timedelta(microseconds=1))
+
+
+# --------------------------------------------------------------------------
+# Message parser.
+# --------------------------------------------------------------------------
+def parse_message(data: bytes) -> dict:
+    """Parse one pgoutput frame into a plain dict tagged with ``kind``.
+
+    Kinds: begin, commit, origin, relation, type, insert, update, delete,
+    truncate. Raises ProtocolError on malformed input (callers on the
+    distributed path convert that to an error record, the commit-and-skip
+    behavior of the reference's event-error counter, postgres.go:336-340).
+    """
+    if not data:
+        raise ProtocolError("empty frame")
+    r = _Reader(data)
+    kind = r.byte1()
+
+    if kind == "B":
+        return {
+            "kind": "begin",
+            "final_lsn": r.uint64(),
+            "commit_ts": pg_micros_to_datetime(r.int64()),
+            "xid": r.uint32(),
+        }
+    if kind == "C":
+        return {
+            "kind": "commit",
+            "flags": r.int8(),
+            "commit_lsn": r.uint64(),
+            "end_lsn": r.uint64(),
+            "commit_ts": pg_micros_to_datetime(r.int64()),
+        }
+    if kind == "O":
+        return {
+            "kind": "origin",
+            "origin_lsn": r.uint64(),
+            "origin_name": r.cstring(),
+        }
+    if kind == "R":
+        relation_id = r.uint32()
+        namespace = r.cstring()
+        name = r.cstring()
+        replica = r.int8()
+        ncols = r.uint16()
+        cols = []
+        for _ in range(ncols):
+            flags = r.int8()
+            cname = r.cstring()
+            type_oid = r.uint32()
+            type_mod = r.int32()
+            cols.append(Column(cname, type_oid, bool(flags & 1), type_mod))
+        return {
+            "kind": "relation",
+            "relation": Relation(relation_id, namespace, name, replica, cols),
+        }
+    if kind == "Y":
+        return {
+            "kind": "type",
+            "type_oid": r.uint32(),
+            "namespace": r.cstring(),
+            "name": r.cstring(),
+        }
+    if kind == "I":
+        relation_id = r.uint32()
+        marker = r.byte1()
+        if marker != "N":
+            raise ProtocolError(f"insert: expected 'N' tuple marker, got {marker!r}")
+        return {
+            "kind": "insert",
+            "relation_id": relation_id,
+            "new_tuple": _read_tuple(r),
+        }
+    if kind == "U":
+        relation_id = r.uint32()
+        old_tuple = None
+        old_kind = None
+        marker = r.byte1()
+        if marker in ("K", "O"):
+            old_kind = marker
+            old_tuple = _read_tuple(r)
+            marker = r.byte1()
+        if marker != "N":
+            raise ProtocolError(f"update: expected 'N' tuple marker, got {marker!r}")
+        return {
+            "kind": "update",
+            "relation_id": relation_id,
+            "old_kind": old_kind,
+            "old_tuple": old_tuple,
+            "new_tuple": _read_tuple(r),
+        }
+    if kind == "D":
+        relation_id = r.uint32()
+        marker = r.byte1()
+        if marker not in ("K", "O"):
+            raise ProtocolError(f"delete: expected 'K'/'O' tuple marker, got {marker!r}")
+        return {
+            "kind": "delete",
+            "relation_id": relation_id,
+            "old_kind": marker,
+            "old_tuple": _read_tuple(r),
+        }
+    if kind == "T":
+        nrels = r.uint32()
+        options = r.int8()
+        return {
+            "kind": "truncate",
+            "options": options,
+            "relation_ids": [r.uint32() for _ in range(nrels)],
+        }
+    raise ProtocolError(f"unknown message kind {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# Relation cache + typed tuple decode (the reference's RelationSet.Values +
+# generateEvent whitelist, postgres.go:379-428).
+# --------------------------------------------------------------------------
+class RelationCache:
+    """relation_id -> Relation, replaced on re-announce (schema change).
+
+    "Potential unbounded map growth, but in practice shouldn't happen as
+    the table count is limited" (postgres.go:302)."""
+
+    def __init__(self) -> None:
+        self._rels: dict[int, Relation] = {}
+
+    def add(self, rel: Relation) -> None:
+        self._rels[rel.relation_id] = rel
+
+    def get(self, relation_id: int) -> Relation:
+        rel = self._rels.get(relation_id)
+        if rel is None:
+            raise KeyError(
+                f"Relation with ID '{relation_id}' not found in relation cache"
+            )
+        return rel
+
+    def __contains__(self, relation_id: int) -> bool:
+        return relation_id in self._rels
+
+    def typed_values(
+        self, relation_id: int, tup: list[tuple[str, bytes | None]]
+    ) -> tuple[dict[str, object], list[str]]:
+        """Decode one TupleData against the cached relation.
+
+        Returns (columns, skipped): typed Python values for whitelisted
+        OIDs, and the names of columns dropped for an unsupported type —
+        the reference logs and skips those (postgres.go:421-424). Columns
+        flagged 'u' (unchanged TOAST) are skipped too: the value was not
+        sent. Text-format values are parsed from PostgreSQL's text
+        representation; binary-format values pass through as bytes->str
+        (the reference's []byte -> string coercion, :414-416).
+        """
+        rel = self.get(relation_id)
+        if len(tup) != len(rel.columns):
+            raise ProtocolError(
+                f"tuple arity {len(tup)} != relation arity {len(rel.columns)} "
+                f"for {rel.name!r}"
+            )
+        out: dict[str, object] = {}
+        skipped: list[str] = []
+        for col, (flag, raw) in zip(rel.columns, tup):
+            if col.type_oid not in SUPPORTED_OIDS:
+                skipped.append(col.name)
+                continue
+            if flag == TUPLE_UNCHANGED:
+                continue
+            if flag == TUPLE_NULL or raw is None:
+                out[col.name] = None
+                continue
+            out[col.name] = _parse_text_value(col.type_oid, raw)
+        return out, skipped
+
+
+def _parse_text_value(type_oid: int, raw: bytes) -> object:
+    """PostgreSQL text-format value -> typed Python value (whitelist)."""
+    text = raw.decode("utf-8")
+    if type_oid in (OID_INT2, OID_INT4, OID_INT8):
+        return int(text)
+    if type_oid in (OID_FLOAT4, OID_FLOAT8):
+        return float(text)
+    if type_oid == OID_BOOL:
+        return text == "t"
+    # date/timestamp/timestamptz stay text here; the Spark path casts them
+    # with the session-zone rules, the reference hands time.Time through.
+    return text
+
+
+# --------------------------------------------------------------------------
+# Encoders (fixture builders / protocol inverse).
+# --------------------------------------------------------------------------
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _encode_tuple(cols: list[tuple[str, bytes | None]]) -> bytes:
+    out = [struct.pack(">H", len(cols))]
+    for flag, raw in cols:
+        if flag in (TUPLE_NULL, TUPLE_UNCHANGED):
+            out.append(flag.encode())
+        elif flag in (TUPLE_TEXT, TUPLE_BINARY):
+            if raw is None:
+                raise ValueError(f"flag {flag!r} requires a value")
+            out.append(flag.encode() + struct.pack(">i", len(raw)) + raw)
+        else:
+            raise ValueError(f"unknown tuple flag {flag!r}")
+    return b"".join(out)
+
+
+def text_col(value: object) -> tuple[str, bytes]:
+    """Convenience: a 't' column carrying the PG text representation."""
+    return (TUPLE_TEXT, str(value).encode("utf-8"))
+
+
+def null_col() -> tuple[str, None]:
+    return (TUPLE_NULL, None)
+
+
+def encode_begin(final_lsn: int, commit_ts: datetime, xid: int) -> bytes:
+    return b"B" + struct.pack(
+        ">QqI", final_lsn, datetime_to_pg_micros(commit_ts), xid
+    )
+
+
+def encode_commit(
+    commit_lsn: int, end_lsn: int, commit_ts: datetime, flags: int = 0
+) -> bytes:
+    return b"C" + struct.pack(
+        ">bQQq", flags, commit_lsn, end_lsn, datetime_to_pg_micros(commit_ts)
+    )
+
+
+def encode_relation(rel: Relation) -> bytes:
+    out = [
+        b"R",
+        struct.pack(">I", rel.relation_id),
+        _cstr(rel.namespace),
+        _cstr(rel.name),
+        struct.pack(">bH", rel.replica_identity, len(rel.columns)),
+    ]
+    for c in rel.columns:
+        out.append(
+            struct.pack(">b", 1 if c.is_key else 0)
+            + _cstr(c.name)
+            + struct.pack(">Ii", c.type_oid, c.type_mod)
+        )
+    return b"".join(out)
+
+
+def encode_insert(relation_id: int, new_tuple: list[tuple[str, bytes | None]]) -> bytes:
+    return b"I" + struct.pack(">I", relation_id) + b"N" + _encode_tuple(new_tuple)
+
+
+def encode_update(
+    relation_id: int,
+    new_tuple: list[tuple[str, bytes | None]],
+    old_tuple: list[tuple[str, bytes | None]] | None = None,
+    old_kind: str = "K",
+) -> bytes:
+    out = [b"U", struct.pack(">I", relation_id)]
+    if old_tuple is not None:
+        out.append(old_kind.encode() + _encode_tuple(old_tuple))
+    out.append(b"N" + _encode_tuple(new_tuple))
+    return b"".join(out)
+
+
+def encode_delete(
+    relation_id: int,
+    old_tuple: list[tuple[str, bytes | None]],
+    old_kind: str = "K",
+) -> bytes:
+    return b"D" + struct.pack(">I", relation_id) + old_kind.encode() + _encode_tuple(
+        old_tuple
+    )
