@@ -487,56 +487,101 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 20,
 ) -> DataFrame:
-    """Min-label propagation: every vertex converges to the smallest vertex
-    id reachable from it (= its component's canonical id).
+    """Large-star/small-star connected components (the alternating-star
+    MapReduce algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every vertex converges to the
+    smallest vertex id in its component.
 
-    Each round is one join + one min-aggregate — all shuffles on the vertex
-    id, no driver-side graph. Rounds needed = component diameter; near-dup
-    clusters are shallow (dups of dups of one original), so convergence is
-    2-4 rounds in practice. For adversarial long-chain graphs the
-    large-star/small-star variant (halves diameter per round) is the
-    upgrade path; the fixed-point loop and convergence check stay the same.
+    Each round rewires the edge set toward stars rooted at component
+    minima — large-star hangs every bigger neighbor of u onto min(Γ⁺(u)),
+    small-star re-roots u and its smaller neighbors the same way — and the
+    edge set provably converges to one star per component in O(log n)
+    rounds (vs diameter rounds for plain min-label propagation: a 12-chain
+    takes 4 passes here, ~11 there). Per round: two grouped min-aggregates
+    and two joins, all shuffled on vertex id, no driver-side graph.
 
-    `edges` must contain both directions (or pass pairs and we mirror)."""
-    both = edges.select(
-        F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst")
-    )
-    both = both.unionByName(
-        both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()  # the edge list feeds EVERY round — without this the whole
-    # upstream pair-mining pipeline (LSH banding + verify joins) re-executes
-    # per iteration
-    # localCheckpoint (eager) per round: iterative plans otherwise nest one
-    # join+agg per iteration — analysis cost and driver heap grow without
-    # bound (the classic iterative-algorithm lineage explosion). Truncating
-    # lineage each round keeps every iteration's plan constant-size.
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        prop = both.join(labels, both["src"] == labels["vid"]).select(
-            F.col("dst").alias("vid"), F.col("label")
+    The iterative-plan discipline is unchanged from the propagation
+    version: the candidate edge list is localCheckpoint'ed (eager) per
+    round, truncating lineage so each iteration's plan stays constant-size
+    instead of nesting (driver-heap explosion on deep graphs), and the
+    initial checkpoint stops the upstream pair-mining pipeline (LSH
+    banding + verify joins) from re-executing every round.
+
+    Convergence detection: the (count, xxhash64-sum) signature of the edge
+    set — one single-row job per round; a false stop needs a 64-bit hash-sum
+    collision at equal cardinality. ``connected_components.last_rounds``
+    records the passes used (test hook)."""
+    e = (
+        edges.select(
+            F.col(edges.columns[0]).alias("src"),
+            F.col(edges.columns[1]).alias("dst"),
         )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("vid")
-            .agg(F.min("label").alias("label"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and order-independent; a raw long sum
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    sig = _sig(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: for each u, hang every LARGER neighbor v onto
+        # m = min(Γ(u) ∪ {u}); emitted (v, m) always has v > m
+        nbr = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star on the (hi > lo)-oriented output: re-root hi and its
+        # smaller neighbors at m = min of hi's neighborhood
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(mins2, "hi")
+        new_e = (
+            joined.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(mins2.select("hi", F.col("m").alias("lo")))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sig = _sig(new_e)
+        e = new_e
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
-        both.unpersist()
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
-    both.unpersist()  # labels is checkpointed; the edge cache is done
-    return labels.select(F.col("vid").alias(id_col), "label")
+    connected_components.last_rounds = rounds
+
+    # fixpoint edge set = one star per component: hi -> component minimum;
+    # vertices absent from any edge are their own component
+    return vertices.select(F.col(id_col).alias("vid")).join(
+        e.select(F.col("hi").alias("vid"), F.col("lo").alias("star")),
+        "vid",
+        "left",
+    ).select(
+        F.col("vid").alias(id_col),
+        F.coalesce("star", "vid").alias("label"),
+    )
 
 
 _SQL_LSH_CLUSTERS = f"""
@@ -585,9 +630,8 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # max_iter bounds component DIAMETER, not size: a transitive dup chain
-    # of N docs needs ~N rounds under plain min-label propagation, so the
-    # cap is generous; truly deeper graphs call for the large-star variant
+    # alternating-star rounds grow with log(component size), so this cap
+    # covers components far beyond anything a dedup graph produces
     labels = connected_components(
         d.select("doc_id"), pairs, id_col="doc_id", max_iter=50
     )

@@ -106,9 +106,9 @@ def test_fake_image_features_deterministic():
 
 
 def test_connected_components_long_chain(spark):
-    """A path graph is the worst case for min-label propagation (diameter
-    = n-1): the fixpoint loop must still converge and label every vertex
-    with the chain's minimum id."""
+    """A path graph (diameter n-1) is where plain min-label propagation
+    needs ~n rounds; alternating large-star/small-star must label every
+    vertex with the chain's minimum in O(log n) passes."""
     from psql_streamer_spark.operators.dedup import connected_components
 
     n = 12
@@ -120,3 +120,23 @@ def test_connected_components_long_chain(spark):
         for r in connected_components(vertices, edges, id_col="id", max_iter=n + 2).collect()
     }
     assert got == {**{i: 0 for i in range(n)}, 12: 12, 13: 13, 14: 14}
+    # diameter-bound propagation needed ~11 rounds here; star-contraction
+    # halves chain depth per pass (+1 pass to detect the fixpoint)
+    assert connected_components.last_rounds <= 5
+
+
+def test_connected_components_merges_and_reversed_edges(spark):
+    """Components that merge through a shared vertex, duplicate and
+    reversed edge listings, and a two-cycle all resolve to minima."""
+    from psql_streamer_spark.operators.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(9)], ["id"])
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 1), (7, 8), (8, 7), (2, 6), (6, 4), (4, 2)],
+        ["a", "b"],
+    )
+    got = {
+        r.id: r.label
+        for r in connected_components(vertices, edges, id_col="id").collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2, 7: 7, 8: 7}
