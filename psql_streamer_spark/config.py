@@ -101,6 +101,24 @@ def _kafka_sink(name: str, conf: dict) -> Sink:
     hosts = conf.get("hosts") or []
     if not hosts:
         raise ConfigError(f"sink '{name}': hosts not specified")
+    # fail fast, not discard-everything-at-runtime (kafka.go:119-130): with
+    # no mapping and no fallback every event would silently hit the noTopic
+    # discard path — runtime discard is only for unmapped tables when a
+    # mapping exists. A mapping topic equal to the fallback is a config
+    # error too (kafka.go:127-130).
+    mapping = dict(conf.get("tableTopicMapping") or {})
+    fallback = conf.get("topicFallback")
+    if not mapping and not fallback:
+        raise ConfigError(
+            f"sink '{name}': at least one of topicFallback or "
+            "tableTopicMapping should be specified"
+        )
+    for tbl, topic in mapping.items():
+        if fallback and topic == fallback:
+            raise ConfigError(
+                f"sink '{name}': topic '{topic}' (table '{tbl}') "
+                "should not be the same as topicFallback"
+            )
     producer_conf: dict[str, str] = {}
     # producer tuning pass-through (B4, sink/kafka/kafka.go:62-81)
     if "batchTimeout" in conf:  # linger

@@ -36,6 +36,7 @@ from psql_streamer_spark.functions.text_hash import (
     sql_simhash_combine,
     SQL_H32,
 )
+from psql_streamer_spark.caching import persist_for
 from psql_streamer_spark.registry import register
 from psql_streamer_spark.sources.tables import load_table
 
@@ -119,7 +120,8 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | Non
     pay the full O(pairs-per-shingle) cost first."""
     d = load_table(spark, "documents", sf_dir)
     # the inverted index feeds three plan branches (counts + both join
-    # sides) — persist it rather than re-exploding the corpus each time
+    # sides) — persist it rather than re-exploding the corpus each time;
+    # released via persist_for when the caller drops the result
     sh = doc_shingles(d).persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     if candidates is None:
@@ -152,12 +154,13 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | Non
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     jac = F.col("n_common") * 1.0 / (F.col("ca.c") + F.col("cb.c") - F.col("n_common"))
-    return (
+    result = (
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return persist_for(sh, result)
 
 
 @register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD_PAIRS)
@@ -255,7 +258,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _jaccard_pairs(spark, sf_dir, candidates=cand)
+    return persist_for(sig, _jaccard_pairs(spark, sf_dir, candidates=cand))
 
 
 # --------------------------------------------------------------------------
@@ -469,12 +472,13 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     cosine = _sim_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
+    result = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+    return persist_for(sig, result)
 
 
 # --------------------------------------------------------------------------

@@ -180,12 +180,25 @@ class SnapshotSink:
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
+    def _history_file(self) -> str:
+        return os.path.join(self.path, "_HISTORY")
+
     def _current_version(self) -> str | None:
         try:
             with open(self._pointer()) as f:
                 return f.read().strip() or None
         except FileNotFoundError:
             return None
+
+    def _read_history(self) -> list[str]:
+        """Pointer-swap lineage, oldest first. Name order is NOT recency:
+        rewind() restarts batch ids at 0, so a replayed v000... is NEWER
+        than a leftover v000042 from the previous generation."""
+        try:
+            with open(self._history_file()) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
 
     def current(self, spark) -> DataFrame | None:
         """The live snapshot (None before the first batch). Tombstones are
@@ -218,8 +231,14 @@ class SnapshotSink:
         )
         cur = self._stored(spark)
         merged = incoming if cur is None else cur.unionByName(incoming)
+        # at equal wal_position a delete tombstone must WIN (anti-
+        # resurrection): plain desc(action) would rank 'update' above
+        # 'delete'; the trailing desc(action) only breaks insert-vs-update
+        # ties deterministically
         w = W.partitionBy("table", "row_key").orderBy(
-            F.desc("wal_position"), F.desc("action")
+            F.desc("wal_position"),
+            F.desc(F.col("action") == "delete"),
+            F.desc("action"),
         )
         # keep the winning row even when it is a delete (tombstone): it
         # must continue to outrank older replayed events in future merges
@@ -232,22 +251,34 @@ class SnapshotSink:
         latest.write.mode("overwrite").parquet(os.path.join(self.path, version))
         # atomic pointer swap: readers see the old or the new version,
         # never a partial write
-        tmp = self._pointer() + ".tmp"
         os.makedirs(self.path, exist_ok=True)
+        history = [v for v in self._read_history() if v != version] + [version]
+        tmp = self._history_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(history) + "\n")
+        os.replace(tmp, self._history_file())
+        tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer())
-        self._prune(version)
+        self._prune(history)
 
-    def _prune(self, current_version: str) -> None:
-        """Drop superseded version dirs beyond keep_versions (never the
-        pointed-to one) — bounds storage at O(keep_versions x table)."""
+    def _prune(self, history: list[str]) -> None:
+        """Drop version dirs outside the last keep_versions of the pointer
+        LINEAGE — bounds storage at O(keep_versions x table). Lineage, not
+        name order: after a rewind restarts batch ids, stale high-numbered
+        dirs from the previous generation would sort into a name-ordered
+        keep window forever and never be pruned."""
         import shutil
 
-        versions = sorted(
-            d for d in os.listdir(self.path)
-            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
-        )
-        for d in versions[: -self.keep_versions]:
-            if d != current_version:
+        keep = set(history[-self.keep_versions :])
+        current = self._current_version()
+        if current:
+            keep.add(current)
+        for d in os.listdir(self.path):
+            if (
+                d.startswith("v")
+                and d not in keep
+                and os.path.isdir(os.path.join(self.path, d))
+            ):
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

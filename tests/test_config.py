@@ -276,3 +276,26 @@ def test_multi_source_fan_in_and_isolated_checkpoints(spark, tmp_path):
         assert os.path.isdir(str(tmp_path / "ckpt" / "source_pg2"))
     finally:
         engine.stop()
+
+
+def test_kafka_sink_without_routing_rules_is_fatal(spark, tmp_path):
+    """No tableTopicMapping AND no topicFallback would silently discard
+    100% of events at runtime — the reference rejects this at load time
+    (kafka.go:119-125)."""
+    conf = _base_conf(tmp_path)
+    conf["sink"]["kfk"] = {
+        "type": "kafka", "hosts": ["b:9092"], "sources": ["pg1"],
+    }
+    with pytest.raises(ConfigError, match="topicFallback or tableTopicMapping"):
+        compile_config(spark, conf)
+
+
+def test_kafka_mapping_topic_equal_to_fallback_is_fatal(spark, tmp_path):
+    """kafka.go:127-130: a mapped topic must differ from the fallback."""
+    conf = _base_conf(tmp_path)
+    conf["sink"]["kfk"] = {
+        "type": "kafka", "hosts": ["b:9092"], "sources": ["pg1"],
+        "tableTopicMapping": {"users": "fb"}, "topicFallback": "fb",
+    }
+    with pytest.raises(ConfigError, match="same as topicFallback"):
+        compile_config(spark, conf)

@@ -140,3 +140,30 @@ def test_connected_components_merges_and_reversed_edges(spark):
         for r in connected_components(vertices, edges, id_col="id").collect()
     }
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2, 7: 7, 8: 7}
+
+
+def test_operator_caches_released_when_result_dropped(spark):
+    """persist_for discipline: the signature/inverted-index caches an
+    operator persists must be released once the caller drops the result —
+    a long-lived session serving many queries must not accumulate
+    executor storage memory."""
+    import gc
+    import time
+
+    from psql_streamer_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    gc.collect()
+    base = n_cached()
+    result = dedup_minhash_lsh_pairs(spark, SF_SMALL)
+    result.count()
+    assert n_cached() > base  # caches live while the result is referenced
+    del result
+    gc.collect()
+    for _ in range(100):  # unpersist is async (blocking=False)
+        if n_cached() <= base:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= base

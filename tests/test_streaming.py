@@ -440,3 +440,56 @@ def test_topic_requiring_sink_without_rules_discards(spark):
     assert SinkRoute(MemorySink("m")).passthrough  # stub: takes everything
     assert not SinkRoute(KafkaSink("b:9092")).passthrough  # kafka: discards
     assert not SinkRoute(MemorySink("m"), {"t": "x"}).passthrough
+
+
+_SNAP_SCHEMA = "table string, action string, wal_position long, columns map<string,string>"
+
+
+def test_snapshot_sink_delete_wins_wal_position_tie(spark, tmp_path):
+    """At EQUAL wal_position a delete tombstone must outrank an update —
+    otherwise colliding positions (multi-source feeds, synthetic walPos)
+    resurrect deleted rows despite the anti-resurrection guarantee."""
+    from psql_streamer_spark.streaming.sinks import SnapshotSink
+
+    snap = SnapshotSink(str(tmp_path / "snap"), key_field="a")
+    batch = spark.createDataFrame(
+        [
+            ("users", "update", 7, {"a": "k1", "p": "resurrected"}),
+            ("users", "delete", 7, {"a": "k1", "p": "gone"}),
+        ],
+        _SNAP_SCHEMA,
+    )
+    snap.write(batch, 0)
+    assert snap.current(spark).count() == 0
+    stored = [(r.action, r.wal_position) for r in snap._stored(spark).collect()]
+    assert stored == [("delete", 7)]
+
+
+def test_snapshot_prune_survives_rewind_batch_id_reset(spark, tmp_path):
+    """rewind() restarts batch ids at 0 under a fresh checkpoint: pruning
+    must follow the pointer LINEAGE, not version-name order — otherwise the
+    previous generation's high-numbered dirs are retained forever and the
+    keep window never contains the newest writes."""
+    import os
+
+    from psql_streamer_spark.streaming.sinks import SnapshotSink
+
+    snap = SnapshotSink(str(tmp_path / "snap"), key_field="a", keep_versions=2)
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [("users", "insert", i, {"a": f"k{i}"})], _SNAP_SCHEMA
+    )
+    # generation 1: high batch ids
+    snap.write(mk(1), 40)
+    snap.write(mk(2), 41)
+    # rewind: batch ids restart at 0; the merge carries prior state forward
+    snap.write(mk(3), 0)
+    snap.write(mk(4), 1)
+    versions = sorted(
+        d for d in os.listdir(str(tmp_path / "snap")) if d.startswith("v")
+    )
+    # the two NEWEST writes by lineage (v0, v1), not by name (v40, v41)
+    assert versions == ["v000000000000", "v000000000001"]
+    assert snap._current_version() == "v000000000001"
+    assert {r.row_key for r in snap.current(spark).collect()} == {
+        "k1", "k2", "k3", "k4"
+    }
