@@ -225,30 +225,44 @@ _SQL_MINHASH_LSH = f"""
 """
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_LSH)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (4 bands x 4 rows): near-dup candidates only where a
-    band signature collides; exact Jaccard then verifies candidates. This
-    is the 100 TB dedup path — cost scales with collisions, not pairs.
+def minhash_lsh_candidates(
+    sig: DataFrame, band_bucket_cap: int | None = None
+) -> DataFrame:
+    """Banded candidate mining over a minhash-signature frame.
 
-    The signature index is persisted before the self-join: without it the
-    plan recomputes the whole shingle->hash->16-min aggregation once per
-    band branch per join side (8x). At cluster scale this index is exactly
-    what you'd materialize (or bucket-write) before pairing."""
-    sig = _minhash_signatures(spark, sf_dir).persist()
-    # banding via explode: ONE pass over sig produces all 4 (band, key) rows
+    ``band_bucket_cap`` is the hot-bucket guard for skewed corpora: a band
+    key shared by B docs yields B(B-1)/2 candidates on ONE reducer — at
+    100 TB a boilerplate-heavy corpus (license headers, templated pages)
+    turns a hot band key into both a shuffle-skew straggler and a
+    quadratic candidate blowup. Buckets larger than the cap are dropped
+    before the self-join (the standard "skip overly common buckets" LSH
+    mitigation): a true near-dup pair in a dropped bucket still surfaces
+    through its other 3 bands, and *exact* duplicates are the exact-hash
+    dedup operator's job upstream, not LSH's. None (the oracle-checked
+    default) keeps every bucket."""
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), key.alias("band_key"))
             for b, key in band_key_exprs()
         ]
     )
-    banded = sig.select(
-        "doc_id", F.explode(bands).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    if band_bucket_cap is not None:
+        # bucket sizes shuffle on the SAME key as the join, so the guard
+        # adds no new exchange shape — just an aggregate + semi-filter
+        sizes = banded.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        banded = (
+            banded.join(sizes, ["band", "band_key"])
+            .filter(F.col("_bucket_n") <= band_bucket_cap)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b_ = banded.alias("b")
-    cand = (
+    return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -258,6 +272,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_SQL_MINHASH_LSH)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands x 4 rows): near-dup candidates only where a
+    band signature collides; exact Jaccard then verifies candidates. This
+    is the 100 TB dedup path — cost scales with collisions, not pairs.
+
+    The signature index is persisted before the self-join: without it the
+    plan recomputes the whole shingle->hash->16-min aggregation once per
+    band branch per join side (8x). At cluster scale this index is exactly
+    what you'd materialize (or bucket-write) before pairing. Skewed
+    (boilerplate-heavy) corpora: see minhash_lsh_candidates'
+    band_bucket_cap."""
+    sig = _minhash_signatures(spark, sf_dir).persist()
+    cand = minhash_lsh_candidates(sig)
     return persist_for(sig, _jaccard_pairs(spark, sf_dir, candidates=cand))
 
 

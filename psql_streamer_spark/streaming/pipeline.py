@@ -23,6 +23,7 @@ dedup (F5).
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
 
@@ -152,19 +153,17 @@ class CdcPipeline:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # ONE annotated frame serves every branch and every counter (mux
         # buffer reuse, B2): validity/DML flags and the routed topic are
-        # columns, so stats need a single aggregate job instead of four
-        # count() passes, and the cache is released in finally (a leaked
-        # persist per micro-batch is a storage-memory leak on an always-on
-        # stream).
+        # columns. The counters ride an `observe` node (CollectMetrics)
+        # computed as a SIDE EFFECT of the first sink write that
+        # materializes the frame — no dedicated stats job per micro-batch.
+        # The cache is released in finally (a leaked persist per
+        # micro-batch is a storage-memory leak on an always-on stream).
+        from pyspark.sql import Observation
+
         decoded = self.decoder(batch_df)
         keep = is_valid_event(decoded)
         if self.dml_only:
             keep = keep & F.col("action").isin(*ACTIONS)
-        annotated = (
-            decoded.withColumn("_valid", is_valid_event(decoded))
-            .withColumn("_keep", keep)
-            .persist()
-        )
         # each route evaluates its OWN topic expression (per-sink rules);
         # `routed`/`discarded` use union semantics: an event counts as
         # routed if ANY route takes it, discarded if none does
@@ -178,23 +177,24 @@ class CdcPipeline:
         any_topic = route_takes[0]
         for t in route_takes[1:]:
             any_topic = any_topic | t
-        try:
-            counts = annotated.agg(
-                F.count("*").alias("n_in"),
+        obs = Observation()
+        annotated = (
+            decoded.withColumn("_valid", is_valid_event(decoded))
+            .withColumn("_keep", keep)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_in"),
                 F.count(F.when(~F.col("_valid"), 1)).alias("n_dlq"),
                 F.count(F.when(F.col("_keep"), 1)).alias("n_valid"),
                 F.count(F.when(F.col("_keep") & any_topic, 1)).alias("n_routed"),
-            ).collect()[0]
-
-            if self.dlq_sink is not None and counts.n_dlq:
-                self.dlq_sink.write(
-                    annotated.filter(~F.col("_valid")).drop("_valid", "_keep"),
-                    batch_id,
-                )
-
+            )
+            .persist()
+        )
+        try:
             # fan-out: every sink gets the batch routed by its own mapping;
             # any failure aborts the epoch BEFORE offsets commit
-            # (all-or-nothing ACK)
+            # (all-or-nothing ACK). The first write materializes the cache
+            # and fires the observed counters.
             for route, topic in zip(self.routes, route_topics):
                 deliverable = (
                     annotated.filter(F.col("_keep"))
@@ -211,13 +211,23 @@ class CdcPipeline:
                         self.stats.sink_errors += 1
                     raise
 
+            counts = obs.get  # blocks only until the listener delivers
+
+            # DLQ after the primary fan-out (an epoch retry re-dead-letters
+            # either way — at-least-once); skipped entirely on clean batches
+            if self.dlq_sink is not None and counts["n_dlq"]:
+                self.dlq_sink.write(
+                    annotated.filter(~F.col("_valid")).drop("_valid", "_keep"),
+                    batch_id,
+                )
+
             with self.stats._lock:
                 self.stats.batches += 1
-                self.stats.events_in += counts.n_in
-                self.stats.events_valid += counts.n_valid
-                self.stats.events_dlq += counts.n_dlq
-                self.stats.events_routed += counts.n_routed
-                self.stats.events_discarded += counts.n_valid - counts.n_routed
+                self.stats.events_in += counts["n_in"]
+                self.stats.events_valid += counts["n_valid"]
+                self.stats.events_dlq += counts["n_dlq"]
+                self.stats.events_routed += counts["n_routed"]
+                self.stats.events_discarded += counts["n_valid"] - counts["n_routed"]
         finally:
             annotated.unpersist()
 
@@ -249,15 +259,79 @@ class CdcPipeline:
         q.awaitTermination()
         self.query = None
 
-    def rewind(self, new_checkpoint_dir: str, available_now: bool = False):
+    # -- replay-window audit (F3) ------------------------------------------
+    def seen_source_files(self) -> set[str]:
+        """Source-file URIs the current checkpoint has committed — parsed
+        from the FileStreamSource seen-files log (checkpoint/sources/*/N,
+        'v1' header + one JSON entry per line; .compact files share the
+        format)."""
+        import glob
+        import json as _json
+
+        out: set[str] = set()
+        for log in glob.glob(
+            os.path.join(self.checkpoint_dir, "sources", "*", "*")
+        ):
+            if os.path.basename(log).startswith("."):
+                continue
+            try:
+                with open(log) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line or (line[0] == "v" and line[1:].isdigit()):
+                            continue
+                        try:
+                            entry = _json.loads(line)
+                        except ValueError:
+                            continue
+                        if isinstance(entry, dict) and entry.get("path"):
+                            out.add(entry["path"])
+            except OSError:
+                continue
+        return out
+
+    def rewind_gap(self) -> set[str]:
+        """Previously-processed source files that are NO LONGER PRESENT —
+        files a rewind replay could not reproduce. The file-source analogue
+        of the reference confirming the rewind target is still inside the
+        retained WAL window (walPos - walRetain, postgres.go:212,451-466):
+        here the 'retained window' is whatever the source directory's
+        retention hasn't deleted yet."""
+        from urllib.parse import unquote, urlparse
+
+        missing: set[str] = set()
+        for uri in self.seen_source_files():
+            path = unquote(urlparse(uri).path) if "://" in uri else uri
+            if not os.path.exists(path):
+                missing.add(path)
+        return missing
+
+    def rewind(
+        self,
+        new_checkpoint_dir: str,
+        available_now: bool = False,
+        force: bool = False,
+    ):
         """Executable offset override (F2: walPositionOverride,
         source/postgres/postgres.go:131-140): abandon the current
         checkpoint's committed offsets and reprocess the source from the
-        beginning under a fresh checkpoint. Replays are at-least-once by
-        design — the per-event UUID lets downstream dedup reconcile (F5),
-        same caveat as the reference's manual rewind. For offset-addressable
-        sources (Kafka), pair the new checkpoint with `startingOffsets` on
-        the reader instead of a full replay."""
+        beginning under a fresh checkpoint. Before jumping, the retention
+        audit (F3) verifies the replay target is still covered by the
+        retained source window — a rewind past retention would silently
+        produce a partial replay; pass ``force=True`` to accept the gap.
+        Replays are at-least-once by design — the per-event UUID lets
+        downstream dedup reconcile (F5), same caveat as the reference's
+        manual rewind. For offset-addressable sources (Kafka), pair the new
+        checkpoint with `startingOffsets` on the reader instead."""
+        missing = self.rewind_gap()
+        if missing and not force:
+            sample = ", ".join(sorted(missing)[:3])
+            raise RuntimeError(
+                f"rewind target outside the retained source window: "
+                f"{len(missing)} previously-processed file(s) no longer "
+                f"present (e.g. {sample}); the replay would be partial — "
+                "pass force=True to accept the gap"
+            )
         if self.query is not None:
             self.query.stop()
             self.query = None

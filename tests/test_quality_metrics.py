@@ -92,8 +92,30 @@ def test_bruteforce_topk_shape(spark, sfdir):
 def test_media_decode_stub_fails_loudly():
     from psql_streamer_spark.operators.multimodal import decode_media
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the real-codec branch is active")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_media_decode_real_codec_when_available():
+    """Outside this sandbox the hook decodes real media; in it, Pillow is
+    absent and this skips (the stub test above covers that branch)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from psql_streamer_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2)).save(buf, format="PNG")
+    feats = decode_media(buf.getvalue(), "image/png")
+    assert (feats["width"], feats["height"], feats["format"]) == (4, 2, "PNG")
 
 
 def test_fake_image_features_deterministic():
@@ -167,3 +189,50 @@ def test_operator_caches_released_when_result_dropped(spark):
             break
         time.sleep(0.1)
     assert n_cached() <= base
+
+
+def test_lsh_band_bucket_cap_guards_boilerplate_skew(spark):
+    """Boilerplate-heavy corpus (10%+ identical template docs): every band
+    key the template hashes to becomes one hot bucket -> quadratic
+    candidates on one reducer. band_bucket_cap must drop the hot buckets
+    while small buckets (true near-dup pairs) survive."""
+    from psql_streamer_spark.functions.text_hash import (
+        doc_shingles,
+        h32,
+        minhash_agg_columns,
+    )
+    from psql_streamer_spark.operators.dedup import minhash_lsh_candidates
+    from pyspark.sql import functions as F
+
+    boiler = "all work and no play makes jack a dull boy " * 5
+    pair_text = "entirely separate near duplicate pair content " * 5
+    rows = [(i, boiler) for i in range(40)]  # hot template cluster
+    rows += [
+        (100 + i, f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+        for i in range(20)
+    ]  # unique docs: no collisions among themselves
+    rows += [(200, pair_text), (201, pair_text)]  # small true-dup bucket
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = (
+        doc_shingles(d)
+        .select("doc_id", h32(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(*minhash_agg_columns())
+    )
+
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_candidates(sig).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(sig, band_bucket_cap=10).collect()
+    }
+    boiler_ids = set(range(40))
+    # without the cap: the full 40*39/2 template blowup materializes
+    assert {(a, b) for (a, b) in uncapped if a in boiler_ids} >= {
+        (a, b) for a in range(40) for b in range(a + 1, 40)
+    }
+    # with the cap: hot buckets gone, the small near-dup bucket survives
+    assert (200, 201) in capped
+    assert not any(a in boiler_ids and b in boiler_ids for a, b in capped)
+    assert len(capped) < 40

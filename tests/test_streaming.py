@@ -493,3 +493,39 @@ def test_snapshot_prune_survives_rewind_batch_id_reset(spark, tmp_path):
     assert {r.row_key for r in snap.current(spark).collect()} == {
         "k1", "k2", "k3", "k4"
     }
+
+
+def test_rewind_retention_audit_blocks_partial_replay(spark, dirs, tmp_path):
+    """F3 to full: rewind() must verify the replay target is still inside
+    the retained source window. A source file the checkpoint committed but
+    retention has since deleted means the replay would be PARTIAL — the
+    audit fails descriptively; force=True accepts the gap (mirrors the
+    reference confirming walPos-walRetain before jumping,
+    postgres.go:212,451-466)."""
+    import os
+
+    src, ckpt, tmp = dirs
+    _write_batch(src, "early.json", [_event(1), _event(2)])
+    _write_batch(src, "late.json", [_event(3), _event(4)])
+    sink = MemorySink("m")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink],
+        topic_mapping={"test": "t"}, max_files_per_trigger=1,
+    )
+    pipe.run_to_completion()
+    assert sink.events == 4
+
+    # inside the window: replay reproduces everything
+    pipe.rewind(str(tmp / "ckpt2"), available_now=True).awaitTermination()
+    pipe.query = None
+    assert sink.events == 8
+
+    # retention deletes the early file -> the NEXT rewind would be partial
+    os.remove(os.path.join(str(src), "early.json"))
+    with pytest.raises(RuntimeError, match="retained source window"):
+        pipe.rewind(str(tmp / "ckpt3"), available_now=True)
+    # explicit acceptance of the gap
+    q = pipe.rewind(str(tmp / "ckpt3"), available_now=True, force=True)
+    q.awaitTermination()
+    pipe.query = None
+    assert sink.events == 10  # only late.json replayed
