@@ -144,7 +144,9 @@ _SINK_FACTORY: dict[str, Callable[[str, dict], Sink]] = {
     ),
 }
 
-_SOURCE_TYPES = {"file_cdc"}  # "kafka" readStream needs the connector jar
+# "kafka" readStream needs the connector jar; file_pgoutput streams
+# captured binary replication frames (sources/pgoutput_cdc.FRAME_SCHEMA)
+_SOURCE_TYPES = {"file_cdc", "file_pgoutput"}
 
 
 @dataclass
@@ -271,6 +273,21 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
             )
             for sn in subs[name]
         ]
+        extra: dict = {}
+        if stype == "file_pgoutput":
+            from psql_streamer_spark.sources.pgoutput_cdc import (
+                FRAME_SCHEMA,
+                PgoutputStreamDecoder,
+            )
+
+            extra = {
+                "decoder": PgoutputStreamDecoder(
+                    host=sc.get("host", "unknown"),
+                    database=sc.get("database", "unknown"),
+                ),
+                "source_format": "parquet",
+                "source_schema": FRAME_SCHEMA,
+            }
         pipelines[name] = CdcPipeline(
             spark,
             source_path=sc["path"],
@@ -282,6 +299,7 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
                 if "batchFlushInterval" in sc
                 else None
             ),
+            **extra,
         )
 
     listener = EngineListener()

@@ -232,7 +232,22 @@ def decode_pgoutput(
     oracle-compared output.
     """
     versions = _relation_versions(df, value_col, seq_col)
+    return _decode_with_versions(
+        df, versions, host, database, value_col, seq_col, wal_col, uuid, ts
+    )
 
+
+def _decode_with_versions(
+    df: DataFrame,
+    versions: dict[int, list],
+    host: str,
+    database: str,
+    value_col: str,
+    seq_col: str,
+    wal_col: str,
+    uuid: Column | None,
+    ts: Column | None,
+) -> DataFrame:
     table_expr: Column | None = None
     cols_expr: Column | None = None
     for relid, vers in versions.items():
@@ -292,3 +307,60 @@ def decode_pgoutput(
         F.when(known, uuid_expr).alias("uuid"),
         F.when(known, columns).alias("columns"),
     )
+
+
+#: Frame schema a captured-pgoutput file source ships (one row per
+#: replication frame; seq = stream order, wal_position = XLogData walPos).
+FRAME_SCHEMA = "seq long, wal_position long, value binary"
+
+
+class PgoutputStreamDecoder:
+    """Stateful micro-batch decoder for CdcPipeline: the relation cache
+    survives ACROSS batches, exactly like the reference's long-lived
+    RelationSet in the fetch loop (postgres.go:33,303-305) — a Relation
+    frame announced in epoch 1 still decodes DML arriving in epoch 100.
+    A re-announce (schema change) supersedes by stream order; within one
+    resolution the latest version whose seq precedes the DML frame wins.
+
+    Per micro-batch cost: one JVM prefix-filtered scan for relation frames
+    (tiny, usually empty after the first batch) + the Arrow-batched parse
+    of the batch itself. The cache is driver-held metadata, bounded by
+    table count x schema versions.
+    """
+
+    def __init__(
+        self,
+        host: str = "unknown",
+        database: str = "unknown",
+        value_col: str = "value",
+        seq_col: str = "seq",
+        wal_col: str = "wal_position",
+        uuid: Column | None = None,
+        ts: Column | None = None,
+    ) -> None:
+        self.host = host
+        self.database = database
+        self.value_col = value_col
+        self.seq_col = seq_col
+        self.wal_col = wal_col
+        self.uuid = uuid
+        self.ts = ts
+        self._versions: dict[int, list] = {}
+
+    def __call__(self, batch_df: DataFrame) -> DataFrame:
+        fresh = _relation_versions(batch_df, self.value_col, self.seq_col)
+        for relid, vers in fresh.items():
+            merged = self._versions.get(relid, []) + vers
+            merged.sort(key=lambda t: t[0], reverse=True)
+            self._versions[relid] = merged
+        return _decode_with_versions(
+            batch_df,
+            self._versions,
+            self.host,
+            self.database,
+            self.value_col,
+            self.seq_col,
+            self.wal_col,
+            self.uuid,
+            self.ts,
+        )

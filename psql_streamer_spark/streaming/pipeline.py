@@ -115,6 +115,8 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         processing_interval: str | None = None,
         decoder=None,
+        source_format: str = "text",
+        source_schema: str | None = None,
     ):
         # two spellings: `sinks` + shared mapping (all sinks route alike),
         # or explicit per-sink `routes` (the reference's per-sink rules)
@@ -143,6 +145,11 @@ class CdcPipeline:
         # decode_wal2json / decode_debezium for the other dialects a PG CDC
         # feed ships (the reference's `type` switch, source/source.go:23-37)
         self.decoder = decoder if decoder is not None else decode_cdc_json
+        # reader shape: "text" for JSON-lines dialects; "parquet" (+ schema)
+        # for captured binary pgoutput frame files (sources/pgoutput_cdc.
+        # FRAME_SCHEMA with a PgoutputStreamDecoder)
+        self.source_format = source_format
+        self.source_schema = source_schema
         self.dml_only = dml_only
         self.max_files_per_trigger = max_files_per_trigger
         self.processing_interval = processing_interval
@@ -233,9 +240,9 @@ class CdcPipeline:
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, available_now: bool = False):
-        reader = (
-            self.spark.readStream.format("text")
-        )
+        reader = self.spark.readStream.format(self.source_format)
+        if self.source_schema is not None:
+            reader = reader.schema(self.source_schema)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         raw = reader.load(self.source_path)

@@ -10,6 +10,7 @@ our encoder) so an encoder/parser shared bug cannot hide.
 
 from __future__ import annotations
 
+import json
 import struct
 from datetime import datetime, timezone
 
@@ -294,3 +295,82 @@ class TestSparkDecode:
         out = decode_pgoutput(df, uuid=F.lit("u"))
         got = {r["wal_position"]: r["columns"] for r in out.collect()}
         assert got == {10: {"a": "1"}, 11: {"a": "2", "b": "x"}}
+
+
+class TestStreamingPipeline:
+    """file_pgoutput end-to-end: captured binary frames -> CdcPipeline ->
+    sinks, with the relation cache surviving across micro-batches."""
+
+    def _write_frames(self, spark, path, rows):
+        spark.createDataFrame(
+            rows, "seq long, wal_position long, value binary"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def test_relation_cache_survives_micro_batches(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from psql_streamer_spark.sources.pgoutput_cdc import (
+            FRAME_SCHEMA,
+            PgoutputStreamDecoder,
+        )
+        from psql_streamer_spark.streaming.pipeline import CdcPipeline
+        from psql_streamer_spark.streaming.sinks import MemorySink
+
+        rel = Relation(
+            REL_ID, "public", "users", 0x64,
+            [Column("a", OID_INT4, True), Column("b", OID_TEXT)],
+        )
+        src = str(tmp_path / "frames")
+        # epoch 1: the Relation announce + one insert
+        self._write_frames(spark, src, [
+            (1, 0, encode_relation(rel)),
+            (2, 101, encode_insert(REL_ID, [text_col(1), text_col("x")])),
+        ])
+        # epoch 2: DML ONLY — decodable iff the cache persisted
+        self._write_frames(spark, src, [
+            (3, 102, encode_insert(REL_ID, [text_col(2), text_col("y")])),
+            (4, 103, encode_delete(REL_ID, [text_col(1), null_col()])),
+        ])
+
+        sink = MemorySink("m")
+        pipe = CdcPipeline(
+            spark, src, str(tmp_path / "ckpt"), sinks=[sink],
+            topic_mapping={"users": "t"}, max_files_per_trigger=1,
+            decoder=PgoutputStreamDecoder(
+                host="h", database="d", uuid=F.col("wal_position").cast("string")
+            ),
+            source_format="parquet", source_schema=FRAME_SCHEMA,
+        )
+        pipe.run_to_completion()
+        assert pipe.stats.batches >= 2  # the epochs really were separate
+        got = {json.loads(r.value)["WALPosition"]: json.loads(r.value)
+               for r in sink.rows}
+        assert set(got) == {101, 102, 103}
+        assert got[102]["Table"] == "users"
+        assert got[102]["Columns"] == {"a": "2", "b": "y"}
+        assert got[103]["Action"] == "delete"
+        assert got[103]["Columns"] == {"a": "1", "b": None}
+
+    def test_compile_config_file_pgoutput_source(self, spark, tmp_path):
+        from psql_streamer_spark.config import compile_config
+        from psql_streamer_spark.sources.pgoutput_cdc import PgoutputStreamDecoder
+
+        src = tmp_path / "frames"
+        src.mkdir()
+        conf = {
+            "boltdb": str(tmp_path / "ckpt"),
+            "source": {
+                "pg1": {
+                    "type": "file_pgoutput", "path": str(src),
+                    "host": "db9", "database": "prod",
+                }
+            },
+            "sink": {
+                "logger": {"type": "stub_log", "sources": ["pg1"]},
+            },
+        }
+        engine = compile_config(spark, conf)
+        pipe = engine.pipelines["pg1"]
+        assert pipe.source_format == "parquet"
+        assert isinstance(pipe.decoder, PgoutputStreamDecoder)
+        assert pipe.decoder.host == "db9" and pipe.decoder.database == "prod"

@@ -174,21 +174,26 @@ def test_operator_caches_released_when_result_dropped(spark):
 
     from psql_streamer_spark.operators.dedup import dedup_minhash_lsh_pairs
 
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def cached_ids() -> set:
+        # track the SPECIFIC rdd ids this test creates: other tests'
+        # lingering caches (and their async releases) must not flake us
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
 
     gc.collect()
-    base = n_cached()
+    before = cached_ids()
     result = dedup_minhash_lsh_pairs(spark, SF_SMALL)
     result.count()
-    assert n_cached() > base  # caches live while the result is referenced
+    created = cached_ids() - before
+    assert created  # caches live while the result is referenced
     del result
     gc.collect()
     for _ in range(100):  # unpersist is async (blocking=False)
-        if n_cached() <= base:
+        if not (created & cached_ids()):
             break
         time.sleep(0.1)
-    assert n_cached() <= base
+    assert not (created & cached_ids())
 
 
 def test_lsh_band_bucket_cap_guards_boilerplate_skew(spark):
