@@ -110,19 +110,33 @@ _SQL_JACCARD_PAIRS = f"""
 """
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index self-join; optionally
     restricted to an LSH candidate set (the scale path).
 
     With candidates, the pair-intersection join is DRIVEN by the candidate
     set (candidates ⋈ shingles_a ⋈ shingles_b) so the quadratic co-shingle
     blowup never materializes — a post-aggregation semi-join would still
-    pay the full O(pairs-per-shingle) cost first."""
-    d = load_table(spark, "documents", sf_dir)
+    pay the full O(pairs-per-shingle) cost first.
+
+    ``shingles``: an already-persisted (doc_id, shingle) frame to reuse —
+    the LSH path passes the same index its signatures were built from, so
+    the corpus is exploded once per run, not twice. The caller owns that
+    cache's lifetime."""
+    caller_owns_shingles = shingles is not None
     # the inverted index feeds three plan branches (counts + both join
     # sides) — persist it rather than re-exploding the corpus each time;
     # released via persist_for when the caller drops the result
-    sh = doc_shingles(d).persist()
+    sh = (
+        shingles
+        if caller_owns_shingles
+        else doc_shingles(load_table(spark, "documents", sf_dir)).persist()
+    )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     if candidates is None:
         a = sh.alias("a")
@@ -160,7 +174,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | Non
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return persist_for(sh, result)
+    return result if caller_owns_shingles else persist_for(sh, result)
 
 
 @register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD_PAIRS)
@@ -180,9 +194,15 @@ _SQL_MINHASH_SIG = f"""
 """
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    hashed = doc_shingles(d).select("doc_id", h32(F.col("shingle")).alias("h"))
+def _minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(load_table(spark, "documents", sf_dir))
+    )
+    hashed = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
     return hashed.groupBy("doc_id").agg(*minhash_agg_columns())
 
 
@@ -280,15 +300,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signature collides; exact Jaccard then verifies candidates. This
     is the 100 TB dedup path — cost scales with collisions, not pairs.
 
-    The signature index is persisted before the self-join: without it the
+    The shingle index is persisted ONCE and feeds both the signature build
+    and the exact-Jaccard verify (one corpus explode per run, not two);
+    the signature index is persisted before the self-join: without it the
     plan recomputes the whole shingle->hash->16-min aggregation once per
-    band branch per join side (8x). At cluster scale this index is exactly
-    what you'd materialize (or bucket-write) before pairing. Skewed
-    (boilerplate-heavy) corpora: see minhash_lsh_candidates'
+    band branch per join side. At cluster scale these two indexes are
+    exactly what you'd materialize (or bucket-write) before pairing.
+    Skewed (boilerplate-heavy) corpora: see minhash_lsh_candidates'
     band_bucket_cap."""
-    sig = _minhash_signatures(spark, sf_dir).persist()
+    sh = doc_shingles(load_table(spark, "documents", sf_dir)).persist()
+    sig = _minhash_signatures(spark, sf_dir, shingles=sh).persist()
     cand = minhash_lsh_candidates(sig)
-    return persist_for(sig, _jaccard_pairs(spark, sf_dir, candidates=cand))
+    result = _jaccard_pairs(spark, sf_dir, candidates=cand, shingles=sh)
+    return persist_for(sh, persist_for(sig, result))
 
 
 # --------------------------------------------------------------------------

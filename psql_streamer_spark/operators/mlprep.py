@@ -206,3 +206,53 @@ def audit_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: contiguous token-budget fill per source — the batch
+# builder for pretraining (pack short docs into fixed-size contexts).
+# --------------------------------------------------------------------------
+PACK_BUDGET_TOKENS = 512
+
+
+@register(
+    "mlprep_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(FLOOR((SUM(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - len(ws)) / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM (SELECT doc_id, source, {{ws}} AS ws FROM documents)
+    """.format(ws="list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"),
+)
+def mlprep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous fill: within each source (ordered by
+    doc_id) a doc joins pack floor(preceding_tokens / budget) — every
+    worker computes the same packing with no driver coordination, unlike
+    greedy first-fit which is inherently sequential.
+
+    Scale shape: ONE shuffle on source + a running-sum window. A skewed
+    mega-source serializes its window into one task; the fix at 100 TB is
+    hierarchical packing (salt the source into K sub-streams, pack within
+    each) — same expression with a composite partition key."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(words_expr())
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.floor((cum - n_tokens) / F.lit(float(PACK_BUDGET_TOKENS))).alias(
+            "pack_id"
+        ),
+    )

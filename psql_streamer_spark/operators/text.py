@@ -328,3 +328,130 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_punct_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition detection (Gopher/CCNet-style filters): duplicate-5gram ratio
+# + most-frequent-word share. Degenerate/templated generations score high
+# on both; these are the standard pretraining keep/drop signals alongside
+# text_quality_scores.
+# --------------------------------------------------------------------------
+_SQL_SHINGLES5 = (
+    "list_transform(range(1, len({ws}) - 3), i -> "
+    "{ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2] || ' ' || "
+    "{ws}[i+3] || ' ' || {ws}[i+4])"
+)
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             len({_SQL_SHINGLES5.format(ws='ws')}) AS n_5grams,
+             len(list_distinct({_SQL_SHINGLES5.format(ws='ws')})) AS n_uniq_5grams
+      FROM base
+    ), words AS (
+      SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_word_count
+      FROM (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           CAST(w.top_word_count AS BIGINT) AS top_word_count,
+           w.top_word_count * 1.0 / w.n_tokens AS top_word_share,
+           CASE WHEN g.n_5grams = 0 THEN 0.0
+                ELSE (g.n_5grams - g.n_uniq_5grams) * 1.0 / g.n_5grams
+           END AS dup_5gram_ratio
+    FROM words w JOIN grams g ON w.doc_id = g.doc_id
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition: the 5-gram ratio is a pure per-row expression
+    (no shuffle); the top-word share needs one (doc_id, word) count pass —
+    at 100 TB that single map-side-combined aggregate IS the plan, and its
+    shuffle key (doc_id) matches every other per-doc aggregation here."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = words_expr()
+    g5 = shingles_expr(ws, 5)
+    n5 = F.size(g5)
+    grams = d.select(
+        "doc_id",
+        F.when(
+            n5 == 0, F.lit(0.0)
+        ).otherwise(
+            (n5 - F.size(F.array_distinct(g5))) * F.lit(1.0) / n5
+        ).alias("dup_5gram_ratio"),
+    )
+    words = (
+        d.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    return words.join(grams, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_count",
+        (F.col("top_word_count") * F.lit(1.0) / F.col("n_tokens")).alias(
+            "top_word_share"
+        ),
+        "dup_5gram_ratio",
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain (source) quality rollup: the corpus-curation dashboard query —
+# which domains are worth keeping, at what filter pass-rate.
+# --------------------------------------------------------------------------
+@register(
+    "text_domain_quality",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(ws)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN len(ws) BETWEEN 20 AND 1000
+                          AND len(list_distinct(ws)) * 1.0 / len(ws) > 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           SUM(CASE WHEN len(ws) BETWEEN 20 AND 1000
+                     AND len(list_distinct(ws)) * 1.0 / len(ws) > 0.3
+                    THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS pass_rate
+    FROM (SELECT source, {SQL_WORDS.format(t='text')} AS ws FROM documents)
+    GROUP BY source
+    """,
+)
+def text_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash-aggregate on `source` over per-row quality expressions —
+    integer sums only (exactly reproducible), ratio derived at the end."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = words_expr()
+    n_tokens = F.size(ws)
+    unique_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_tokens
+    passes = F.when(
+        n_tokens.between(20, 1000) & (unique_ratio > 0.3), 1
+    ).otherwise(0)
+    return (
+        d.select("source", n_tokens.alias("nt"), passes.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("p").alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_pass",
+            (F.col("n_pass") * F.lit(1.0) / F.col("n_docs")).alias("pass_rate"),
+        )
+    )
