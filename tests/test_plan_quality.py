@@ -240,3 +240,32 @@ def test_q10_topk_is_take_ordered_with_pushed_filters(spark, queries):
     assert "o_orderdate" in next(
         l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l
     )
+
+
+def test_pgoutput_decode_is_narrow_single_python_pass(spark):
+    """The binary decode must be ONE Arrow-batched Python pass and no
+    shuffle: parse (mapInPandas) -> literal relation-resolution CASE ->
+    zip_with/map projection are all narrow. An Exchange here would mean
+    the decode shuffles 100 TB of frames for what is a per-row transform;
+    a second Python eval would mean tuple projection fell out of the JVM."""
+    from psql_streamer_spark.sources.pgoutput_cdc import decode_pgoutput
+    from psql_streamer_spark.sources.pgoutput_wire import (
+        OID_INT4,
+        Column,
+        Relation,
+        encode_insert,
+        encode_relation,
+        text_col,
+    )
+
+    rows = [
+        (1, 0, encode_relation(Relation(5, "public", "t", 0x64,
+                                        [Column("a", OID_INT4, True)]))),
+        (2, 10, encode_insert(5, [text_col(1)])),
+    ]
+    df = spark.createDataFrame(rows, "seq long, wal_position long, value binary")
+    plan = _physical(decode_pgoutput(df, uuid=F.lit("u")))
+    assert "Exchange" not in plan
+    # exactly one Python stage (the frame parser); projection is JVM-side
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
