@@ -64,6 +64,7 @@ from pyspark.sql import SparkSession
 from psql_streamer_spark.observe import EngineListener, StatsTicker, StatusServer
 from psql_streamer_spark.streaming.pipeline import CdcPipeline, SinkRoute
 from psql_streamer_spark.streaming.sinks import (
+    EpochParquetSink,
     KafkaSink,
     MemorySink,
     NoopSink,
@@ -139,6 +140,7 @@ _SINK_FACTORY: dict[str, Callable[[str, dict], Sink]] = {
     "stub_discard": lambda name, conf: NoopSink(name),
     # engine extensions: durable sinks (not in the reference)
     "parquet": lambda name, conf: ParquetSink(conf["path"], name),
+    "parquet_epoch": lambda name, conf: EpochParquetSink(conf["path"], name),
     "snapshot": lambda name, conf: SnapshotSink(
         conf["path"], conf.get("keyField", "a"), name
     ),

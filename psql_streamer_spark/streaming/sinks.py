@@ -70,6 +70,37 @@ class ParquetSink:
         batch_df.write.mode("append").parquet(self.path)
 
 
+class EpochParquetSink:
+    """Idempotent (effectively-once) file sink: each epoch lands in its own
+    ``epoch=<batch_id>`` partition directory with overwrite semantics, so a
+    REPLAYED epoch (sink failure later in the fan-out, restart mid-commit)
+    replaces itself instead of appending duplicates — upgrading the
+    pipeline's at-least-once contract to exactly-once-per-epoch for file
+    consumers, without the UUID-dedup stage. The reference can't offer
+    this (Kafka appends); it falls out of Structured Streaming's
+    deterministic batch ids + an idempotent write target.
+
+    A rewind under a fresh checkpoint restarts batch ids at 0 and
+    OVERWRITES the previous generation's epochs — which is precisely the
+    idempotent-replay semantics a rewind asks for."""
+
+    def __init__(self, path: str, name: str = "parquet_epoch"):
+        self.name = name
+        self.path = path
+
+    def _epoch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"epoch={batch_id:012d}")
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(self._epoch_dir(batch_id))
+
+    def read(self, spark) -> DataFrame:
+        """The sink's contents with `epoch` as a partition column."""
+        return spark.read.option("basePath", self.path).parquet(
+            self.path + "/epoch=*"
+        )
+
+
 class FailNTimesSink(NoopSink):
     """Test double for the retry path (common/retry.go:41-76): fail the
     first N epochs, then succeed — proves no events are lost or

@@ -529,3 +529,42 @@ def test_rewind_retention_audit_blocks_partial_replay(spark, dirs, tmp_path):
     q.awaitTermination()
     pipe.query = None
     assert sink.events == 10  # only late.json replayed
+
+
+def test_epoch_parquet_sink_idempotent_under_replay(spark, dirs, tmp_path):
+    """EpochParquetSink: a replayed epoch REPLACES itself (overwrite into
+    epoch=<batch_id>), so sink-failure retries and checkpoint-loss rewinds
+    produce zero duplicate rows — effectively-once for file consumers,
+    no UUID-dedup stage needed."""
+    from psql_streamer_spark.streaming.sinks import EpochParquetSink
+
+    src, ckpt, tmp = dirs
+    _write_batch(src, "b1.json", [_event(1), _event(2)])
+    _write_batch(src, "b2.json", [_event(3)])
+
+    out = EpochParquetSink(str(tmp_path / "epochs"))
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[out],
+        topic_mapping={"test": "t"}, max_files_per_trigger=1,
+    )
+    pipe.run_to_completion()
+    first = out.read(spark)
+    assert first.count() == 3
+    assert {r.epoch for r in first.select("epoch").distinct().collect()} == {0, 1}
+
+    # full replay under a fresh checkpoint: batch ids restart at 0 and
+    # overwrite the same epoch dirs -> still exactly 3 rows, never 6
+    pipe.rewind(str(tmp / "ckpt2"), available_now=True).awaitTermination()
+    pipe.query = None
+    replayed = out.read(spark)
+    assert replayed.count() == 3
+    walpos = sorted(
+        json.loads(r.value)["WALPosition"] for r in replayed.collect()
+    )
+    assert walpos == [1, 2, 3]
+
+    # direct same-epoch rewrite replaces, never appends
+    df = spark.createDataFrame([("x",)], "value string")
+    out.write(df, 7)
+    out.write(df, 7)
+    assert out.read(spark).filter("epoch = 7").count() == 1
