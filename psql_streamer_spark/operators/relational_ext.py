@@ -489,7 +489,8 @@ def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, t, sf_dir).createOrReplaceTempView(f"sqlv_{t}")
     return spark.sql("""
       SELECT r_name,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE)
+               AS revenue,
              COUNT(DISTINCT c_custkey) AS n_customers
       FROM sqlv_region
       JOIN sqlv_nation ON n_regionkey = r_regionkey

@@ -170,11 +170,18 @@ def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'low'
                 ELSE 'high' END AS bal_tier,
            COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
-           CASE WHEN c_acctbal > 0 THEN ROUND(c_acctbal / 100.0, 2) END AS bal_pct
+           CASE WHEN c_acctbal > 0
+                THEN FLOOR(c_acctbal + 0.5) / 100.0 END AS bal_pct
     FROM customer
     """,
 )
 def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bal_pct is ROUND(c_acctbal/100, 2) spelled as FLOOR(x+0.5)/100:
+    native round() diverges cross-engine on a 2-decimal double — Spark
+    rounds the shortest decimal representation (HALF_UP on "38.105"),
+    DuckDB the exact binary (38.104999...) — while floor arithmetic is
+    pure IEEE and bit-identical in both. Positive-only here, where
+    floor(x+0.5) IS round-half-up."""
     c = load_table(spark, "customer", sf_dir)
     return c.select(
         "c_custkey",
@@ -186,7 +193,8 @@ def scalar_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
         ).alias("segment_masked"),
         F.when(
-            F.col("c_acctbal") > 0, F.round(F.col("c_acctbal") / 100.0, 2)
+            F.col("c_acctbal") > 0,
+            F.floor(F.col("c_acctbal") + F.lit(0.5)) / F.lit(100.0),
         ).alias("bal_pct"),
     )
 

@@ -130,10 +130,10 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
            / COUNT(*) OVER (PARTITION BY l_suppkey
-                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            AS moving_avg_price
     FROM lineitem
@@ -141,9 +141,13 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf_dir)
+    # ROWS frames demand a TOTAL order: (orderkey, linenumber) repeats in
+    # the synthetic lineitem, so l_partkey completes the unique key —
+    # without it, tie order differs across engines (and across Spark runs)
+    # and every 5-row frame crossing a tie averages different members
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(-4, W.currentRow)
     )
     return l.select(
