@@ -41,6 +41,7 @@ _OPERATOR_MODULES = (
     "psql_streamer_spark.operators.udfs",
     "psql_streamer_spark.operators.asof",
     "psql_streamer_spark.operators.relational_ext",
+    "psql_streamer_spark.operators.tpch_suite",
     "psql_streamer_spark.operators.mlprep",
     "psql_streamer_spark.operators.profiling",
 )
