@@ -256,3 +256,86 @@ def mlprep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out eval set.
+# Standard LLM-corpus hygiene (the reference has no analogue; engine scope
+# per the north star): any training document sharing enough n-grams with a
+# benchmark/eval document must be flagged before training.
+#
+# Scale design (100 TB): eval suites are small (MBs) at ANY corpus scale,
+# so the benchmark n-gram set is a broadcast build side — the corpus-side
+# grams stream map-only through the broadcast membership probe and then
+# aggregate per doc_id with map-side combine. The corpus is never
+# shuffled against itself; cost is ~one distinct + one aggregate.
+# --------------------------------------------------------------------------
+DECONTAM_K = 5  # 5-word grams; eval-overlap window (Brown et al. use 8-13
+# for web-scale text; 5 suits the short synthetic docs)
+DECONTAM_EVAL_SOURCE = "src19"  # held-out source standing in for a benchmark
+
+
+def _sql_ngrams(ws: str, k: int) -> str:
+    """DuckDB k-word grams over a word list (1-based slicing); empty when
+    the doc has fewer than k words. Twin of functions.text_hash.shingles_expr."""
+    join = " || ' ' || ".join(f"{ws}[i+{j}]" for j in range(k))
+    return f"list_transform(range(1, len({ws}) - {k - 2}), i -> {join})"
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, {ws} AS ws FROM documents WHERE source <> '{ev}'
+    ),
+    bench AS (
+      SELECT {ws} AS ws FROM documents WHERE source = '{ev}'
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, unnest({grams}) AS g FROM corpus
+    ),
+    bg AS (
+      SELECT DISTINCT unnest({grams}) AS g FROM bench
+    )
+    SELECT cg.doc_id AS doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(bg.g) AS n_shared,
+           CAST(COUNT(bg.g) AS DOUBLE) / COUNT(*) AS contamination
+    FROM cg LEFT JOIN bg ON cg.g = bg.g
+    GROUP BY cg.doc_id
+    """.format(
+        ws="list_filter(string_split(lower(text), ' '), w -> len(w) > 0)",
+        ev=DECONTAM_EVAL_SOURCE,
+        grams=_sql_ngrams("ws", DECONTAM_K),
+    ),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus document: distinct 5-gram count, how many of those grams
+    also occur anywhere in the eval set, and the contamination ratio.
+    Documents shorter than K words have no grams and drop out (both
+    engines). Downstream filters on ``contamination`` to quarantine."""
+    from psql_streamer_spark.functions.text_hash import shingles_expr, words_expr
+
+    d = load_table(spark, "documents", sf_dir)
+    grams = shingles_expr(words_expr(), k=DECONTAM_K)
+    corpus_grams = (
+        d.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    bench_grams = (
+        d.filter(F.col("source") == DECONTAM_EVAL_SOURCE)
+        .select(F.explode(grams).alias("bg"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(
+            F.broadcast(bench_grams), F.col("g") == F.col("bg"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("bg").alias("n_shared"),
+            (F.count("bg").cast("double") / F.count("*")).alias("contamination"),
+        )
+    )

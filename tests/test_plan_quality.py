@@ -269,3 +269,44 @@ def test_pgoutput_decode_is_narrow_single_python_pass(spark):
     # exactly one Python stage (the frame parser); projection is JVM-side
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_q6_filters_all_reach_the_scan(spark, queries):
+    # q6 is the pushdown showcase: every predicate is scan-eligible, so
+    # the whole WHERE clause must appear in PushedFilters — at 100 TB this
+    # is the difference between reading one year and reading everything
+    plan = _physical(queries["q6_forecast_revenue"](spark, SF_DIR))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    # toString truncates the filter list; all three predicate columns
+    # appearing in PushedFilters proves each predicate reached the scan
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # ...and the scan reads only the 4 needed columns of 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q19_disjunction_keeps_equi_join(spark, queries):
+    # the OR-of-ANDs predicate must ride on the partkey equi join, not
+    # degrade it into a nested-loop/cartesian shape
+    plan = _physical(queries["q19_disjunctive_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_subqueries_broadcast_not_collect(spark, queries):
+    # q11/q15/q22 compare against a global 1-row aggregate: the plan must
+    # broadcast that single row (BNLJ with a 1-row build side is the right
+    # physical form); a CartesianProduct would mean the cross join lost
+    # its broadcast
+    for name in ("q11_important_stock", "q15_top_supplier",
+                 "q22_global_sales_opportunity"):
+        plan = _physical(queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark, queries):
+    # the eval-set gram list is small at any corpus scale -> must be the
+    # broadcast build side; the corpus grams must never shuffle against it
+    plan = _physical(queries["decontaminate_ngram_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
