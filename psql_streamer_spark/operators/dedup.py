@@ -698,3 +698,147 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count("*").over(W.partitionBy("label")).alias("cluster_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup pairs: intersection over the SMALLER gram set.
+# Jaccard under-scores subset duplication (a doc embedded inside a much
+# larger one dilutes the union); containment >= threshold catches exactly
+# that partial-overlap class, which web-corpus pipelines quarantine
+# separately from symmetric near-dups. Same inverted-index shape as the
+# Jaccard verifier — only the denominator changes.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.5
+
+_SQL_CONTAINMENT_PAIRS = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / LEAST(ca.c, cb.c) AS containment
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / LEAST(ca.c, cb.c) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_containment_pairs", oracle=_SQL_CONTAINMENT_PAIRS)
+def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(load_table(spark, "documents", sf_dir)).persist()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    containment = F.col("n_common") * 1.0 / F.least(F.col("ca.c"), F.col("cb.c"))
+    result = (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    return persist_for(sh, result)
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: today's ingest delta vs the whole corpus. The
+# production shape at 100 TB — the accumulated corpus's band index is
+# already materialized (here: rebuilt, same plan); only delta x corpus
+# candidates are mined, so old-old pairs are never re-verified. Cost
+# scales with |delta| x collision rate, not |corpus|^2.
+# --------------------------------------------------------------------------
+DELTA_BUCKETS = 10
+DELTA_BUCKET = 7  # deterministic ~10% "new today" slice of doc_ids
+
+_SQL_DELTA_PRED = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    f" % {DELTA_BUCKETS} = {DELTA_BUCKET}"
+)
+
+_SQL_INCREMENTAL_LSH = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sql_minhash_aggs()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    newdocs AS (SELECT doc_id FROM documents WHERE {_SQL_DELTA_PRED}),
+    cand AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                      GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id <> b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM newdocs)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (ca.c + cb.c - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.c + cb.c - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_incremental_lsh_pairs", oracle=_SQL_INCREMENTAL_LSH)
+def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs touching the ingest delta (md5-bucket stand-in for
+    "arrived today"): the delta's band entries probe the full band index,
+    so every delta-corpus and delta-delta collision surfaces while
+    corpus-corpus pairs (already mined on previous days) are skipped.
+
+    The delta side is the small probe side; at real scale the corpus band
+    index is a bucketed table written at ingest (see compact_parquet) and
+    this join is delta-driven — shuffle cost O(|delta| bands), not
+    O(|corpus|^2). Exact-Jaccard verification runs on candidates only."""
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    sh = doc_shingles(load_table(spark, "documents", sf_dir)).persist()
+    sig = _minhash_signatures(spark, sf_dir, shingles=sh).persist()
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+            for b, key in band_key_exprs()
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    is_new = md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET
+    delta_banded = banded.filter(is_new).select(
+        F.col("doc_id").alias("n_doc_id"),
+        F.col("band").alias("n_band"),
+        F.col("band_key").alias("n_band_key"),
+    )
+    cand = (
+        delta_banded.join(
+            banded,
+            (F.col("n_band") == F.col("band"))
+            & (F.col("n_band_key") == F.col("band_key"))
+            & (F.col("n_doc_id") != F.col("doc_id")),
+        )
+        .select(
+            F.least("n_doc_id", "doc_id").alias("doc_a"),
+            F.greatest("n_doc_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    result = _jaccard_pairs(spark, sf_dir, candidates=cand, shingles=sh)
+    return persist_for(sh, persist_for(sig, result))

@@ -406,3 +406,87 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.element_at("e", 1)).cast("long").alias("q_first"),
         q(F.element_at("e", -1)).cast("long").alias("q_last"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means centroid training (Lloyd's): the "train" step the IVF index
+# above consumes. Iterative and therefore not SQL-expressible — registered
+# without an oracle (rows-only driver check); determinism and convergence
+# invariants are pinned in tests/test_quality_metrics.py.
+# --------------------------------------------------------------------------
+KM_K = 8
+KM_ITERS = 4
+
+
+def kmeans_assignments(
+    v: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Lloyd's iterations over (vec_id, e) rows; returns one row per vector
+    with its final cluster and squared L2 distance.
+
+    Scale design: centroids are MODEL STATE (k x dim doubles), never data —
+    they stay a broadcast k-row frame; assignment is a narrow map over the
+    corpus (crossJoin with k broadcast rows + argmin); the update is one
+    posexplode + per-(cluster, dim) average — a map-side-combined aggregate
+    over N*dim rows. Each iteration's centroid frame is localCheckpointed:
+    k rows, so the checkpoint is O(model), and the lineage never deepens
+    (the same discipline as connected_components — an un-truncated 10-iter
+    plan re-runs every previous assignment per action).
+
+    Init: the first k vec_ids (deterministic at every SF; vec_ids are
+    dense from 0). Distance = squared L2; ties broken by cluster id."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent = (
+        v.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("e").alias("ce"))
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", dist2)
+        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", "cluster_id", "d2")
+        )
+        prev = cent
+        cent = (
+            assign.select("cluster_id", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster_id",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("ce"),
+            )
+            .localCheckpoint()
+        )
+        prev.unpersist()
+    # final assignment against the trained centroids
+    scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", dist2)
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "d2")
+    )
+
+
+@register("embed_kmeans_clusters")  # iterative -> rows-only driver check
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster profile after KM_ITERS Lloyd's rounds: size and inertia
+    (sum of squared distances) per cluster."""
+    from psql_streamer_spark.functions.numeric import dsum
+
+    v = _vectors(spark, sf_dir)
+    a = kmeans_assignments(v)
+    return a.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        dsum("d2").alias("inertia"),
+    )

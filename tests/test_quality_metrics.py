@@ -5,6 +5,7 @@ loudly rather than fake silently."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from psql_streamer_spark.registry import all_queries
 from tests.conftest import SF_SMALL
@@ -241,3 +242,50 @@ def test_lsh_band_bucket_cap_guards_boilerplate_skew(spark):
     assert (200, 201) in capped
     assert not any(a in boiler_ids and b in boiler_ids for a, b in capped)
     assert len(capped) < 40
+
+
+def test_kmeans_inertia_decreases_and_is_deterministic(spark, sfdir):
+    """Lloyd's invariants: total inertia is non-increasing over rounds
+    (each assignment and each centroid update minimizes it), every vector
+    is assigned exactly once, and the whole training is a pure function of
+    the input (md5-free init from dense vec_ids -> rerun == rerun)."""
+    from psql_streamer_spark.operators.similarity import (
+        KM_K,
+        _vectors,
+        kmeans_assignments,
+    )
+
+    v = _vectors(spark, sfdir)
+    n = v.count()
+    inertias = []
+    for iters in (1, 2, 4):
+        a = kmeans_assignments(v, iters=iters)
+        agg = a.agg(F.sum("d2").alias("i"), F.count("*").alias("n")).collect()[0]
+        assert agg["n"] == n, "every vector assigned exactly once"
+        inertias.append(agg["i"])
+    assert inertias[0] >= inertias[1] >= inertias[2], inertias
+    # determinism: identical assignment on a fresh plan
+    a1 = kmeans_assignments(v).select("vec_id", "cluster_id")
+    a2 = kmeans_assignments(v).select("vec_id", "cluster_id")
+    assert a1.exceptAll(a2).count() == 0 and a2.exceptAll(a1).count() == 0
+    assert a1.select("cluster_id").distinct().count() <= KM_K
+
+
+def test_incremental_lsh_is_exactly_the_delta_touching_slice(spark, sfdir):
+    """The incremental miner must return precisely the full-run pairs that
+    touch the delta bucket — nothing dropped (a delta-corpus collision
+    skipped = a missed duplicate shipped to training), nothing extra."""
+    from psql_streamer_spark.operators.dedup import (
+        DELTA_BUCKET,
+        DELTA_BUCKETS,
+        dedup_incremental_lsh_pairs,
+        dedup_minhash_lsh_pairs,
+    )
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    full = dedup_minhash_lsh_pairs(spark, sfdir)
+    is_new = lambda c: md5_bucket(F.col(c), DELTA_BUCKETS) == DELTA_BUCKET  # noqa: E731
+    expected = full.filter(is_new("doc_a") | is_new("doc_b")).select("doc_a", "doc_b")
+    got = dedup_incremental_lsh_pairs(spark, sfdir).select("doc_a", "doc_b")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
