@@ -38,3 +38,60 @@ def persist_for(cached: DataFrame, result: DataFrame) -> DataFrame:
     """
     weakref.finalize(result, _safe_unpersist, cached)
     return result
+
+
+class MaterializedIndexCache:
+    """Bounded LRU registry of materialized (persisted + computed) index
+    frames, keyed by (application id, index name, dataset).
+
+    Index-building operators (MinHash signatures, LSH band tables,
+    centroid sets) are exactly the frames a serving engine would build
+    once and probe many times — rebuilding them per query throws away the
+    index's whole point, while per-query persists either leak (never
+    released) or thrash (released with the result, so the next identical
+    query rebuilds). This registry is the middle: repeat invocations in a
+    long-lived session reuse the materialized frame, the LRU bound caps
+    executor storage, and eviction unpersists immediately — the
+    accumulation the round-2 review flagged cannot recur.
+
+    Builders must return an ALREADY materialized frame (persist + a cheap
+    action): multi-referenced lazy caches get re-planned per reference by
+    AQE as independent query-stage trees, recomputing the subtree before
+    the cache fills. Entries are keyed by applicationId so frames from a
+    stopped session are never returned (their eviction unpersist is a
+    safe no-op). Invalidation on dataset mutation is out of scope — the
+    engine's sources are immutable snapshots (TESTDATA parquet)."""
+
+    def __init__(self, max_entries: int = 8) -> None:
+        import threading
+        from collections import OrderedDict
+
+        self.max_entries = max_entries
+        self._lru: OrderedDict[tuple, DataFrame] = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get_or_build(self, spark, name: str, dataset: str, build) -> DataFrame:
+        key = (spark.sparkContext.applicationId, name, dataset)
+        with self._lock:
+            if key in self._lru:
+                self._lru.move_to_end(key)
+                return self._lru[key]
+        df = build()  # outside the lock: builds run Spark jobs
+        with self._lock:
+            if key not in self._lru:
+                self._lru[key] = df
+            self._lru.move_to_end(key)
+            while len(self._lru) > self.max_entries:
+                _, old = self._lru.popitem(last=False)
+                _safe_unpersist(old)
+            return self._lru[key]
+
+    def clear(self) -> None:
+        with self._lock:
+            for df in self._lru.values():
+                _safe_unpersist(df)
+            self._lru.clear()
+
+
+#: Process-wide registry used by the index-building operators.
+INDEX_CACHE = MaterializedIndexCache()

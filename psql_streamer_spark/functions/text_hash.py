@@ -63,24 +63,27 @@ def shingles_expr(words: Column, k: int = 3) -> Column:
     )
 
 
-def doc_shingles(df: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index input for
-    Jaccard / MinHash. At 100 TB this is the frame to bucket by shingle.
+def doc_shingles(df: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs — the inverted-index input for Jaccard /
+    MinHash. At 100 TB this is the frame to bucket by shingle.
 
     The input is hash-repartitioned on doc_id first: shingling is
     CPU-heavy per row, and a small parquet file arrives as a single
     partition (one core does everything). The hash partitioning is also
     exactly what the downstream per-doc aggregations (minhash/simhash
-    groupBy doc_id) need, so Catalyst elides their shuffle."""
+    groupBy doc_id) need, so Catalyst elides their shuffle.
+
+    ``distinct=False`` skips the per-doc set semantics for consumers that
+    are duplicate-insensitive (min-hash: min over repeated hashes is the
+    min) — one less aggregate pass, and explode->hash->min-agg fuses into
+    a single codegen stage. Set-based consumers (Jaccard counts, simhash
+    bit sums) need the default."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(parallelism, "doc_id")
-        .select(
-            "doc_id",
-            F.explode(shingles_expr(words_expr(), k)).alias("shingle"),
-        )
-        .distinct()
+    out = df.repartition(parallelism, "doc_id").select(
+        "doc_id",
+        F.explode(shingles_expr(words_expr(), k)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_agg_columns() -> list[Column]:

