@@ -339,3 +339,40 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("bg").cast("double") / F.count("*")).alias("contamination"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-atomic split: near-dup clusters never straddle train/test.
+# --------------------------------------------------------------------------
+from psql_streamer_spark.operators.dedup import _SQL_LSH_CLUSTERS  # noqa: E402
+
+
+@register(
+    "split_cluster_atomic",
+    oracle=f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN {sql_md5_bucket("cluster_id", 10)} < 8 THEN 'train'
+                WHEN {sql_md5_bucket("cluster_id", 10)} = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({_SQL_LSH_CLUSTERS}) c
+    """,
+)
+def split_cluster_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 80/10/10 split at NEAR-DUP-CLUSTER granularity: the
+    split key is the cluster's canonical id (min doc_id over the LSH
+    near-dup component), so a document and all its near-duplicates land
+    in the same partition by construction — the failure mode
+    audit_split_leakage measures (train/test contamination through
+    near-identical text) cannot occur. Per-doc hashing
+    (split_train_val_test) cannot give this: two near-dup docs hash
+    independently.
+
+    Scale shape: reuses dedup_lsh_clusters (bucketed LSH pair mining +
+    alternating-star components, both 100 TB-safe) and adds only a
+    per-row hash — no new shuffle beyond the clustering itself."""
+    from psql_streamer_spark.operators.dedup import dedup_lsh_clusters
+
+    clusters = dedup_lsh_clusters(spark, sf_dir)
+    b = md5_bucket(F.col("cluster_id"), 10)
+    split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

@@ -455,3 +455,60 @@ def text_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pass") * F.lit(1.0) / F.col("n_docs")).alias("pass_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Repeated-passage mining: exact 8-gram passages shared across documents.
+# --------------------------------------------------------------------------
+_PASSAGE_K = 8
+_PASSAGE_MIN_DOCS = 3
+
+_SQL_PASSAGE_8 = " || ' ' || ".join(f"ws[i+{j}]" for j in range(_PASSAGE_K))
+
+_SQL_REPEATED_PASSAGES = f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - {_PASSAGE_K - 2}),
+                    i -> {_SQL_PASSAGE_8})) AS passage
+      FROM w
+    )
+    SELECT passage,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM g GROUP BY passage
+    HAVING COUNT(DISTINCT doc_id) >= {_PASSAGE_MIN_DOCS}
+"""
+
+
+@register("text_repeated_passages", oracle=_SQL_REPEATED_PASSAGES)
+def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/passage-level duplication: exact {k}-word passages
+    appearing in >= {m} distinct documents, with document reach and total
+    occurrence count. This is the passage analogue of document-level
+    dedup — license headers, navigation chrome, and templated intros
+    repeat across otherwise-distinct documents and survive doc-level
+    near-dup removal; passage mining finds the spans to strip (the
+    technique behind exact-substring training-data dedup).
+
+    Scale shape: one explode (docs x ~words rows) and ONE shuffle on the
+    passage. Multiplicity is kept (distinct=False) so n_occurrences
+    counts within-doc repeats too. Skew: a universally-shared passage is
+    one hot reduce key; partial_count runs map-side (count+count_distinct
+    partials), and dropping top-frequency stopword-only passages upstream
+    is the documented mitigation if a corpus makes one key pathological.
+    """.format(k=_PASSAGE_K, m=_PASSAGE_MIN_DOCS)
+    from psql_streamer_spark.functions.text_hash import doc_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    g = doc_shingles(d, k=_PASSAGE_K, distinct=False).withColumnRenamed(
+        "shingle", "passage"
+    )
+    return (
+        g.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _PASSAGE_MIN_DOCS)
+    )

@@ -326,3 +326,34 @@ def test_incremental_lsh_is_exactly_the_delta_touching_slice(spark, sfdir):
     got = dedup_incremental_lsh_pairs(spark, sfdir).select("doc_a", "doc_b")
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cluster_atomic_split_never_straddles_near_dup_pairs(spark):
+    """The property split_cluster_atomic exists for: every mined near-dup
+    pair has both endpoints in the same split (else the test set leaks
+    near-copies of training documents)."""
+    from psql_streamer_spark.operators.dedup import dedup_minhash_lsh_pairs
+    from psql_streamer_spark.operators.mlprep import split_cluster_atomic
+
+    splits = split_cluster_atomic(spark, SF_SMALL)
+    pairs = dedup_minhash_lsh_pairs(spark, SF_SMALL)
+    j = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        ).join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    assert j.filter(F.col("sa") != F.col("sb")).count() == 0
+    # and the split covers every document exactly once
+    from psql_streamer_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, "documents", SF_SMALL).count()
+    assert splits.count() == n_docs
+    assert splits.select("doc_id").distinct().count() == n_docs
