@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata timestamps are written without isAdjustedToUTC; read
+        # them as plain TIMESTAMP (UTC session) rather than TIMESTAMP_NTZ
+        # so the whole builtin surface (unix_millis, to_utc_timestamp, ...)
+        # and the UTC-naive DuckDB oracle see one uniform type.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Split small inputs across all cores: with the default 128 MiB
         # maxPartitionBytes a 10 MiB bench file scans in ONE task and the
         # whole partial-aggregate runs single-threaded. minPartitionNum is

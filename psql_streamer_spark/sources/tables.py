@@ -41,16 +41,38 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # Determinism contract: all timestamp semantics are UTC, regardless of
     # what session the caller hands us (the oracle/DuckDB side is UTC-naive).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Read parquet timestamps written without isAdjustedToUTC as plain
+    # TIMESTAMP (LTZ) at the SCAN, not via a post-scan cast — a cast on top
+    # of the scan would block predicate pushdown on timestamp filters.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+        return _normalize_timestamps(_load_events(spark, path))
+    return _normalize_timestamps(spark.read.parquet(path))
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Parquet `timestamp[us]` written without isAdjustedToUTC reads as
+    TIMESTAMP_NTZ in Spark 4, which half the timestamp builtins
+    (unix_millis, to_utc_timestamp, ...) reject. The session timezone is
+    pinned to UTC, so casting NTZ → LTZ preserves every instant bit-for-bit
+    while restoring the uniform `timestamp` type the whole operator surface
+    (and the UTC-naive DuckDB oracle) assumes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. Read nanos as long (legacy conf) and convert
-    to a microsecond timestamp — the data carries no sub-microsecond parts
-    (verified against the raw files), so the conversion is lossless.
+    """Earlier driver generations wrote events.ts as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright.
+    Read nanos as long (legacy conf) and convert to a microsecond
+    timestamp — the data carries no sub-microsecond parts. Current
+    generations write timestamp[us] and skip this path entirely.
     """
     from pyspark.sql import functions as F
 
