@@ -258,6 +258,65 @@ def mlprep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SALT_STREAMS = 8
+
+
+@register(
+    "mlprep_pack_sequences_salted",
+    oracle=f"""
+    SELECT doc_id, source,
+           {sql_md5_bucket("doc_id", PACK_SALT_STREAMS)} AS salt,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(FLOOR((SUM(len(ws)) OVER (
+                         PARTITION BY source, {sql_md5_bucket("doc_id", PACK_SALT_STREAMS)}
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - len(ws)) / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS pack_id
+    FROM (SELECT doc_id, source, {{ws}} AS ws FROM documents)
+    """.format(ws="list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"),
+)
+def mlprep_pack_sequences_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (salted) sequence packing — the 100 TB shape.
+
+    mlprep_pack_sequences' single window per source serializes a skewed
+    mega-source into ONE task (its own documented scale-killer). Here each
+    source is salted into {PACK_SALT_STREAMS} deterministic sub-streams
+    (md5 of doc_id — retry/repartition-stable like every split in this
+    module) and the running-sum window packs WITHIN (source, salt): the
+    mega-source's window becomes K independent tasks, and a pack is
+    addressed by the composite key (source, salt, pack_id). Packing
+    quality cost is at most one under-filled pack per sub-stream — at a
+    512-token budget that is noise against K-way parallelism.
+
+    Plan shape: the window exchange hash-partitions on BOTH source and
+    salt (plan-tested), so no single reducer owns a whole source."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(words_expr())
+    salt = md5_bucket(F.col("doc_id"), PACK_SALT_STREAMS)
+    salted = d.select(
+        "doc_id", "source", salt.alias("salt"), n_tokens.alias("nt")
+    )
+    w = (
+        W.partitionBy("source", "salt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("nt").over(w)
+    return salted.select(
+        "doc_id",
+        "source",
+        "salt",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.floor((cum - F.col("nt")) / F.lit(float(PACK_BUDGET_TOKENS))).alias(
+            "pack_id"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Benchmark decontamination: n-gram overlap against a held-out eval set.
 # Standard LLM-corpus hygiene (the reference has no analogue; engine scope

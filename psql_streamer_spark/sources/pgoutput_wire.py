@@ -5,10 +5,14 @@ This is the binary decode the reference performs via the pgoutput library
 Delete and drops Begin/Commit; :379-428 decodes tuples against the cached
 relation with a type whitelist). The message formats implemented here are
 PostgreSQL's *documented* logical streaming replication protocol
-("Logical Replication Message Formats", protocol version 1): single-byte
-message kind, big-endian fixed-width integers, NUL-terminated strings,
-and TupleData columns flagged 'n' (null) / 'u' (unchanged TOAST) /
-'t' (text-format value) / 'b' (binary-format value).
+("Logical Replication Message Formats"): single-byte message kind,
+big-endian fixed-width integers, NUL-terminated strings, and TupleData
+columns flagged 'n' (null) / 'u' (unchanged TOAST) / 't' (text-format
+value) / 'b' (binary-format value). Protocol v1 messages plus the v2
+stream messages (Stream Start/Stop/Commit/Abort and the in-stream xid
+prefix, PG 14+ ``streaming=on``) — the reference pins v1
+(source/postgres/postgres.go:205-219), so v2 overtakes it where a modern
+publisher's large in-progress transactions would hit first.
 
 Design split:
 - this module: stateless ``parse_message`` / ``encode_*`` plus a
@@ -192,18 +196,69 @@ def datetime_to_pg_micros(dt: datetime) -> int:
 # --------------------------------------------------------------------------
 # Message parser.
 # --------------------------------------------------------------------------
-def parse_message(data: bytes) -> dict:
+#: Kinds that carry an in-stream Int32 xid prefix when they arrive inside
+#: a Stream Start/Stop block (protocol v2, PG 14+ ``streaming=on`` slots).
+_STREAMABLE_KINDS = frozenset("RYIUDT")
+
+
+def _with_xid(out: dict, xid: int | None) -> dict:
+    if xid is not None:
+        out["xid"] = xid
+    return out
+
+
+def parse_message(data: bytes, in_stream: bool = False) -> dict:
     """Parse one pgoutput frame into a plain dict tagged with ``kind``.
 
     Kinds: begin, commit, origin, relation, type, insert, update, delete,
-    truncate. Raises ProtocolError on malformed input (callers on the
-    distributed path convert that to an error record, the commit-and-skip
-    behavior of the reference's event-error counter, postgres.go:336-340).
+    truncate, plus the protocol-v2 stream control messages stream_start,
+    stream_stop, stream_commit, stream_abort (PG 14+ slots created with
+    ``streaming=on``; the reference pins proto_version '1' and never sees
+    these, source/postgres/postgres.go:205-219 — we decode them so a
+    modern publisher's large in-progress transactions work).
+
+    ``in_stream``: protocol v2 prefixes every data message BETWEEN a
+    Stream Start and its Stream Stop with the Int32 xid of the streamed
+    transaction; the frame does not self-describe, so the caller tracks
+    stream state (see StreamAssembler) and passes it here. Streamed data
+    messages gain an ``xid`` key.
+
+    Raises ProtocolError on malformed input (callers on the distributed
+    path convert that to an error record, the commit-and-skip behavior of
+    the reference's event-error counter, postgres.go:336-340).
     """
     if not data:
         raise ProtocolError("empty frame")
     r = _Reader(data)
     kind = r.byte1()
+
+    stream_xid: int | None = None
+    if in_stream and kind in _STREAMABLE_KINDS:
+        stream_xid = r.uint32()
+
+    if kind == "S":
+        return {
+            "kind": "stream_start",
+            "xid": r.uint32(),
+            "first_segment": r.int8() == 1,
+        }
+    if kind == "E":
+        return {"kind": "stream_stop"}
+    if kind == "c":
+        return {
+            "kind": "stream_commit",
+            "xid": r.uint32(),
+            "flags": r.int8(),
+            "commit_lsn": r.uint64(),
+            "end_lsn": r.uint64(),
+            "commit_ts": pg_micros_to_datetime(r.int64()),
+        }
+    if kind == "A":
+        return {
+            "kind": "stream_abort",
+            "xid": r.uint32(),
+            "subxid": r.uint32(),
+        }
 
     if kind == "B":
         return {
@@ -239,27 +294,36 @@ def parse_message(data: bytes) -> dict:
             type_oid = r.uint32()
             type_mod = r.int32()
             cols.append(Column(cname, type_oid, bool(flags & 1), type_mod))
-        return {
-            "kind": "relation",
-            "relation": Relation(relation_id, namespace, name, replica, cols),
-        }
+        return _with_xid(
+            {
+                "kind": "relation",
+                "relation": Relation(relation_id, namespace, name, replica, cols),
+            },
+            stream_xid,
+        )
     if kind == "Y":
-        return {
-            "kind": "type",
-            "type_oid": r.uint32(),
-            "namespace": r.cstring(),
-            "name": r.cstring(),
-        }
+        return _with_xid(
+            {
+                "kind": "type",
+                "type_oid": r.uint32(),
+                "namespace": r.cstring(),
+                "name": r.cstring(),
+            },
+            stream_xid,
+        )
     if kind == "I":
         relation_id = r.uint32()
         marker = r.byte1()
         if marker != "N":
             raise ProtocolError(f"insert: expected 'N' tuple marker, got {marker!r}")
-        return {
-            "kind": "insert",
-            "relation_id": relation_id,
-            "new_tuple": _read_tuple(r),
-        }
+        return _with_xid(
+            {
+                "kind": "insert",
+                "relation_id": relation_id,
+                "new_tuple": _read_tuple(r),
+            },
+            stream_xid,
+        )
     if kind == "U":
         relation_id = r.uint32()
         old_tuple = None
@@ -271,32 +335,41 @@ def parse_message(data: bytes) -> dict:
             marker = r.byte1()
         if marker != "N":
             raise ProtocolError(f"update: expected 'N' tuple marker, got {marker!r}")
-        return {
-            "kind": "update",
-            "relation_id": relation_id,
-            "old_kind": old_kind,
-            "old_tuple": old_tuple,
-            "new_tuple": _read_tuple(r),
-        }
+        return _with_xid(
+            {
+                "kind": "update",
+                "relation_id": relation_id,
+                "old_kind": old_kind,
+                "old_tuple": old_tuple,
+                "new_tuple": _read_tuple(r),
+            },
+            stream_xid,
+        )
     if kind == "D":
         relation_id = r.uint32()
         marker = r.byte1()
         if marker not in ("K", "O"):
             raise ProtocolError(f"delete: expected 'K'/'O' tuple marker, got {marker!r}")
-        return {
-            "kind": "delete",
-            "relation_id": relation_id,
-            "old_kind": marker,
-            "old_tuple": _read_tuple(r),
-        }
+        return _with_xid(
+            {
+                "kind": "delete",
+                "relation_id": relation_id,
+                "old_kind": marker,
+                "old_tuple": _read_tuple(r),
+            },
+            stream_xid,
+        )
     if kind == "T":
         nrels = r.uint32()
         options = r.int8()
-        return {
-            "kind": "truncate",
-            "options": options,
-            "relation_ids": [r.uint32() for _ in range(nrels)],
-        }
+        return _with_xid(
+            {
+                "kind": "truncate",
+                "options": options,
+                "relation_ids": [r.uint32() for _ in range(nrels)],
+            },
+            stream_xid,
+        )
     raise ProtocolError(f"unknown message kind {kind!r}")
 
 
@@ -376,6 +449,71 @@ def _parse_text_value(type_oid: int, raw: bytes) -> object:
 
 
 # --------------------------------------------------------------------------
+# Protocol-v2 stream reassembly.
+# --------------------------------------------------------------------------
+class StreamAssembler:
+    """Reassembles protocol-v2 streamed transactions into commit-ordered
+    message lists.
+
+    PG 14+ publishers with ``streaming=on`` ship a large in-progress
+    transaction as interleaved Stream Start/Stop segments, then a Stream
+    Commit or Stream Abort. Data messages inside a segment carry the xid of
+    the (sub)transaction that produced them — that per-message xid is what
+    lets a subscriber discard exactly an aborted *sub*transaction's changes
+    while keeping the rest (Stream Abort carries (xid, subxid); subxid ==
+    xid means the whole transaction rolled back).
+
+    ``feed(frame)`` parses one frame and returns the messages that became
+    *final* because of it: non-streamed messages immediately, a streamed
+    transaction's buffered messages (+ its commit) only at Stream Commit —
+    so downstream sees only committed data, the same only-committed
+    contract the reference gets for free from its v1 subscription
+    (source/postgres/postgres.go:205-219). Buffers are driver-side and
+    bounded by logical_decoding_work_mem-triggered segment sizes upstream.
+    """
+
+    def __init__(self) -> None:
+        self._in_stream_xid: int | None = None
+        #: toplevel xid -> ordered [(msg_xid, parsed message)]
+        self._buffers: dict[int, list[tuple[int, dict]]] = {}
+
+    @property
+    def in_stream(self) -> bool:
+        return self._in_stream_xid is not None
+
+    def pending_xids(self) -> list[int]:
+        return sorted(self._buffers)
+
+    def feed(self, data: bytes) -> list[dict]:
+        m = parse_message(data, in_stream=self.in_stream)
+        kind = m["kind"]
+        if kind == "stream_start":
+            self._in_stream_xid = m["xid"]
+            self._buffers.setdefault(m["xid"], [])
+            return []
+        if kind == "stream_stop":
+            self._in_stream_xid = None
+            return []
+        if kind == "stream_commit":
+            buffered = self._buffers.pop(m["xid"], [])
+            return [msg for _, msg in buffered] + [m]
+        if kind == "stream_abort":
+            xid, subxid = m["xid"], m["subxid"]
+            if subxid == xid:
+                self._buffers.pop(xid, None)
+            elif xid in self._buffers:
+                self._buffers[xid] = [
+                    (mx, msg) for mx, msg in self._buffers[xid] if mx != subxid
+                ]
+            return []
+        if self._in_stream_xid is not None:
+            msg_xid = m.get("xid", self._in_stream_xid)
+            self._buffers[self._in_stream_xid].append((msg_xid, m))
+            return []
+        return [m]
+
+
+# --------------------------------------------------------------------------
 # Encoders (fixture builders / protocol inverse).
 # --------------------------------------------------------------------------
 def _cstr(s: str) -> bytes:
@@ -419,9 +557,35 @@ def encode_commit(
     )
 
 
-def encode_relation(rel: Relation) -> bytes:
+def _xid_prefix(xid: int | None) -> bytes:
+    """Protocol-v2 in-stream xid prefix (empty outside a stream)."""
+    return b"" if xid is None else struct.pack(">I", xid)
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">Ib", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(
+    xid: int, commit_lsn: int, end_lsn: int, commit_ts: datetime, flags: int = 0
+) -> bytes:
+    return b"c" + struct.pack(
+        ">IbQQq", xid, flags, commit_lsn, end_lsn, datetime_to_pg_micros(commit_ts)
+    )
+
+
+def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
+    return b"A" + struct.pack(">II", xid, subxid if subxid is not None else xid)
+
+
+def encode_relation(rel: Relation, xid: int | None = None) -> bytes:
     out = [
         b"R",
+        _xid_prefix(xid),
         struct.pack(">I", rel.relation_id),
         _cstr(rel.namespace),
         _cstr(rel.name),
@@ -436,8 +600,18 @@ def encode_relation(rel: Relation) -> bytes:
     return b"".join(out)
 
 
-def encode_insert(relation_id: int, new_tuple: list[tuple[str, bytes | None]]) -> bytes:
-    return b"I" + struct.pack(">I", relation_id) + b"N" + _encode_tuple(new_tuple)
+def encode_insert(
+    relation_id: int,
+    new_tuple: list[tuple[str, bytes | None]],
+    xid: int | None = None,
+) -> bytes:
+    return (
+        b"I"
+        + _xid_prefix(xid)
+        + struct.pack(">I", relation_id)
+        + b"N"
+        + _encode_tuple(new_tuple)
+    )
 
 
 def encode_update(
@@ -445,8 +619,9 @@ def encode_update(
     new_tuple: list[tuple[str, bytes | None]],
     old_tuple: list[tuple[str, bytes | None]] | None = None,
     old_kind: str = "K",
+    xid: int | None = None,
 ) -> bytes:
-    out = [b"U", struct.pack(">I", relation_id)]
+    out = [b"U", _xid_prefix(xid), struct.pack(">I", relation_id)]
     if old_tuple is not None:
         out.append(old_kind.encode() + _encode_tuple(old_tuple))
     out.append(b"N" + _encode_tuple(new_tuple))
@@ -457,7 +632,12 @@ def encode_delete(
     relation_id: int,
     old_tuple: list[tuple[str, bytes | None]],
     old_kind: str = "K",
+    xid: int | None = None,
 ) -> bytes:
-    return b"D" + struct.pack(">I", relation_id) + old_kind.encode() + _encode_tuple(
-        old_tuple
+    return (
+        b"D"
+        + _xid_prefix(xid)
+        + struct.pack(">I", relation_id)
+        + old_kind.encode()
+        + _encode_tuple(old_tuple)
     )

@@ -35,6 +35,16 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one testdata table.
+
+    SESSION-WIDE CONTRACT (intentional, persists after this call): pins
+    ``spark.sql.session.timeZone=UTC`` and disables parquet NTZ inference
+    for the WHOLE session — every subsequent parquet read in this session
+    (including non-testdata paths the caller reads directly) sees
+    timestamps as UTC LTZ, not NTZ. This is the engine's determinism
+    contract with the UTC-naive DuckDB oracle; a caller needing other
+    semantics must set the confs back explicitly.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -46,22 +56,47 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # of the scan would block predicate pushdown on timestamp filters.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        return _normalize_timestamps(_load_events(spark, path))
-    return _normalize_timestamps(spark.read.parquet(path))
+        return _normalize_timestamps(spark, _load_events(spark, path))
+    return _normalize_timestamps(spark, spark.read.parquet(path))
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
+def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Parquet `timestamp[us]` written without isAdjustedToUTC reads as
     TIMESTAMP_NTZ in Spark 4, which half the timestamp builtins
     (unix_millis, to_utc_timestamp, ...) reject. The session timezone is
     pinned to UTC, so casting NTZ → LTZ preserves every instant bit-for-bit
     while restoring the uniform `timestamp` type the whole operator surface
     (and the UTC-naive DuckDB oracle) assumes.
+
+    With inferTimestampNTZ disabled in load_table this loop is normally a
+    no-op (the scan itself yields LTZ). When it DOES fire (a caller
+    re-enabled inference), two things matter: (a) the NTZ→LTZ cast is only
+    instant-preserving while the session timezone is UTC at *execution*
+    time — plans are lazy, so we assert UTC here at build time and rely on
+    load_table having pinned it for the action; (b) a post-scan cast blocks
+    timestamp predicate pushdown — so we warn loudly rather than silently
+    losing the scan-level filters this module's header promises.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"NTZ timestamp fallback requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the NTZ->LTZ cast would shift instants"
+        )
+    import warnings
+
+    warnings.warn(
+        f"NTZ fallback rewriting timestamp columns {ntz}: post-scan casts "
+        f"block predicate pushdown on these columns (inferTimestampNTZ was "
+        f"re-enabled after load_table disabled it)",
+        stacklevel=3,
+    )
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -217,6 +217,163 @@ class TestWhitelistAndErrors:
             parse_message(frame)
 
 
+# Protocol v2 (PG 14+ streaming=on): handcrafted golden frames, same
+# technique as above. The reference pins proto_version '1'
+# (source/postgres/postgres.go:205-219) and never decodes these — we do,
+# so a modern publisher's large in-progress transactions work.
+STREAM_START_FRAME = b"S" + struct.pack(">Ib", 777, 1)
+STREAM_STOP_FRAME = b"E"
+STREAM_COMMIT_FRAME = b"c" + struct.pack(">IbQQq", 777, 0, 0x100, 0x110, 0)
+STREAM_ABORT_FRAME = b"A" + struct.pack(">II", 777, 777)
+STREAM_ABORT_SUBXACT_FRAME = b"A" + struct.pack(">II", 777, 778)
+# in-stream data messages: Int32 xid immediately after the kind byte
+STREAMED_INSERT_FRAME = (
+    b"I"
+    + struct.pack(">I", 777)
+    + struct.pack(">I", REL_ID)
+    + b"N"
+    + struct.pack(">H", 2)
+    + b"t" + struct.pack(">i", 6) + b"400166"
+    + b"t" + struct.pack(">i", 1) + b"a"
+)
+SUBXACT_INSERT_FRAME = (
+    b"I"
+    + struct.pack(">I", 778)  # subtransaction xid
+    + struct.pack(">I", REL_ID)
+    + b"N"
+    + struct.pack(">H", 1)
+    + b"t" + struct.pack(">i", 1) + b"z"
+)
+
+
+class TestProtocolV2Stream:
+    def test_stream_start(self):
+        m = parse_message(STREAM_START_FRAME)
+        assert m == {"kind": "stream_start", "xid": 777, "first_segment": True}
+
+    def test_stream_stop(self):
+        assert parse_message(STREAM_STOP_FRAME) == {"kind": "stream_stop"}
+
+    def test_stream_commit(self):
+        m = parse_message(STREAM_COMMIT_FRAME)
+        assert m["kind"] == "stream_commit"
+        assert m["xid"] == 777
+        assert m["commit_lsn"] == 0x100
+        assert m["end_lsn"] == 0x110
+        assert m["commit_ts"] == datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+    def test_stream_abort(self):
+        m = parse_message(STREAM_ABORT_FRAME)
+        assert m == {"kind": "stream_abort", "xid": 777, "subxid": 777}
+
+    def test_in_stream_xid_prefix(self):
+        m = parse_message(STREAMED_INSERT_FRAME, in_stream=True)
+        assert m["kind"] == "insert"
+        assert m["xid"] == 777
+        assert m["relation_id"] == REL_ID
+        assert m["new_tuple"] == [("t", b"400166"), ("t", b"a")]
+
+    def test_same_bytes_without_stream_context_misparse_guard(self):
+        # the frame does NOT self-describe: outside a stream the xid bytes
+        # get read as the relation_id and the parse derails at the tuple
+        # marker — which is why the caller must track stream state
+        # (StreamAssembler does)
+        with pytest.raises(ProtocolError):
+            parse_message(STREAMED_INSERT_FRAME, in_stream=False)
+
+    def test_v2_encoders_invert_parser(self):
+        from psql_streamer_spark.sources.pgoutput_wire import (
+            encode_stream_abort,
+            encode_stream_commit,
+            encode_stream_start,
+            encode_stream_stop,
+        )
+
+        assert encode_stream_start(777) == STREAM_START_FRAME
+        assert encode_stream_stop() == STREAM_STOP_FRAME
+        assert (
+            encode_stream_commit(
+                777, 0x100, 0x110, datetime(2000, 1, 1, tzinfo=timezone.utc)
+            )
+            == STREAM_COMMIT_FRAME
+        )
+        assert encode_stream_abort(777) == STREAM_ABORT_FRAME
+        assert encode_stream_abort(777, 778) == STREAM_ABORT_SUBXACT_FRAME
+        assert encode_insert(REL_ID, [text_col(400166), text_col("a")], xid=777) == (
+            STREAMED_INSERT_FRAME
+        )
+
+    def test_assembler_emits_only_on_stream_commit(self):
+        from psql_streamer_spark.sources.pgoutput_wire import StreamAssembler
+
+        asm = StreamAssembler()
+        assert asm.feed(STREAM_START_FRAME) == []
+        assert asm.feed(STREAMED_INSERT_FRAME) == []
+        assert asm.feed(STREAM_STOP_FRAME) == []
+        assert asm.pending_xids() == [777]
+        out = asm.feed(STREAM_COMMIT_FRAME)
+        assert [m["kind"] for m in out] == ["insert", "stream_commit"]
+        assert out[0]["new_tuple"] == [("t", b"400166"), ("t", b"a")]
+        assert asm.pending_xids() == []
+
+    def test_assembler_abort_drops_whole_transaction(self):
+        from psql_streamer_spark.sources.pgoutput_wire import StreamAssembler
+
+        asm = StreamAssembler()
+        asm.feed(STREAM_START_FRAME)
+        asm.feed(STREAMED_INSERT_FRAME)
+        asm.feed(STREAM_STOP_FRAME)
+        assert asm.feed(STREAM_ABORT_FRAME) == []
+        assert asm.pending_xids() == []
+        # a later commit for the aborted xid yields only the commit itself
+        assert [m["kind"] for m in asm.feed(STREAM_COMMIT_FRAME)] == [
+            "stream_commit"
+        ]
+
+    def test_assembler_subxact_abort_drops_only_subxact_changes(self):
+        from psql_streamer_spark.sources.pgoutput_wire import StreamAssembler
+
+        asm = StreamAssembler()
+        asm.feed(STREAM_START_FRAME)
+        asm.feed(STREAMED_INSERT_FRAME)      # xid 777 (toplevel)
+        asm.feed(SUBXACT_INSERT_FRAME)       # xid 778 (subxact)
+        asm.feed(STREAM_STOP_FRAME)
+        asm.feed(STREAM_ABORT_SUBXACT_FRAME)  # aborts subxact 778 only
+        out = asm.feed(STREAM_COMMIT_FRAME)
+        assert [m["kind"] for m in out] == ["insert", "stream_commit"]
+        assert out[0]["xid"] == 777
+
+    def test_assembler_interleaved_segments(self):
+        from psql_streamer_spark.sources.pgoutput_wire import (
+            StreamAssembler,
+            encode_stream_commit,
+            encode_stream_start,
+        )
+
+        asm = StreamAssembler()
+        # segment of xid 777, then a segment of xid 900, then commits
+        asm.feed(STREAM_START_FRAME)
+        asm.feed(STREAMED_INSERT_FRAME)
+        asm.feed(STREAM_STOP_FRAME)
+        asm.feed(encode_stream_start(900))
+        asm.feed(encode_insert(REL_ID, [text_col("other")], xid=900))
+        asm.feed(STREAM_STOP_FRAME)
+        assert asm.pending_xids() == [777, 900]
+        ts = datetime(2000, 1, 1, tzinfo=timezone.utc)
+        out900 = asm.feed(encode_stream_commit(900, 0x200, 0x210, ts))
+        assert [m["xid"] for m in out900[:-1]] == [900]
+        out777 = asm.feed(STREAM_COMMIT_FRAME)
+        assert out777[0]["new_tuple"] == [("t", b"400166"), ("t", b"a")]
+
+    def test_assembler_passes_through_non_streamed(self):
+        from psql_streamer_spark.sources.pgoutput_wire import StreamAssembler
+
+        asm = StreamAssembler()
+        out = asm.feed(INSERT_FRAME)
+        assert [m["kind"] for m in out] == ["insert"]
+        assert out[0]["relation_id"] == REL_ID
+
+
 class TestSparkDecode:
     """Distributed decode over an in-memory frame stream."""
 

@@ -310,3 +310,15 @@ def test_decontamination_broadcasts_benchmark_grams(spark, queries):
     plan = _physical(queries["decontaminate_ngram_overlap"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_packing_window_partitions_on_source_and_salt(spark, queries):
+    # hierarchical packing exists to break the one-task-per-source window:
+    # the window exchange must hash-partition on BOTH source and salt so a
+    # skewed mega-source spreads over K reducers
+    plan = _physical(queries["mlprep_pack_sequences_salted"](spark, SF_DIR))
+    part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("source" in l and "salt" in l for l in part_lines), part_lines
+    # and the window itself sorts within (source, salt)
+    window_sorts = [l for l in plan.splitlines() if "Sort " in l]
+    assert any("salt" in l for l in window_sorts), window_sorts
