@@ -19,6 +19,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -922,3 +924,109 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = _jaccard_pairs(spark, sf_dir, candidates=cand, shingles=sh)
     return persist_for(sh, persist_for(sig, result))
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a MATERIALIZED band index — the docstring
+# above made the production claim; this operator exercises it. The corpus
+# band index is written ONCE as a bucketed table (bucketed on the band
+# join key, the "written at ingest" artifact); the delta probes it with a
+# bucket-local join — the corpus is never re-shuffled, plan-asserted.
+# --------------------------------------------------------------------------
+BAND_INDEX_BUCKETS = 16
+
+
+def band_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once bucketed band-index table for a dataset snapshot.
+
+    (doc_id, bkey) rows where bkey folds the band number into the band
+    signature (``<band>|<key>`` — bijective with the (band, band_key)
+    pair), bucketed AND sorted by bkey. The composite key matters: Spark
+    only treats two bucketed scans as co-partitioned when the bucket
+    column IS the full join key (requireAllClusterKeysForCoPartition
+    defaults true), so bucketing on a composite single key gives the
+    delta-vs-corpus join bucket-local execution — NO exchange on either
+    side, only intra-partition sorts. At ingest scale this table is
+    appended per batch and compacted (sources/io.compact_parquet); here it
+    is written on first use per session (the default in-memory catalog
+    scopes table metadata to the session; files land in the gitignored
+    warehouse dir) and reused by every later invocation."""
+    import re
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"band_index_{tag}"
+    if not spark.catalog.tableExists(table):
+        # the default in-memory catalog forgets the table on session stop
+        # but the files survive in the warehouse dir — clear a stale
+        # location so the rebuild (deterministic content) can write
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        sig = _minhash_signatures(spark, sf_dir)
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+                for b, key in band_key_exprs()
+            ]
+        )
+        banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+            "doc_id",
+            F.concat_ws(
+                "|", F.col("bk.band").cast("string"), F.col("bk.band_key")
+            ).alias("bkey"),
+        )
+        (
+            banded.write.bucketBy(BAND_INDEX_BUCKETS, "bkey")
+            .sortBy("bkey")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    return table
+
+
+def materialized_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta x corpus candidate pairs mined from the bucketed band index.
+
+    Both sides are scans of the SAME bucketed table (the delta side is a
+    filter over it), so the band-collision join runs bucket-local: zero
+    Exchange under the join (plan-tested) — the property that makes daily
+    incremental dedup affordable when the corpus index is 100 TB and the
+    delta is 0.1% of it. The only shuffle in this frame is the candidate
+    distinct, which operates on |candidates|, not |corpus|."""
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    banded = spark.table(band_index_table(spark, sf_dir))
+    is_new = md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET
+    delta = banded.filter(is_new).select(
+        F.col("doc_id").alias("n_doc_id"),
+        F.col("bkey").alias("n_bkey"),
+    )
+    return (
+        delta.join(
+            banded,
+            (F.col("n_bkey") == F.col("bkey"))
+            & (F.col("n_doc_id") != F.col("doc_id")),
+        )
+        .select(
+            F.least("n_doc_id", "doc_id").alias("doc_a"),
+            F.greatest("n_doc_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+@register("dedup_incremental_materialized_pairs", oracle=_SQL_INCREMENTAL_LSH)
+def dedup_incremental_materialized_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_incremental_lsh_pairs with the band index actually
+    materialized as a bucketed table instead of rebuilt per call — same
+    result (same oracle), the plan a production ingest pipeline runs:
+    write the index at ingest, probe it from each day's delta with a
+    bucket-local join, verify exact Jaccard on candidates only."""
+    cand = materialized_band_candidates(spark, sf_dir)
+    return _jaccard_pairs(spark, sf_dir, candidates=cand)

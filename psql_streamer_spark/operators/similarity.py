@@ -309,6 +309,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
+    return _ivf_probe_topk(v, cent)
+
+
+def _ivf_probe_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF probe: cell assignment + probe-cell ranking against a
+    (cent_id, ce, cnrm) model frame — always broadcast; the centroid set
+    is O(model), never O(data)."""
     sim_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     ranked = (
         v.crossJoin(F.broadcast(cent))
@@ -418,23 +425,12 @@ KM_K = 8
 KM_ITERS = 4
 
 
-def kmeans_assignments(
+def kmeans_centroids(
     v: DataFrame, k: int = KM_K, iters: int = KM_ITERS
 ) -> DataFrame:
-    """Lloyd's iterations over (vec_id, e) rows; returns one row per vector
-    with its final cluster and squared L2 distance.
-
-    Scale design: centroids are MODEL STATE (k x dim doubles), never data —
-    they stay a broadcast k-row frame; assignment is a narrow map over the
-    corpus (crossJoin with k broadcast rows + argmin); the update is one
-    posexplode + per-(cluster, dim) average — a map-side-combined aggregate
-    over N*dim rows. Each iteration's centroid frame is localCheckpointed:
-    k rows, so the checkpoint is O(model), and the lineage never deepens
-    (the same discipline as connected_components — an un-truncated 10-iter
-    plan re-runs every previous assignment per action).
-
-    Init: the first k vec_ids (deterministic at every SF; vec_ids are
-    dense from 0). Distance = squared L2; ties broken by cluster id."""
+    """Trained (cluster_id, ce) centroid frame after ``iters`` Lloyd's
+    rounds — the model artifact; see kmeans_assignments for the design
+    notes. The returned frame is localCheckpointed (k rows)."""
     dist2 = F.aggregate(
         F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -445,7 +441,6 @@ def kmeans_assignments(
         .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("e").alias("ce"))
         .localCheckpoint()
     )
-    assign = None
     for _ in range(iters):
         scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", dist2)
         w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
@@ -468,6 +463,32 @@ def kmeans_assignments(
             .localCheckpoint()
         )
         prev.unpersist()
+    return cent
+
+
+def kmeans_assignments(
+    v: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Lloyd's iterations over (vec_id, e) rows; returns one row per vector
+    with its final cluster and squared L2 distance.
+
+    Scale design: centroids are MODEL STATE (k x dim doubles), never data —
+    they stay a broadcast k-row frame; assignment is a narrow map over the
+    corpus (crossJoin with k broadcast rows + argmin); the update is one
+    posexplode + per-(cluster, dim) average — a map-side-combined aggregate
+    over N*dim rows. Each iteration's centroid frame is localCheckpointed:
+    k rows, so the checkpoint is O(model), and the lineage never deepens
+    (the same discipline as connected_components — an un-truncated 10-iter
+    plan re-runs every previous assignment per action).
+
+    Init: the first k vec_ids (deterministic at every SF; vec_ids are
+    dense from 0). Distance = squared L2; ties broken by cluster id."""
+    dist2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent = kmeans_centroids(v, k, iters)
     # final assignment against the trained centroids
     scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", dist2)
     w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
@@ -476,6 +497,26 @@ def kmeans_assignments(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "d2")
     )
+
+
+@register("sim_ivf_kmeans_topk")  # iterative model training -> rows-only
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search over TRAINED centroids: the index sim_ivf_topk
+    approximates with stride-sampled "centroids" rebuilt on actual cluster
+    structure — k-means cells are tighter, so the same probe budget
+    (IVF_PROBES cells) recovers more true neighbors (recall vs brute force
+    asserted in tests/test_quality_metrics.py alongside the LSH recall).
+    This is the full production IVF loop: train (Lloyd's, broadcast model
+    state) -> assign cells -> probe top-P cells per query -> exact cosine
+    inside probed cells only. Iterative training makes it non-SQL-
+    expressible: rows-only driver check, invariants pinned in tests."""
+    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    cent = kmeans_centroids(_vectors(spark, sf_dir)).select(
+        F.col("cluster_id").alias("cent_id"),
+        F.col("ce"),
+        _norm(F.col("ce")).alias("cnrm"),
+    )
+    return _ivf_probe_topk(v, cent)
 
 
 @register("embed_kmeans_clusters")  # iterative -> rows-only driver check

@@ -513,6 +513,70 @@ class StreamAssembler:
         return [m]
 
 
+def reassemble_frames(frames) -> list[bytes]:
+    """Rewrite a captured protocol-v2 frame sequence into the equivalent
+    protocol-v1 sequence — the ingest-edge adapter that lets the
+    distributed decode path (pgoutput_cdc, which consumes per-transaction
+    v1 frames) serve PG 14+ ``streaming=on`` captures unchanged.
+
+    Streamed transactions are reassembled in COMMIT order: at Stream
+    Commit the buffered data frames are emitted bracketed by a synthesized
+    Begin/Commit pair carrying the stream commit's LSN + timestamp;
+    aborted (sub)transactions vanish. The xid prefix a streamed data frame
+    carries is a fixed 4-byte field right after the kind byte, so the v1
+    form is ``frame[:1] + frame[5:]`` — no re-encode, byte-exact payloads.
+
+    This runs at the capture/ingest edge (single ordered pass — the same
+    place the reference's fetch loop is single-threaded over the socket,
+    source/postgres/postgres.go:242-296); the distributed decode stays
+    order-free per frame. Non-streamed frames pass through verbatim.
+    """
+    out: list[bytes] = []
+    in_stream_xid: int | None = None
+    buffers: dict[int, list[tuple[int, bytes]]] = {}
+    for frame in frames:
+        kind = chr(frame[0]) if frame else "?"
+        if kind == "S":
+            m = parse_message(frame)
+            in_stream_xid = m["xid"]
+            buffers.setdefault(m["xid"], [])
+            continue
+        if kind == "E":
+            in_stream_xid = None
+            continue
+        if kind == "c":
+            m = parse_message(frame)
+            buffered = buffers.pop(m["xid"], [])
+            out.append(
+                encode_begin(m["commit_lsn"], m["commit_ts"], m["xid"])
+            )
+            out.extend(raw for _, raw in buffered)
+            out.append(
+                encode_commit(
+                    m["commit_lsn"], m["end_lsn"], m["commit_ts"], m["flags"]
+                )
+            )
+            continue
+        if kind == "A":
+            m = parse_message(frame)
+            xid, subxid = m["xid"], m["subxid"]
+            if subxid == xid:
+                buffers.pop(xid, None)
+            elif xid in buffers:
+                buffers[xid] = [
+                    (mx, raw) for mx, raw in buffers[xid] if mx != subxid
+                ]
+            continue
+        if in_stream_xid is not None and kind in _STREAMABLE_KINDS:
+            if len(frame) < 5:
+                raise ProtocolError("truncated in-stream frame")
+            msg_xid = struct.unpack(">I", frame[1:5])[0]
+            buffers[in_stream_xid].append((msg_xid, frame[:1] + frame[5:]))
+            continue
+        out.append(frame)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Encoders (fixture builders / protocol inverse).
 # --------------------------------------------------------------------------

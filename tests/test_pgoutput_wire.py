@@ -373,6 +373,98 @@ class TestProtocolV2Stream:
         assert [m["kind"] for m in out] == ["insert"]
         assert out[0]["relation_id"] == REL_ID
 
+    def test_reassemble_frames_strips_xid_byte_exact(self):
+        from psql_streamer_spark.sources.pgoutput_wire import (
+            reassemble_frames,
+        )
+
+        frames = [
+            STREAM_START_FRAME,
+            STREAMED_INSERT_FRAME,
+            STREAM_STOP_FRAME,
+            STREAM_COMMIT_FRAME,
+        ]
+        out = reassemble_frames(frames)
+        # Begin + the DATA frame (xid stripped -> byte-identical to the
+        # v1 INSERT_FRAME) + Commit
+        assert len(out) == 3
+        assert out[0][0:1] == b"B"
+        assert out[1] == INSERT_FRAME
+        assert out[2][0:1] == b"C"
+        m = parse_message(out[2])
+        assert m["commit_lsn"] == 0x100 and m["end_lsn"] == 0x110
+
+    def test_reassemble_drops_aborted_and_orders_by_commit(self):
+        from psql_streamer_spark.sources.pgoutput_wire import (
+            encode_stream_commit,
+            encode_stream_start,
+            reassemble_frames,
+        )
+
+        ts = datetime(2000, 1, 1, tzinfo=timezone.utc)
+        frames = [
+            # xid 777 segment, then aborted
+            STREAM_START_FRAME,
+            STREAMED_INSERT_FRAME,
+            STREAM_STOP_FRAME,
+            # xid 900 segment, commits
+            encode_stream_start(900),
+            encode_insert(REL_ID, [text_col(1), text_col("x")], xid=900),
+            STREAM_STOP_FRAME,
+            STREAM_ABORT_FRAME,  # aborts 777
+            encode_stream_commit(900, 0x200, 0x210, ts),
+        ]
+        out = reassemble_frames(frames)
+        kinds = [parse_message(f)["kind"] for f in out]
+        assert kinds == ["begin", "insert", "commit"]
+        assert parse_message(out[0])["xid"] == 900
+
+    def test_reassembled_v2_capture_decodes_like_v1(self, spark):
+        """End-to-end: a protocol-v2 capture (streamed large transaction)
+        reassembled at the ingest edge decodes through the distributed
+        path into exactly the events the equivalent v1 capture yields."""
+        from pyspark.sql import functions as F
+
+        from psql_streamer_spark.sources.pgoutput_cdc import decode_pgoutput
+        from psql_streamer_spark.sources.pgoutput_wire import (
+            reassemble_frames,
+        )
+
+        rel = Relation(
+            REL_ID, "public", "test", 0x64,
+            [Column("a", OID_INT4, True), Column("b", OID_TEXT)],
+        )
+        v2 = [
+            encode_relation(rel),
+            STREAM_START_FRAME,
+            encode_insert(REL_ID, [text_col(400166), text_col("a")], xid=777),
+            encode_update(REL_ID, [text_col(144110), text_col("lala")], xid=777),
+            STREAM_STOP_FRAME,
+            STREAM_COMMIT_FRAME,
+        ]
+        v1 = [
+            encode_relation(rel),
+            encode_insert(REL_ID, [text_col(400166), text_col("a")]),
+            encode_update(REL_ID, [text_col(144110), text_col("lala")]),
+        ]
+
+        def decode(frames):
+            rows = [(i + 1, 100 + i, f) for i, f in enumerate(frames)]
+            df = spark.createDataFrame(
+                rows, "seq long, wal_position long, value binary"
+            )
+            out = decode_pgoutput(
+                df,
+                uuid=F.lit("fixed"),
+                ts=F.to_timestamp(F.lit("2024-01-01")),
+            )
+            return [
+                (r["table"], r["action"], dict(r["columns"]))
+                for r in out.orderBy("wal_position").collect()
+            ]
+
+        assert decode(reassemble_frames(v2)) == decode(v1)
+
 
 class TestSparkDecode:
     """Distributed decode over an in-memory frame stream."""

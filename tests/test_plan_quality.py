@@ -312,6 +312,34 @@ def test_decontamination_broadcasts_benchmark_grams(spark, queries):
     assert "SortMergeJoin" not in plan
 
 
+def test_materialized_band_index_join_never_reshuffles_corpus(spark):
+    # the bucketed band-index table is the "written at ingest" artifact:
+    # delta-vs-corpus candidate mining must join bucket-local — the ONLY
+    # exchange allowed in the candidate frame is the post-join distinct
+    # (|candidates|-sized); the corpus index itself must never re-shuffle
+    from psql_streamer_spark.operators.dedup import (
+        materialized_band_candidates,
+    )
+
+    # at sf0.001 AQE rightly broadcasts the tiny corpus; disable broadcast
+    # to surface the shape a 100 TB corpus index would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = materialized_band_candidates(spark, SF_DIR)
+        plan = _physical(cand)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1, plan
+    # and that one shuffle is the distinct on the pair columns, not the
+    # band join
+    assert "doc_a" in shuffles[0] and "band" not in shuffles[0], shuffles
+    # both join sides read the bucketed files (bucket scan, not a plain
+    # parquet scan of documents)
+    assert plan.count("Bucketed: true") == 2, plan
+
+
 def test_salted_packing_window_partitions_on_source_and_salt(spark, queries):
     # hierarchical packing exists to break the one-task-per-source window:
     # the window exchange must hash-partition on BOTH source and salt so a

@@ -61,6 +61,38 @@ def test_ann_recall_vs_bruteforce(spark, sfdir):
     assert len(exact & ivf) / len(exact) >= 0.3
 
 
+def test_ivf_kmeans_recall_vs_bruteforce(spark, sfdir):
+    """Trained-centroid IVF must clear the stride-sampled index's recall
+    floor — trained cells are the whole point of wiring k-means in."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_bruteforce_topk"](spark, sfdir).collect()
+    }
+    ivf_km = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ivf_kmeans_topk"](spark, sfdir).collect()
+    }
+    recall = len(exact & ivf_km) / len(exact)
+    assert recall >= 0.3, f"kmeans-IVF recall {recall}"
+
+
+def test_ivf_kmeans_topk_shape_and_determinism(spark, sfdir):
+    df = QUERIES["sim_ivf_kmeans_topk"](spark, sfdir)
+    rows = df.collect()
+    assert rows, "kmeans-IVF returned no rows"
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+    # deterministic across invocations (localCheckpoint + stable init)
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in QUERIES["sim_ivf_kmeans_topk"](spark, sfdir).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == again
+
+
 def test_embedding_lsh_pairs_subset_and_recall(spark, sfdir):
     """Bucketed pair mining must return a SUBSET of the brute-force pairs
     (same exact-cosine verify, candidates can only shrink the set), with
