@@ -783,6 +783,51 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup survivors: the corpus AFTER near-dup removal, audited per source.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_survivor_stats",
+    oracle=f"""
+    WITH clusters AS ({_SQL_LSH_CLUSTERS})
+    SELECT d.source AS source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE c.doc_id = c.cluster_id) AS n_survivors,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_before,
+           CAST(SUM(d.n_chars) FILTER (WHERE c.doc_id = c.cluster_id)
+                AS BIGINT) AS chars_after
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup pipeline: keep each cluster's canonical
+    (minimum-id) document, drop the rest, and report the per-source
+    reduction — doc and char counts before/after. This is the number a
+    corpus curator actually reads ("dedup removed N% of source X") and the
+    sanity gate before training data ships; survivors themselves are the
+    `doc_id = cluster_id` filter. Adds one broadcast-joinable aggregate on
+    top of dedup_lsh_clusters — the clustering cost dominates, already
+    round-logarithmic."""
+    clusters = dedup_lsh_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    surv = F.col("doc_id") == F.col("cluster_id")
+    return (
+        clusters.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(surv, 1)).alias("n_survivors"),
+            F.sum("n_chars").cast("bigint").alias("chars_before"),
+            F.sum(F.when(surv, F.col("n_chars"))).cast("bigint").alias(
+                "chars_after"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Containment near-dup pairs: intersection over the SMALLER gram set.
 # Jaccard under-scores subset duplication (a doc embedded inside a much
 # larger one dilutes the union); containment >= threshold catches exactly

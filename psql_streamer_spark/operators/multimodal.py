@@ -146,9 +146,22 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payload byte before a narrow map — decode must stay shuffle-free.
     selected = media.select("doc_id", "payload")
     parallelism = spark.sparkContext.defaultParallelism
-    if selected.rdd.getNumPartitions() < parallelism:
+    if _scan_partitions(spark, selected, sf_dir) < parallelism:
         selected = selected.repartition(parallelism)
     return selected.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
+
+
+#: (applicationId, sf_dir) -> scan partition count. Touching .rdd forces a
+#: plan conversion; the layout of an immutable snapshot never changes, so
+#: pay that conversion once per session per dataset, not per invocation.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _scan_partitions(spark: SparkSession, df: DataFrame, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    return _SCAN_PARTS[key]
 
 
 # --------------------------------------------------------------------------
