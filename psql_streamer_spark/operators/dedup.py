@@ -783,6 +783,81 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Edit-distance verification on LSH candidates: the character-level
+# near-dup notion (OCR noise, small in-place edits) that set-based Jaccard
+# under-detects when edits are spread across many shingles. Levenshtein is
+# O(len^2) per pair — affordable ONLY because the LSH banding has already
+# cut the pair space to collisions; both engines run their built-in
+# implementation on a fixed 200-char prefix so the per-pair cost is
+# bounded regardless of document length.
+# --------------------------------------------------------------------------
+LEV_PREFIX = 200
+LEV_REL_THRESHOLD = 0.2  # edits <= 20% of the longer prefix
+
+_SQL_LEV_PAIRS = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sql_minhash_aggs()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pre AS (SELECT doc_id, substr(text, 1, {LEV_PREFIX}) AS p FROM documents)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_distance
+    FROM cand
+    JOIN pre pa ON pa.doc_id = doc_a
+    JOIN pre pb ON pb.doc_id = doc_b
+    WHERE levenshtein(pa.p, pb.p)
+          <= {LEV_REL_THRESHOLD} * GREATEST(len(pa.p), len(pb.p))
+"""
+
+
+@register("dedup_levenshtein_pairs", oracle=_SQL_LEV_PAIRS)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by relative edit distance on 200-char
+    prefixes. Reuses the session's materialized candidate index (the same
+    build-once artifact dedup_minhash_lsh_pairs probes), joins the two
+    prefix sides, and keeps pairs whose Levenshtein distance is <= 20% of
+    the longer prefix. JVM-side levenshtein (codegen'd, with its own
+    early-exit threshold form) — no Python in the path."""
+
+    def _build_sig() -> DataFrame:
+        s = _minhash_signatures(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sig = INDEX_CACHE.get_or_build(spark, "dedup_minhash_sig", sf_dir, _build_sig)
+
+    def _build_cand() -> DataFrame:
+        c = minhash_lsh_candidates(sig).persist()
+        c.count()
+        return c
+
+    cand = INDEX_CACHE.get_or_build(spark, "dedup_minhash_cand", sf_dir, _build_cand)
+    pre = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.substring("text", 1, LEV_PREFIX).alias("p")
+    )
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(
+            pre.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            pre.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")),
+            "doc_b",
+        )
+        .filter(
+            lev <= LEV_REL_THRESHOLD * F.greatest(F.length("pa"), F.length("pb"))
+        )
+        .select("doc_a", "doc_b", lev.cast("bigint").alias("edit_distance"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup survivors: the corpus AFTER near-dup removal, audited per source.
 # --------------------------------------------------------------------------
 @register(

@@ -226,3 +226,68 @@ def evt_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("max_value"),
         F.count("*").cast("int").alias("n_hours_active"),
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase, each stage strictly after the
+# previous one for the same user. The product-analytics staple a
+# MATCH_RECOGNIZE engine runs; expressed here as decomposable conditional
+# aggregates so BOTH engines compute it with two hash aggregates and a
+# broadcast-sized intermediate — no per-user sequence scan, no UDF.
+# --------------------------------------------------------------------------
+@register(
+    "evt_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    FROM v
+    """,
+)
+def evt_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage user counts for the ordered funnel. Each stage is a
+    per-user MIN over a filtered scan joined to the previous stage's
+    timestamps — stage frames shrink monotonically (users who reached
+    stage k), so at 100 TB stages 2+ are broadcast joins against an
+    ever-smaller user set while the events scan stays filter-pushed on
+    event_type. Output is one row of stage counts (the funnel chart)."""
+    e = load_table(spark, "events", sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = lambda df, name: df.agg(F.count("*").alias(name))  # noqa: E731
+    return (
+        counts(v, "n_view")
+        .crossJoin(counts(c, "n_view_click"))
+        .crossJoin(counts(p, "n_view_click_purchase"))
+    )

@@ -318,6 +318,111 @@ def mlprep_pack_sequences_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Document chunking: docs longer than the context window split into
+# overlapping word-window chunks — packing's complement (packing merges
+# short docs; chunking splits long ones). One explode over computed chunk
+# starts: narrow, shuffle-free, scan-bound.
+# --------------------------------------------------------------------------
+CHUNK_SIZE_WORDS = 128
+CHUNK_STRIDE_WORDS = 96  # 32-word overlap preserves cross-boundary context
+
+
+@register(
+    "mlprep_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE_WORDS} AS BIGINT) AS start_word,
+           CAST(LEAST({CHUNK_SIZE_WORDS},
+                      nw - i * {CHUNK_STRIDE_WORDS}) AS BIGINT) AS n_words
+    FROM (
+      SELECT doc_id, len(ws) AS nw,
+             unnest(range(0, CAST(FLOOR((len(ws) + {CHUNK_STRIDE_WORDS} - 1)
+                                        / {CHUNK_STRIDE_WORDS}) AS BIGINT))) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), w -> len(w) > 0)
+                     AS ws
+            FROM documents)
+    )
+    """,
+)
+def mlprep_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, start_word, n_words) for sliding word windows of
+    {CHUNK_SIZE_WORDS} with stride {CHUNK_STRIDE_WORDS}: chunk i covers
+    words [i*stride, i*stride+size). Empty docs produce no chunks; the
+    final chunk is short rather than padded (padding is the batch
+    builder's concern). Deterministic integer arithmetic, identical on
+    both engines."""
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    d = load_table(spark, "documents", sf_dir)
+    nw = F.size(words_expr())
+    n_chunks = F.floor(
+        (nw + CHUNK_STRIDE_WORDS - 1) / F.lit(CHUNK_STRIDE_WORDS)
+    ).cast("int")
+    starts = F.when(
+        nw > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("doc_id", nw.alias("nw"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("chunk_id"),
+            (F.col("i") * CHUNK_STRIDE_WORDS).cast("bigint").alias("start_word"),
+            F.least(
+                F.lit(CHUNK_SIZE_WORDS),
+                F.col("nw") - F.col("i") * CHUNK_STRIDE_WORDS,
+            ).cast("bigint").alias("n_words"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-order shuffle: reproducible global "random" order
+# without a global sort. Training wants documents decorrelated from ingest
+# order (source-contiguous batches skew gradients); md5 of the doc key is
+# the shuffle, shards keep the ordering work distributed.
+# --------------------------------------------------------------------------
+SHUFFLE_SHARDS = 64
+
+
+@register(
+    "mlprep_shuffle_order",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_md5_bucket("doc_id", SHUFFLE_SHARDS)} AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY {sql_md5_bucket("doc_id", SHUFFLE_SHARDS)}
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) - 1 AS pos_in_shard
+    FROM documents
+    """,
+)
+def mlprep_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (shard, pos_in_shard) training address:
+    shard = md5 bucket, position = rank of the md5 hex within the shard.
+    Readers stream shards round-robin for a fixed epoch order that is
+    reproducible across runs/retries/engines (pure function of doc_id —
+    the property rand(seed) loses under repartitioning).
+
+    Scale shape: one hash-partitioned window per shard — {SHUFFLE_SHARDS}
+    independent sort tasks over |corpus|/{SHUFFLE_SHARDS} rows each,
+    never a single global ORDER BY (the driver-bottleneck range-partition
+    sort a naive shuffle implementation hits at 100 TB)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    shard = md5_bucket(F.col("doc_id"), SHUFFLE_SHARDS)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("shard").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        d.select("doc_id", shard.alias("shard"), h.alias("h"))
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: n-gram overlap against a held-out eval set.
 # Standard LLM-corpus hygiene (the reference has no analogue; engine scope
 # per the north star): any training document sharing enough n-grams with a

@@ -512,3 +512,54 @@ def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= _PASSAGE_MIN_DOCS)
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters: top-5 3-gram shingles per source. The boilerplate
+# detector — a gram dominating one source is a template/license header and
+# feeds both the LSH band_bucket_cap choice and stopword-gram filters.
+# --------------------------------------------------------------------------
+_TOP_NGRAMS_K = 5
+
+_SQL_TOP_NGRAMS = f"""
+    WITH g AS (
+      SELECT source, unnest({{sh}}) AS gram
+      FROM (SELECT source, {{ws}} AS ws FROM documents)
+    ),
+    counted AS (
+      SELECT source, gram, COUNT(*) AS n FROM g GROUP BY source, gram
+    )
+    SELECT source, gram, n, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n DESC, gram ASC) AS rank
+      FROM counted
+    ) WHERE rank <= {_TOP_NGRAMS_K}
+""".format(
+    ws="list_filter(string_split(lower(text), ' '), w -> len(w) > 0)",
+    sh="list_transform(range(1, len(ws) - 1), i -> "
+    "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])",
+)
+
+
+@register("text_top_ngrams_per_source", oracle=_SQL_TOP_NGRAMS)
+def text_top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-hitter grams: explode -> count -> per-source top-5
+    (ties broken by gram for total order). Scale shape: the gram count is
+    map-side combined before its shuffle, and the ranking window runs over
+    per-source COUNTED grams (already aggregated), not occurrences; for a
+    true streaming-scale corpus the exact count swaps for a count-min/
+    space-saving sketch, but the top-k contract stays identical."""
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    counted = (
+        d.select("source", F.explode(shingles_expr(words_expr())).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_NGRAMS_K)
+        .select("source", "gram", "n", "rank")
+    )

@@ -99,6 +99,33 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics (percentile of each customer's balance
+    within its segment). Rounded to 6 places on BOTH sides: the division
+    (rank-1)/(n-1) is IEEE-identical cross-engine, rounding just pins the
+    formatted hash. Same single-shuffle window shape as the rank query."""
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
     "window_lag_lead_user_events",
     oracle="""
     SELECT event_id, user_id, ts,

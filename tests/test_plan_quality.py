@@ -340,6 +340,35 @@ def test_materialized_band_index_join_never_reshuffles_corpus(spark):
     assert plan.count("Bucketed: true") == 2, plan
 
 
+def test_funnel_stage_joins_broadcast(spark, queries):
+    # funnel stages shrink monotonically: every stage join must broadcast
+    # the (small) previous-stage frame, never shuffle the events scan
+    plan = _physical(queries["evt_funnel_stages"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # event_type filters reach the scans
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_chunking_is_shuffle_free(spark, queries):
+    # chunking is a narrow explode over computed starts — scan-bound
+    plan = _physical(queries["mlprep_chunk_documents"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_shuffle_order_uses_sharded_windows_not_global_sort(spark, queries):
+    # the training shuffle must never global-sort: the window partitions
+    # on shard, so the plan shows hashpartitioning (not rangepartitioning)
+    plan = _physical(queries["mlprep_shuffle_order"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert any(
+        "hashpartitioning" in l and "shard" in l for l in plan.splitlines()
+    ), plan
+
+
 def test_salted_packing_window_partitions_on_source_and_salt(spark, queries):
     # hierarchical packing exists to break the one-task-per-source window:
     # the window exchange must hash-partition on BOTH source and salt so a
