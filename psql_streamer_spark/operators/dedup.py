@@ -121,6 +121,7 @@ def _jaccard_pairs(
     sf_dir: str,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    threshold: float | None = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index self-join; optionally
     restricted to an LSH candidate set (the scale path).
@@ -160,7 +161,7 @@ def _jaccard_pairs(
         )
         n_common = F.size(F.array_intersect("a_ss", "b_ss"))
         jac = n_common * 1.0 / (F.size("a_ss") + F.size("b_ss") - n_common)
-        return (
+        out = (
             candidates.join(
                 sets.select(F.col("doc_id").alias("doc_a"),
                             F.col("ss").alias("a_ss")),
@@ -172,8 +173,10 @@ def _jaccard_pairs(
                 "doc_b",
             )
             .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         )
+        if threshold is not None:
+            out = out.filter(F.col("jaccard") >= threshold)
+        return out
     # the inverted index feeds three plan branches (counts + both join
     # sides) — persist it rather than re-exploding each time; released
     # via persist_for when the caller drops the result
@@ -217,8 +220,9 @@ def _jaccard_pairs(
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    if threshold is not None:
+        result = result.filter(F.col("jaccard") >= threshold)
     return result if caller_owns_shingles else persist_for(sh, result)
 
 
@@ -783,7 +787,85 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Edit-distance verification on LSH candidates: the character-level
+# Signature-only Jaccard estimation: at true scale the exact verify is the
+# expensive stage (it re-touches document text); the MinHash estimator —
+# fraction of agreeing signature components — needs ONLY the 16-int
+# signatures both sides already carry. This query emits estimate AND exact
+# side by side for the candidate set, which is simultaneously the
+# estimator-quality audit (|est - exact| is bounded by ~1/sqrt(16) per
+# pair) and the production fast path (drop `jaccard`, keep `jaccard_est`).
+# --------------------------------------------------------------------------
+_mh_eq_sum = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(16)
+)
+
+_SQL_MINHASH_ESTIMATE = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sql_minhash_aggs()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT cand.doc_a, cand.doc_b, ({_mh_eq_sum}) / 16.0 AS jaccard_est
+      FROM cand
+      JOIN sig a ON a.doc_id = cand.doc_a
+      JOIN sig b ON b.doc_id = cand.doc_b
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      JOIN est ON est.doc_a = s1.doc_id AND est.doc_b = s2.doc_id
+      GROUP BY s1.doc_id, s2.doc_id
+    )
+    SELECT est.doc_a AS doc_a, est.doc_b AS doc_b, est.jaccard_est AS jaccard_est,
+           COALESCE(n_common, 0) * 1.0
+             / (ca.c + cb.c - COALESCE(n_common, 0)) AS jaccard
+    FROM est
+    LEFT JOIN inter ON inter.doc_a = est.doc_a AND inter.doc_b = est.doc_b
+    JOIN cnt ca ON ca.doc_id = est.doc_a
+    JOIN cnt cb ON cb.doc_id = est.doc_b
+"""
+
+
+@register("dedup_minhash_jaccard_estimate", oracle=_SQL_MINHASH_ESTIMATE)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated (signature-agreement) vs exact Jaccard for every LSH
+    candidate pair. Probes the session's materialized signature and
+    candidate indexes; the estimate path touches NO document text — at
+    100 TB that is the difference between joining two 64-byte signature
+    rows and re-shingling the corpus."""
+
+    def _build_sig() -> DataFrame:
+        s = _minhash_signatures(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sig = INDEX_CACHE.get_or_build(spark, "dedup_minhash_sig", sf_dir, _build_sig)
+
+    def _build_cand() -> DataFrame:
+        c = minhash_lsh_candidates(sig).persist()
+        c.count()
+        return c
+
+    cand = INDEX_CACHE.get_or_build(spark, "dedup_minhash_cand", sf_dir, _build_cand)
+    eq = sum(
+        (F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0))
+        for j in range(16)
+    )
+    est = (
+        cand.join(sig.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", (eq / 16.0).alias("jaccard_est"))
+    )
+    # exact side for the audit: candidate-driven, so cost stays
+    # |candidates|-bounded; the production fast path simply drops this join
+    exact_pairs = _jaccard_pairs(spark, sf_dir, candidates=cand, threshold=None)
+    return est.join(exact_pairs, ["doc_a", "doc_b"])
 # near-dup notion (OCR noise, small in-place edits) that set-based Jaccard
 # under-detects when edits are spread across many shingles. Levenshtein is
 # O(len^2) per pair — affordable ONLY because the LSH banding has already

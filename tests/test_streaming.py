@@ -568,3 +568,64 @@ def test_epoch_parquet_sink_idempotent_under_replay(spark, dirs, tmp_path):
     out.write(df, 7)
     out.write(df, 7)
     assert out.read(spark).filter("epoch = 7").count() == 1
+
+
+def test_streaming_near_dup_alerts(spark, tmp_path):
+    """Ingest-time dedup: documents streamed in micro-batches probe the
+    materialized band index; verified alerts must equal the batch
+    incremental miner's pairs for the same delta (same signatures, same
+    index, same verify threshold)."""
+    from psql_streamer_spark.operators.dedup import (
+        DELTA_BUCKET,
+        DELTA_BUCKETS,
+        band_index_table,
+        dedup_incremental_lsh_pairs,
+    )
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.dedup_stream import start_near_dup_stream
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, "documents", SF_SMALL)
+    delta_rows = (
+        d.filter(md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET)
+        .select("doc_id", "text")
+        .collect()  # test fixture setup, not an operator path
+    )
+    assert delta_rows, "delta slice empty at this sf"
+    src = tmp_path / "incoming"
+    src.mkdir()
+    half = max(1, len(delta_rows) // 2)
+    for i, chunk in enumerate([delta_rows[:half], delta_rows[half:]]):
+        if not chunk:
+            continue
+        (src / f"batch{i}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": r.doc_id, "text": r.text}) for r in chunk
+            )
+            + "\n"
+        )
+
+    table = band_index_table(spark, SF_SMALL)
+    q = start_near_dup_stream(
+        spark,
+        str(src),
+        table,
+        d,
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ckpt_dedup"),
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    alerts = spark.read.parquet(str(tmp_path / "alerts"))
+    got = {
+        (min(r.new_doc_id, r.corpus_doc_id), max(r.new_doc_id, r.corpus_doc_id))
+        for r in alerts.collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental_lsh_pairs(spark, SF_SMALL)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert got == want
