@@ -531,3 +531,85 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         dsum("d2").alias("inertia"),
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label prediction: the evaluation story for the ANN surface. Each
+# query vector's label is predicted by majority vote over its top-k exact
+# cosine neighbors (ties -> smaller label, total order); accuracy is
+# reported per true label. At scale the neighbor source swaps for the IVF/
+# LSH index with the identical vote/report shape.
+# --------------------------------------------------------------------------
+_SQL_KNN_ACCURACY = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+                      {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+             {_SQL_DOT.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    topk AS (
+      SELECT query_id, nl FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, nl, COUNT(*) AS n FROM topk GROUP BY query_id, nl
+    ),
+    pred AS (
+      SELECT query_id, nl AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n DESC, nl ASC) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT q.label AS true_label,
+           COUNT(*) AS n_queries,
+           COUNT(*) FILTER (WHERE pred.predicted = q.label) AS n_correct
+    FROM q JOIN pred ON pred.query_id = q.vec_id
+    GROUP BY q.label
+"""
+
+
+@register("sim_knn_label_accuracy", oracle=_SQL_KNN_ACCURACY)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label kNN classification report over the query vectors. The
+    vote and the report are decomposable aggregates over the top-k frame;
+    everything rides the same broadcast-query brute-force scoring as
+    sim_bruteforce_topk (random synthetic embeddings make accuracy itself
+    uninformative — the contract under test is the vote pipeline)."""
+    labels = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    topk = sim_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nl"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nl").alias("predicted"))
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count(
+                F.when(F.col("predicted") == F.col("true_label"), 1)
+            ).alias("n_correct"),
+        )
+    )
