@@ -985,6 +985,53 @@ def dedup_survivor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-source duplication matrix: which SOURCES copy from each other.
+# Provenance analytics over the near-dup pair graph — a crawl pipeline
+# uses this to find mirror domains and decide source-level dedup order.
+# --------------------------------------------------------------------------
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({_SQL_MINHASH_LSH})
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           COUNT(*) AS n_pairs,
+           MIN(jaccard) AS min_jaccard,
+           MAX(jaccard) AS max_jaccard
+    FROM pairs
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts and mean similarity per unordered source pair
+    (diagonal = within-source duplication). Rides the materialized
+    verified-pairs index — the matrix itself is a broadcast-sized join of
+    the pair list against the (doc_id, source) projection, grouped on the
+    symmetrized key. min/max (not avg) of the similarity: order-
+    independent aggregates stay bit-identical cross-engine, where a
+    double avg depends on summation order."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Containment near-dup pairs: intersection over the SMALLER gram set.
 # Jaccard under-scores subset duplication (a doc embedded inside a much
 # larger one dilutes the union); containment >= threshold catches exactly

@@ -594,3 +594,48 @@ def sql_exists_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) ->
                           AND o2.o_orderstatus = 'F'
                           AND o2.o_totalprice > 300000)
     """)
+
+
+@register(
+    "join_null_safe_priority_match",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT a.prio AS prio,
+           COUNT(*) AS n_pairs,
+           COUNT(*) FILTER (WHERE a.prio IS NULL) AS n_null_key_pairs
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+                 AND a.o_orderkey < b.o_orderkey
+    GROUP BY a.prio
+    """,
+)
+def join_null_safe_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    EACH OTHER instead of vanishing — the semantic a plain equi-join
+    silently drops. NULLIF manufactures a null-bearing key from o_orderpriority so
+    the null-match path is actually exercised; the aggregate reports how
+    many joined pairs rode the null key. Spark plans eqNullSafe as a
+    regular hash join on a null-coalesced key — same shuffle shape as the
+    plain join, no nested loop."""
+    o = load_table(spark, "orders", sf_dir)
+    clerk = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("ka"), clerk.alias("ca")
+    )
+    b = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("kb"), clerk.alias("cb")
+    )
+    return (
+        a.join(b, F.col("ca").eqNullSafe(F.col("cb")) & (F.col("ka") < F.col("kb")))
+        .groupBy(F.col("ca").alias("prio"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("ca").isNull(), 1)).alias("n_null_key_pairs"),
+        )
+    )

@@ -205,3 +205,106 @@ def test_wal2json_roundtrip_property(spark, rows):
         for r in decode_wal2json(df).collect()
     }
     assert got == expected
+
+
+# -- pgoutput wire codec: encoder/parser roundtrip (v1 + v2) ----------------
+
+_pg_value = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1).map(str),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=40,
+    ),
+)
+
+
+def _tuple_cols(values):
+    from psql_streamer_spark.sources.pgoutput_wire import null_col, text_col
+
+    return [null_col() if v is None else text_col(v) for v in values]
+
+
+@given(
+    st.integers(min_value=1, max_value=2**32 - 1),
+    st.lists(_pg_value, min_size=1, max_size=8),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=2**32 - 1)),
+)
+def test_pgoutput_insert_roundtrip(relation_id, values, xid):
+    """encode_insert(parse(x)) == x for any whitelist-shaped tuple, with
+    and without the protocol-v2 in-stream xid prefix."""
+    from psql_streamer_spark.sources.pgoutput_wire import (
+        encode_insert,
+        parse_message,
+    )
+
+    cols = _tuple_cols(values)
+    frame = encode_insert(relation_id, cols, xid=xid)
+    m = parse_message(frame, in_stream=xid is not None)
+    assert m["kind"] == "insert"
+    assert m["relation_id"] == relation_id
+    got = [(f, None if raw is None else raw.decode()) for f, raw in m["new_tuple"]]
+    want = [(f, None if raw is None else raw.decode()) for f, raw in cols]
+    assert got == want
+    if xid is not None:
+        assert m["xid"] == xid
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2**32 - 1),  # stream xid
+            st.lists(_pg_value, min_size=1, max_size=4),     # tuple values
+            st.booleans(),                                    # commit or abort
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_stream_reassembly_keeps_exactly_committed_transactions(txns):
+    """For any interleaving-free sequence of streamed transactions, the
+    reassembled v1 frames contain exactly the committed transactions'
+    tuples in commit order; aborted ones vanish."""
+    from datetime import datetime, timezone
+
+    from psql_streamer_spark.sources.pgoutput_wire import (
+        encode_insert,
+        encode_stream_abort,
+        encode_stream_commit,
+        encode_stream_start,
+        encode_stream_stop,
+        parse_message,
+        reassemble_frames,
+    )
+
+    ts = datetime(2001, 2, 3, tzinfo=timezone.utc)
+    frames = []
+    want = []
+    for i, (xid, values, commits) in enumerate(txns):
+        xid = xid + i  # keep xids distinct even if hypothesis repeats them
+        frames.append(encode_stream_start(xid))
+        frames.append(encode_insert(7, _tuple_cols(values), xid=xid))
+        frames.append(encode_stream_stop())
+        if commits:
+            frames.append(encode_stream_commit(xid, i + 1, i + 2, ts))
+            want.append(
+                [
+                    (f, None if raw is None else raw.decode())
+                    for f, raw in _tuple_cols(values)
+                ]
+            )
+        else:
+            frames.append(encode_stream_abort(xid))
+    out = reassemble_frames(frames)
+    inserts = [
+        [
+            (f, None if raw is None else raw.decode())
+            for f, raw in parse_message(fr)["new_tuple"]
+        ]
+        for fr in out
+        if fr[0:1] == b"I"
+    ]
+    assert inserts == want
+    # bracketing invariant: every commit preceded by its begin
+    kinds = [parse_message(fr)["kind"] for fr in out]
+    assert kinds.count("begin") == kinds.count("commit") == len(want)
