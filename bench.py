@@ -56,13 +56,20 @@ def main() -> None:
     # job actually sees)
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(iters):
+        for i in range(iters):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if i == 0:
+                # first iteration pays codegen + any index build (the
+                # materialized-index registry builds eagerly on first use);
+                # reported separately so the one-time cost stays visible
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -77,6 +84,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold,
                 "sf": sf_val,
             }
         )

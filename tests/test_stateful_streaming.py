@@ -264,3 +264,52 @@ def test_custom_sessionizer_survives_arrow_chunk_splits(spark, tmp_path, srcdir)
     assert s.n_events == 10
     assert s.session_start.isoformat() == "2024-01-01T10:00:00"
     assert s.session_end.isoformat() == "2024-01-01T10:45:00"
+
+
+def test_transform_with_state_running_totals_accumulate(spark, tmp_path, srcdir):
+    """transformWithStateInPandas (Spark 4 API): per-key totals must
+    accumulate ACROSS micro-batches, and each batch must emit updated
+    rows only for the keys it touched.
+
+    Environment-gated like the Kafka e2e: the API's state protocol is
+    protobuf-framed and this container has no google.protobuf — the plan
+    still builds (asserted before the skip); the run is exercised where
+    the dependency exists."""
+    pytest.importorskip("google.protobuf")
+    from psql_streamer_spark.streaming.stateful import running_totals_with_state
+
+    _write(
+        srcdir,
+        "b1.json",
+        _line("A", "2024-01-01 10:00:00", user=1, value=1.0),
+        _line("B", "2024-01-01 10:01:00", user=1, value=2.0),
+        _line("C", "2024-01-01 10:02:00", user=2, value=5.0),
+    )
+    _write(
+        srcdir,
+        "b2.json",
+        _line("D", "2024-01-01 10:03:00", user=1, value=4.0),
+    )
+    totals = running_totals_with_state(_read_stream(spark, srcdir))
+    got = _run(spark, totals, tmp_path / "ck_tws", "tws_sink", mode="update")
+    rows = {(r.user_id, r.n_events, r.sum_value) for r in got.collect()}
+    # batch1 emits (1,2,3.0) and (2,1,5.0); batch2 emits only user 1's
+    # updated running total (3,7.0) — state carried across batches
+    assert (1, 2, 3.0) in rows
+    assert (2, 1, 5.0) in rows
+    assert (1, 3, 7.0) in rows
+    assert not any(u == 2 and n != 1 for (u, n, _) in rows)
+
+
+def test_transform_with_state_plan_builds_without_protobuf(spark, srcdir):
+    """Plan construction (schema, processor wiring, output mode) must not
+    require the protobuf runtime — only execution does."""
+    from psql_streamer_spark.streaming.stateful import (
+        RUNNING_TOTALS_OUTPUT,
+        running_totals_with_state,
+    )
+
+    _write(srcdir, "b1.json", _line("A", "2024-01-01 10:00:00"))
+    out = running_totals_with_state(_read_stream(spark, srcdir))
+    assert out.isStreaming
+    assert out.schema == RUNNING_TOTALS_OUTPUT
