@@ -318,6 +318,66 @@ def mlprep_pack_sequences_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Source mixture weights: token-budget-aware sampling weights per source —
+# the "data mixing" step between corpus curation and training. Weight
+# alpha=0.5 (sqrt) upweights small sources relative to proportional
+# sampling, the standard temperature-style rebalancing.
+# Determinism: sqrt is correctly-rounded IEEE (safe cross-engine, unlike
+# pow); the normalizing sum runs over per-source weights ROUNDED TO
+# DECIMALS first, so the total is exact decimal arithmetic, not an
+# order-dependent double sum.
+# --------------------------------------------------------------------------
+@register(
+    "mlprep_source_mixture_weights",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                      w -> len(w) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(ROUND(sqrt(n_tokens), 6) AS DECIMAL(24,6)) AS weight
+      FROM stats
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(weight AS DOUBLE) AS weight,
+           ROUND(CAST(weight AS DOUBLE)
+                 / CAST(SUM(weight) OVER () AS DOUBLE), 8) AS mix_share
+    FROM w
+    """,
+)
+def mlprep_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts and normalized sqrt-temperature sampling
+    shares. The rollup is one map-side-combined aggregate over the corpus;
+    the normalization is a window over the ~|sources| aggregate rows —
+    driver-free, and the divide happens on decimal-rounded weights so both
+    engines hash-match bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    d = load_table(spark, "documents", sf_dir)
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words_expr())).cast("bigint").alias("n_tokens"),
+    )
+    weight = F.round(F.sqrt("n_tokens"), 6).cast("decimal(24,6)")
+    w = stats.withColumn("weight", weight)
+    total = F.sum("weight").over(W.partitionBy())
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("weight").cast("double").alias("weight"),
+        F.round(
+            F.col("weight").cast("double") / total.cast("double"), 8
+        ).alias("mix_share"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Document chunking: docs longer than the context window split into
 # overlapping word-window chunks — packing's complement (packing merges
 # short docs; chunking splits long ones). One explode over computed chunk
