@@ -291,3 +291,52 @@ def evt_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(counts(c, "n_view_click"))
         .crossJoin(counts(p, "n_view_click_purchase"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week; how many are still
+# active k weeks later. The classic product-analytics matrix — two hash
+# aggregates and one join, no window over raw events.
+# --------------------------------------------------------------------------
+@register(
+    "evt_retention_cohorts",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN firstseen f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix rows (cohort_week, week_offset, n_active_users).
+    Scale shape: first-seen is a map-side-combined MIN per user; activity
+    is a distinct over (user, week) — both shuffle on user_id, and AQE
+    coalesces the join since both sides share that partitioning. Never a
+    per-user sequence scan; the matrix is |cohorts| x |weeks| tiny."""
+    e = load_table(spark, "events", sf_dir)
+    firstseen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firstseen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )

@@ -258,6 +258,39 @@ def mlprep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mlprep_pack_fill_audit",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id, source,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((SUM(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - len(ws)) / {PACK_BUDGET_TOKENS}.0) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+            FROM documents)
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+)
+def mlprep_pack_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack doc count and token fill — the packing-quality audit. The
+    contiguous-fill construction guarantees every pack except a source's
+    last holds >= {PACK_BUDGET_TOKENS} tokens minus one document's
+    overhang; this reaggregation makes that measurable (and is the shape
+    a batch builder reads to plan padding). Pure reagg of the packing
+    assignment — one extra map-side-combined aggregate."""
+    packed = mlprep_pack_sequences(spark, sf_dir)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
 PACK_SALT_STREAMS = 8
 
 
