@@ -639,3 +639,80 @@ def join_null_safe_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.when(F.col("ca").isNull(), 1)).alias("n_null_key_pairs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-window correlation join, bin-bucketed. "For each error, how many
+# events did that user produce in the preceding 5 minutes" is an interval
+# self-join — written naively (t BETWEEN e.t - 5m AND e.t) Spark plans a
+# theta join: every user's errors x every user's events on one reducer.
+# The scale form bins time into window-sized buckets and equi-joins on
+# (user, bin) for the candidate bin pair {bin(t), bin(t)-1} — candidates
+# shrink from |user's events| to two buckets' worth, the exact range
+# predicate filters inside the equi-join, and the whole thing shuffles
+# once on (user_id, bin). Same trick as the LSH banding: coarse equality
+# first, exact predicate second.
+# --------------------------------------------------------------------------
+CORR_WINDOW_MIN = 5
+
+
+@register(
+    "join_time_window_correlation",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           e.user_id AS user_id,
+           COUNT(p.event_id) AS n_preceding
+    FROM events e
+    LEFT JOIN events p
+      ON p.user_id = e.user_id
+     AND p.event_id <> e.event_id
+     AND p.ts <= e.ts
+     AND p.ts >= e.ts - INTERVAL {CORR_WINDOW_MIN} MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def join_time_window_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preceding-activity count per error event via the binned interval
+    join. Errors land in bin(ts); candidate partners live in bin(ts) or
+    bin(ts)-1 (window <= bin width), so the error side explodes to two
+    (user, bin) probe keys, the join is a plain equi-join on them, and
+    the exact [ts-5m, ts] predicate prunes inside. Left join semantics
+    (errors with no preceding activity keep count 0) are preserved by
+    re-counting per error id over the candidate matches."""
+    e = load_table(spark, "events", sf_dir)
+    bin_us = CORR_WINDOW_MIN * 60
+    ebin = (F.unix_timestamp("ts") / bin_us).cast("bigint")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ets"),
+        ebin.alias("bin"),
+    )
+    probes = errors.select(
+        "error_id",
+        "user_id",
+        "ets",
+        F.explode(F.array(F.col("bin"), F.col("bin") - 1)).alias("pbin"),
+    )
+    partners = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        ebin.alias("pbin"),
+    )
+    matched = probes.join(partners, ["user_id", "pbin"]).filter(
+        (F.col("pid") != F.col("error_id"))
+        & (F.col("pts") <= F.col("ets"))
+        & (F.col("pts") >= F.col("ets") - F.expr(f"INTERVAL {CORR_WINDOW_MIN} MINUTES"))
+    )
+    counts = matched.groupBy("error_id").agg(F.count("*").alias("n_preceding"))
+    return (
+        errors.select("error_id", "user_id")
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.coalesce("n_preceding", F.lit(0)).alias("n_preceding"),
+        )
+    )

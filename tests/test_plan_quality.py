@@ -340,6 +340,18 @@ def test_materialized_band_index_join_never_reshuffles_corpus(spark):
     assert plan.count("Bucketed: true") == 2, plan
 
 
+def test_time_window_correlation_is_equi_join_not_theta(spark, queries):
+    # the binned interval join exists to avoid the theta-join trap: the
+    # plan must contain hash joins on (user_id, bin) and NO nested-loop /
+    # cartesian fallback
+    plan = _physical(queries["join_time_window_correlation"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+    # the error-type filter reaches the scan
+    assert "EqualTo(event_type,error)" in plan
+
+
 def test_funnel_stage_joins_broadcast(spark, queries):
     # funnel stages shrink monotonically: every stage join must broadcast
     # the (small) previous-stage frame, never shuffle the events scan
