@@ -563,3 +563,44 @@ def text_top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_NGRAMS_K)
         .select("source", "gram", "n", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix: the evaluation rollup for the heuristic
+# classifier above, against the corpus's labeled lang column — same
+# predict-vs-truth report shape as sim_knn_label_accuracy.
+# --------------------------------------------------------------------------
+_SQL_LANGID_PRED = f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_sql_marker_score('en')} >= {_sql_marker_score('es')}
+              AND {_sql_marker_score('en')} >= {_sql_marker_score('de')} THEN 'en'
+             WHEN {_sql_marker_score('es')} >= {_sql_marker_score('de')} THEN 'es'
+             ELSE 'de'
+           END AS predicted
+    FROM (SELECT doc_id, lang, {SQL_WORDS.format(t='text')} AS ws FROM documents)
+"""
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    SELECT lang AS labeled_lang, predicted AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM ({_SQL_LANGID_PRED})
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(labeled, predicted, count) confusion cells for the marker-based
+    language classifier — the number that decides whether the heuristic
+    is good enough to gate corpus routing. One aggregate over the scoring
+    map; |langs|^2 output rows at any corpus scale."""
+    return (
+        text_langid_scores(spark, sf_dir)
+        .groupBy(
+            "labeled_lang",
+            F.col("predicted_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
