@@ -340,6 +340,28 @@ def test_materialized_band_index_join_never_reshuffles_corpus(spark):
     assert plan.count("Bucketed: true") == 2, plan
 
 
+def test_retention_cohorts_shares_user_partitioning(spark, queries):
+    # firstseen and activity both shuffle on user_id; the join must not
+    # introduce a third user-keyed exchange beyond those two, and no
+    # nested-loop fallback
+    plan = _physical(queries["evt_retention_cohorts"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    user_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" in l
+    ]
+    assert len(user_exchanges) <= 2, plan
+
+
+def test_mixture_weights_single_corpus_pass(spark, queries):
+    # the corpus is read ONCE (one documents scan) — the normalization
+    # window runs over the |sources|-row aggregate, not the raw docs
+    plan = _physical(queries["mlprep_source_mixture_weights"](spark, SF_DIR))
+    scans = [l for l in plan.splitlines() if "documents.parquet" in l]
+    assert len(scans) == 1, plan
+
+
 def test_time_window_correlation_is_equi_join_not_theta(spark, queries):
     # the binned interval join exists to avoid the theta-join trap: the
     # plan must contain hash joins on (user_id, bin) and NO nested-loop /

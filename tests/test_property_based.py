@@ -308,3 +308,30 @@ def test_stream_reassembly_keeps_exactly_committed_transactions(txns):
     # bracketing invariant: every commit preceded by its begin
     kinds = [parse_message(fr)["kind"] for fr in out]
     assert kinds.count("begin") == kinds.count("commit") == len(want)
+
+
+# -- chunking arithmetic: chunks tile every document exactly ---------------
+
+
+@given(st.integers(min_value=0, max_value=2000))
+def test_chunking_formula_tiles_every_word(nw):
+    """For any word count: chunk i covers [i*stride, i*stride+size); the
+    computed chunk count must (a) cover every word index, (b) never emit
+    an empty chunk, (c) respect the overlap contract between neighbors.
+    Pure-Python mirror of the integer arithmetic both engines run."""
+    from psql_streamer_spark.operators.mlprep import (
+        CHUNK_SIZE_WORDS as SIZE,
+        CHUNK_STRIDE_WORDS as STRIDE,
+    )
+
+    n_chunks = (nw + STRIDE - 1) // STRIDE if nw > 0 else 0
+    covered = set()
+    for i in range(n_chunks):
+        start = i * STRIDE
+        length = min(SIZE, nw - start)
+        assert length > 0, (nw, i)
+        covered.update(range(start, start + length))
+    assert covered == set(range(nw))
+    if n_chunks >= 2:
+        # neighbor overlap = SIZE - STRIDE wherever the next chunk is full
+        assert STRIDE < SIZE
