@@ -716,3 +716,28 @@ def join_time_window_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_preceding", F.lit(0)).alias("n_preceding"),
         )
     )
+
+
+@register(
+    "agg_bitwise_flags",
+    oracle="""
+    SELECT event_type,
+           BIT_AND(CAST(event_id % 256 AS BIGINT)) AS all_bits,
+           BIT_OR(CAST(event_id % 256 AS BIGINT)) AS any_bits,
+           BIT_XOR(CAST(event_id % 256 AS BIGINT)) AS parity_bits
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR) over a manufactured 8-bit flag
+    field — the permission-mask / feature-flag rollup shape. All three
+    are commutative-associative, so they partial-aggregate map-side like
+    any sum; integers are exact, no FP caveats."""
+    e = load_table(spark, "events", sf_dir)
+    flags = (F.col("event_id") % 256).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.bit_and(flags).alias("all_bits"),
+        F.bit_or(flags).alias("any_bits"),
+        F.bit_xor(flags).alias("parity_bits"),
+    )

@@ -220,3 +220,40 @@ def window_first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w_full).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_ok"),
     )
+
+
+@register(
+    "window_forward_fill_gaps",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM sparse
+    """,
+)
+def window_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (gap fill): carry the last observed value forward
+    within each user's timeline — IGNORE NULLS value-window semantics,
+    the time-series imputation every metrics pipeline runs. The sparse
+    column is manufactured (every 3rd event observed) so the fill path
+    is actually exercised; rows before a user's first observation stay
+    NULL in both engines. One window shuffle on user_id."""
+    e = load_table(spark, "events", sf_dir)
+    v = F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
