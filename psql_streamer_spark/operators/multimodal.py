@@ -76,10 +76,14 @@ def decode_media(payload: bytes, mime: str) -> dict:
     raise NotImplementedError(f"no decoder registered for mime {mime!r}")
 
 
-def fake_image_features(payload: bytes) -> tuple[int, int, int, str]:
+def fake_image_features(payload: bytes | None) -> tuple:
     """Deterministic stand-in for an image decoder: derives (n_bytes,
     width, height, checksum) purely from the payload bytes, so the DuckDB
-    oracle can reproduce it."""
+    oracle can reproduce it. A NULL payload (missing blob, failed fetch —
+    routine in a real asset table) yields NULL features, matching SQL
+    NULL propagation, instead of crashing the whole Arrow batch."""
+    if payload is None:
+        return None, None, None, None
     n = len(payload)
     width = n % 640 + 1
     height = (n * 7) % 480 + 1
@@ -109,16 +113,18 @@ _FEATURES_SCHEMA = (
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         feats = pdf["payload"].map(fake_image_features)
+        # nullable pandas dtypes (Int64/Int32): NULL payloads carry through
+        # as NULL features instead of poisoning the int cast
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": feats.map(lambda t: t[0]).astype("int64"),
-                "width": feats.map(lambda t: t[1]).astype("int32"),
-                "height": feats.map(lambda t: t[2]).astype("int32"),
+                "n_bytes": feats.map(lambda t: t[0]).astype("Int64"),
+                "width": feats.map(lambda t: t[1]).astype("Int32"),
+                "height": feats.map(lambda t: t[2]).astype("Int32"),
                 "checksum": feats.map(lambda t: t[3]),
             }
         )
-        out["n_pixels"] = (out["width"].astype("int64")) * out["height"]
+        out["n_pixels"] = (out["width"].astype("Int64")) * out["height"]
         yield out[["doc_id", "n_bytes", "width", "height", "n_pixels", "checksum"]]
 
 
