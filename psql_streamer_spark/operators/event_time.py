@@ -340,3 +340,33 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "evt_week_over_week",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS week, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, n,
+           n - LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS wow_delta
+    FROM weekly
+    """,
+)
+def evt_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event-count deltas per type: the trend line every
+    ops dashboard draws. The window runs over the |weeks| x |types|
+    aggregate (tiny at any raw-data scale), so the only corpus-sized work
+    is the map-side-combined weekly rollup."""
+    e = load_table(spark, "events", sf_dir)
+    weekly = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "week",
+        "event_type",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("wow_delta"),
+    )
