@@ -259,6 +259,7 @@ def test_pgoutput_insert_roundtrip(relation_id, values, xid):
         ),
         min_size=1,
         max_size=6,
+        unique_by=lambda t: t[0],  # one stream per xid (PG guarantees this)
     )
 )
 def test_stream_reassembly_keeps_exactly_committed_transactions(txns):
@@ -281,7 +282,6 @@ def test_stream_reassembly_keeps_exactly_committed_transactions(txns):
     frames = []
     want = []
     for i, (xid, values, commits) in enumerate(txns):
-        xid = xid + i  # keep xids distinct even if hypothesis repeats them
         frames.append(encode_stream_start(xid))
         frames.append(encode_insert(7, _tuple_cols(values), xid=xid))
         frames.append(encode_stream_stop())
