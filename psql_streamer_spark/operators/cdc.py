@@ -640,3 +640,104 @@ def cdc_wal_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(gap > 5, 1)).alias("n_gaps_over_5"),
         F.max(gap).alias("max_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history: the change stream as validity intervals. Where
+# cdc_apply_snapshot keeps only current state, the type-2 slowly-changing
+# dimension keeps EVERY version with [valid_from_wal, valid_to_wal) —
+# the shape a warehouse needs for time-travel joins and audits.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH dml AS (
+      SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM ({_ORACLE_CDC_BASE})
+      WHERE action IN ('insert','update','delete')
+    )
+    SELECT "table", k,
+           action,
+           wal_position AS valid_from_wal,
+           LEAD(wal_position) OVER w AS valid_to_wal,
+           (LEAD(wal_position) OVER w IS NULL AND action <> 'delete')
+             AS is_current,
+           uuid
+    FROM dml
+    WINDOW w AS (PARTITION BY "table", k ORDER BY wal_position)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD from the change stream: per (table, pk) each version is
+    valid from its own WAL position until the next version's (NULL = open
+    interval); the open interval of a non-delete is the current row.
+    One window pass over the same (table, pk) shuffle the snapshot merge
+    pays — history costs nothing extra at materialization time, which is
+    why warehouses default to SCD2 and derive the snapshot as
+    `WHERE is_current`."""
+    from pyspark.sql import Window as W
+
+    ev = filter_dml(_as_cdc_events(spark, sf_dir)).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    w = W.partitionBy("table", "k").orderBy("wal_position")
+    nxt = F.lead("wal_position").over(w)
+    return ev.select(
+        "table",
+        "k",
+        "action",
+        F.col("wal_position").alias("valid_from_wal"),
+        nxt.alias("valid_to_wal"),
+        (nxt.isNull() & (F.col("action") != "delete")).alias("is_current"),
+        "uuid",
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time lookup over the SCD2 intervals: state as-of a WAL position.
+# --------------------------------------------------------------------------
+PIT_WAL = 30000  # mid-stream probe position
+
+
+@register(
+    "cdc_point_in_time_state",
+    oracle=f"""
+    WITH dml AS (
+      SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM ({_ORACLE_CDC_BASE})
+      WHERE action IN ('insert','update','delete')
+        AND wal_position <= {PIT_WAL}
+    ), latest AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY "table", k
+                                   ORDER BY wal_position DESC) AS rn
+      FROM dml
+    )
+    SELECT "table", k, action AS last_action, wal_position AS as_of_wal
+    FROM latest WHERE rn = 1 AND action <> 'delete'
+    """,
+)
+def cdc_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table state as-of WAL {PIT_WAL}: filter the stream to the horizon,
+    then latest-wins — time travel without a table format, straight off
+    the retained change log. The WAL filter pushes to the scan, so the
+    probe reads only history up to the horizon; at 100 TB the same query
+    hits the SCD2 table with `valid_from <= w AND (valid_to IS NULL OR
+    valid_to > w)` and partition-prunes on the interval columns."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        filter_dml(_as_cdc_events(spark, sf_dir))
+        .filter(F.col("wal_position") <= PIT_WAL)
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    )
+    w = W.partitionBy("table", "k").orderBy(F.desc("wal_position"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("action") != "delete"))
+        .select(
+            "table",
+            "k",
+            F.col("action").alias("last_action"),
+            F.col("wal_position").alias("as_of_wal"),
+        )
+    )
