@@ -340,6 +340,22 @@ def test_materialized_band_index_join_never_reshuffles_corpus(spark):
     assert plan.count("Bucketed: true") == 2, plan
 
 
+def test_scd2_history_single_pk_shuffle(spark, queries):
+    # SCD2 materialization must cost exactly the snapshot merge's one
+    # (table, pk) exchange — history for free is its selling point
+    plan = _physical(queries["cdc_scd2_history"](spark, SF_DIR))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, plan
+    assert "table" in exchanges[0] and "k#" in exchanges[0], exchanges
+
+
+def test_point_in_time_pushes_wal_horizon_to_scan(spark, queries):
+    # the as-of filter must reach the events scan so the probe reads only
+    # history up to the horizon
+    plan = _physical(queries["cdc_point_in_time_state"](spark, SF_DIR))
+    assert "LessThanOrEqual(event_id" in plan, plan
+
+
 def test_retention_cohorts_shares_user_partitioning(spark, queries):
     # firstseen and activity both shuffle on user_id; the join must not
     # introduce a third user-keyed exchange beyond those two, and no
