@@ -143,3 +143,86 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Outlier profiling: 3-sigma counts per event_type with decimal-exact
+# moments. stddev_samp() is summation-order-dependent in doubles, so the
+# mean/variance are derived from decimal sums (sum, sum-of-squares) that
+# both engines compute bit-identically; every downstream comparison then
+# sees identical bounds.
+# --------------------------------------------------------------------------
+_DSUM_V = "CAST(ROUND(SUM(CAST((value) AS DECIMAL(38,8))), 2) AS DOUBLE)"
+_DSUM_V2 = "CAST(ROUND(SUM(CAST((value * value) AS DECIMAL(38,8))), 2) AS DOUBLE)"
+
+
+@register(
+    "profile_value_outliers",
+    oracle=f"""
+    WITH moments AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {_DSUM_V} AS s1,
+             {_DSUM_V2} AS s2
+      FROM events GROUP BY event_type
+    ),
+    bounds AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+      FROM moments WHERE n > 1
+    )
+    SELECT b.event_type AS event_type, b.n AS n,
+           ROUND(b.mean, 6) AS mean,
+           ROUND(b.std, 6) AS std,
+           COUNT(*) FILTER (WHERE e.value > b.mean + 3 * b.std
+                               OR e.value < b.mean - 3 * b.std) AS n_outliers
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+    GROUP BY b.event_type, b.n, b.mean, b.std
+    """,
+)
+def profile_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier counts — the data-quality gate that flags
+    a broken upstream emitter. Two passes: a map-side-combined moments
+    aggregate (count/sum/sum-of-squares as decimals), then a broadcast of
+    the ~|types| bounds back over the scan for the outlier count. The
+    second pass is the unavoidable one — z-scores need global moments —
+    and it is a broadcast join, never a shuffle of the events."""
+    from psql_streamer_spark.functions.numeric import DEC
+
+    e = load_table(spark, "events", sf_dir)
+    moments = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("s1"),
+            F.round(F.sum((F.col("value") * F.col("value")).cast(DEC)), 2)
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    bounds = moments.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    outlier = (F.col("value") > F.col("mean") + 3 * F.col("std")) | (
+        F.col("value") < F.col("mean") - 3 * F.col("std")
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(F.count(F.when(outlier, 1)).alias("n_outliers"))
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            "n_outliers",
+        )
+    )
