@@ -866,6 +866,10 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     # |candidates|-bounded; the production fast path simply drops this join
     exact_pairs = _jaccard_pairs(spark, sf_dir, candidates=cand, threshold=None)
     return est.join(exact_pairs, ["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verify: Levenshtein captures a character-level
 # near-dup notion (OCR noise, small in-place edits) that set-based Jaccard
 # under-detects when edits are spread across many shingles. Levenshtein is
 # O(len^2) per pair — affordable ONLY because the LSH banding has already

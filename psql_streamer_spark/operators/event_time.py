@@ -262,9 +262,12 @@ def evt_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stage user counts for the ordered funnel. Each stage is a
     per-user MIN over a filtered scan joined to the previous stage's
     timestamps — stage frames shrink monotonically (users who reached
-    stage k), so at 100 TB stages 2+ are broadcast joins against an
-    ever-smaller user set while the events scan stays filter-pushed on
-    event_type. Output is one row of stage counts (the funnel chart)."""
+    stage k). Stage 1's frame (all viewers) is unbounded in |users|, so
+    it joins without a broadcast hint (shuffle join, or AQE may elect a
+    runtime broadcast when it measures the frame as small); only the
+    later, funnel-shrunk stage frames (c) carry an explicit broadcast.
+    The events scan stays filter-pushed on event_type. Output is one
+    row of stage counts (the funnel chart)."""
     e = load_table(spark, "events", sf_dir)
     v = (
         e.filter(F.col("event_type") == "view")
@@ -273,7 +276,7 @@ def evt_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))

@@ -157,14 +157,19 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
 
 
-#: (applicationId, sf_dir) -> scan partition count. Touching .rdd forces a
-#: plan conversion; the layout of an immutable snapshot never changes, so
-#: pay that conversion once per session per dataset, not per invocation.
-_SCAN_PARTS: dict[tuple[str, str], int] = {}
+#: (applicationId, sf_dir, table) -> scan partition count. Touching .rdd
+#: forces a plan conversion; the layout of an immutable snapshot never
+#: changes, so pay that conversion once per session per dataset+table, not
+#: per invocation. The table name is part of the key so a second caller
+#: scanning a different table (or a repartitioned frame registered under
+#: its own label) can never be served the first table's count.
+_SCAN_PARTS: dict[tuple[str, str, str], int] = {}
 
 
-def _scan_partitions(spark: SparkSession, df: DataFrame, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _scan_partitions(
+    spark: SparkSession, df: DataFrame, sf_dir: str, table: str = "media"
+) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, table)
     if key not in _SCAN_PARTS:
         _SCAN_PARTS[key] = df.rdd.getNumPartitions()
     return _SCAN_PARTS[key]
