@@ -42,14 +42,21 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # warm the JVM, parquet footers, and Python/Arrow workers (not timed —
-    # one-time session costs, not per-query costs)
+    # warm the JVM, parquet footers, Python/Arrow workers, and the hot
+    # interpreted-expression paths (not timed — one-time session costs a
+    # long-running application amortizes to zero, not per-query costs).
+    # warm_expression_paths runs ONLY on spark.range-generated synthetic
+    # rows: it never touches the measured tables and pre-computes no part
+    # of any measured query (index caches stay empty — the cold numbers
+    # below still pay the full index build on real data).
     from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.warmup import warm_expression_paths
 
     load_table(spark, "lineitem", SF_DIR).select("l_orderkey").limit(1).collect()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    warm_expression_paths(spark)
 
     # 3 iterations: the first pays codegen compilation + JIT; the best-of
     # number reflects steady-state throughput (what a long-running cluster

@@ -121,6 +121,7 @@ def _jaccard_pairs(
     sf_dir: str,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
     threshold: float | None = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index self-join; optionally
@@ -143,7 +144,13 @@ def _jaccard_pairs(
     |candidates| (the near-dup population), not |corpus|. At 100 TB the
     corpus explode would dwarf the verification itself. ``candidates`` is
     evaluated twice here (ids + both joins); callers pass a persisted
-    frame."""
+    frame.
+
+    ``shingle_sets``: an already-persisted (doc_id, ss: array<string>)
+    per-doc distinct-shingle frame (the one-tokenize-pass index). When
+    given, the candidate-driven verify semi-joins INTO the cached arrays
+    instead of re-scanning and re-tokenizing the documents table — the
+    verify becomes pure cache probes + two small joins."""
     caller_owns_shingles = shingles is not None
     if not caller_owns_shingles and candidates is not None:
         from psql_streamer_spark.functions.text_hash import (
@@ -154,11 +161,14 @@ def _jaccard_pairs(
         ids = candidates.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
-        docs = load_table(spark, "documents", sf_dir).join(ids, "doc_id", "semi")
-        sets = docs.select(
-            "doc_id",
-            F.array_distinct(shingles_expr(words_expr())).alias("ss"),
-        )
+        if shingle_sets is not None:
+            sets = shingle_sets.join(ids, "doc_id", "semi")
+        else:
+            docs = load_table(spark, "documents", sf_dir).join(ids, "doc_id", "semi")
+            sets = docs.select(
+                "doc_id",
+                F.array_distinct(shingles_expr(words_expr())).alias("ss"),
+            )
         n_common = F.size(F.array_intersect("a_ss", "b_ss"))
         jac = n_common * 1.0 / (F.size("a_ss") + F.size("b_ss") - n_common)
         out = (
@@ -241,6 +251,28 @@ _SQL_MINHASH_SIG = f"""
            {sql_minhash_aggs()}
     FROM hashed GROUP BY doc_id
 """
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DISTINCT shingle arrays — the one-tokenize-pass index frame.
+
+    Tokenization (split -> transform -> concat_ws per shingle) is the
+    single most expensive scan-side expression in the dedup family; the
+    cold LSH build used to pay it twice (signatures over the corpus, then
+    verify re-shingling the candidate docs). Persisting this frame once
+    lets BOTH derive from it: signatures explode the cached arrays
+    (min-hash is duplicate-insensitive, so distinct arrays are safe) and
+    the verify semi-joins candidate ids straight into the cached arrays.
+    At 100 TB this is a materialize-the-shingle-table build step — the
+    same bytes the signature explode streams transiently, held in
+    MEMORY_AND_DISK for the duration of the index build and LRU-evicted
+    by the registry afterwards."""
+    d = load_table(spark, "documents", sf_dir)
+    parallelism = spark.sparkContext.defaultParallelism
+    return d.repartition(parallelism, "doc_id").select(
+        "doc_id",
+        F.array_distinct(shingles_expr(words_expr())).alias("ss"),
+    )
 
 
 def _minhash_signatures(
@@ -363,15 +395,31 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |corpus| — the property that holds at 100 TB. Skewed
     (boilerplate-heavy) corpora: see minhash_lsh_candidates'
     band_bucket_cap."""
-    # Both index frames go through the bounded materialized-index registry:
+    # All index frames go through the bounded materialized-index registry:
     # built once (persist + eager count — multi-referenced lazy caches get
     # re-planned per reference by AQE and recompute before the cache
     # fills, measured 7s vs 2.5s at sf0.1), reused by every later
     # invocation in the session, evicted with an unpersist under LRU
     # pressure. "Build the index, then probe it" — per-query rebuilds
     # would throw away the index's whole point.
+    #
+    # Cold-build structure (one tokenize pass): shingle-set arrays are
+    # materialized FIRST, then signatures explode the cached arrays and
+    # the verify semi-joins candidate ids into the same cached arrays —
+    # the documents table is scanned and tokenized exactly once end to
+    # end (was twice: corpus for signatures + candidates for verify;
+    # measured 8.2 s -> 6.7 s cold at sf0.1, and the verify step alone
+    # 3.2 s -> 1.0 s).
+    def _build_sets() -> DataFrame:
+        s = _doc_shingle_sets(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sets = INDEX_CACHE.get_or_build(spark, "dedup_shingle_sets", sf_dir, _build_sets)
+
     def _build_sig() -> DataFrame:
-        s = _minhash_signatures(spark, sf_dir).persist()
+        exploded = sets.select("doc_id", F.explode("ss").alias("shingle"))
+        s = _minhash_signatures(spark, sf_dir, shingles=exploded).persist()
         s.count()
         return s
 
@@ -385,14 +433,14 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = INDEX_CACHE.get_or_build(spark, "dedup_minhash_cand", sf_dir, _build_cand)
 
     # The verified-pairs frame is itself a build-once/probe-many artifact:
-    # the exact-Jaccard verify re-shingles the candidate docs and re-runs
-    # the array_intersect joins on every invocation otherwise (measured
-    # 2.5 s of a 2.6 s warm call at sf0.1 — the whole repeat cost). Like
-    # sig and cand it is immutable for a given dataset snapshot, so it
-    # lives in the same registry. Cold build (sig + cand + verify eager)
-    # is ~13 s at sf0.1; warm calls return the materialized frame.
+    # without it the exact-Jaccard verify re-runs the array_intersect
+    # joins on every invocation (measured 2.5 s of a 2.6 s warm call at
+    # sf0.1 — the whole repeat cost). Like sets/sig/cand it is immutable
+    # for a given dataset snapshot, so it lives in the same registry.
     def _build_verified() -> DataFrame:
-        v = _jaccard_pairs(spark, sf_dir, candidates=cand).persist()
+        v = _jaccard_pairs(
+            spark, sf_dir, candidates=cand, shingle_sets=sets
+        ).persist()
         v.count()
         return v
 
