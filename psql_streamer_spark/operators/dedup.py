@@ -835,6 +835,160 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster the embedding space, mine
+# near-dup pairs ONLY within each cluster, group them, keep one survivor
+# per group (SemDeDup, Abbas et al. 2023, arXiv:2303.09540). Clustering
+# is the bucketing device that replaces global pair mining: candidate
+# cost is sum over clusters of |cluster|^2, not |corpus|^2, and the pair
+# join is an equi-join on cluster id — cluster-local by construction
+# (plan-tested). Survivor rule per the paper: within a near-dup group
+# keep the member LEAST similar to its cluster centroid (preserves
+# diversity); ties break on vec_id for a total order.
+# --------------------------------------------------------------------------
+SEM_CENTROID_STRIDE = 50  # vec_id % 50 == 0 -> deterministic centroid seeds
+
+
+def _semantic_dedup(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """SemDeDup pipeline over (vec_id, e, nrm) vectors and a small
+    (cent_id, ce, cnrm) centroid frame.
+
+    Scale design: centroids are model state (broadcast, k rows);
+    assignment is a narrow map (argmax cosine over k broadcast rows);
+    pair mining shuffles once on cluster id and never crosses clusters;
+    the survivor window runs per near-dup group (tiny partitions). The
+    assignment frame feeds three plan branches (both pair-join sides and
+    the final labeling) and is persisted for the duration of the plan."""
+    from pyspark.sql import Window as W
+
+    ccos = _sim_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "nrm", F.col("cent_id").alias("cluster_id"), "ccos")
+        .persist()
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    pair_cos = _sim_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= COSINE_DUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    labels = connected_components(
+        assign.select("vec_id"), pairs, id_col="vec_id", max_iter=50
+    )
+    w_grp = W.partitionBy("group_id")
+    w_keep = W.partitionBy("group_id").orderBy(F.asc("ccos"), F.asc("vec_id"))
+    result = (
+        labels.select("vec_id", F.col("label").alias("group_id"))
+        .join(assign.select("vec_id", "cluster_id", "ccos"), "vec_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "group_id",
+            F.count("*").over(w_grp).alias("group_size"),
+            F.when(F.row_number().over(w_keep) == 1, 1).otherwise(0).alias("is_kept"),
+        )
+    )
+    return persist_for(assign, result)
+
+
+_SQL_SEMANTIC_CLUSTERS = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM v WHERE vec_id % {SEM_CENTROID_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT vec_id, e, nrm, cent_id AS cluster_id, ccos FROM (
+        SELECT v.vec_id, v.e, v.nrm, cent.cent_id,
+               {_SIM_SQL_DOT.format(a='v.e', b='cent.ce')} / (v.nrm * cent.cnrm)
+                 AS ccos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_SIM_SQL_DOT.format(a='v.e', b='cent.ce')}
+                            / (v.nrm * cent.cnrm) DESC,
+                          cent.cent_id ASC) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_SIM_SQL_DOT.format(a='a.e', b='b.e')} / (a.nrm * b.nrm)
+              >= {COSINE_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(vid, r) AS (
+      SELECT vec_id, vec_id FROM assign
+      UNION
+      SELECT reach.vid, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    grp AS (SELECT vid AS vec_id, MIN(r) AS group_id FROM reach GROUP BY vid)
+    SELECT a.vec_id AS vec_id, a.cluster_id AS cluster_id, g.group_id AS group_id,
+           COUNT(*) OVER (PARTITION BY g.group_id) AS group_size,
+           CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY g.group_id
+                  ORDER BY a.ccos ASC, a.vec_id ASC) = 1
+                THEN 1 ELSE 0 END AS is_kept
+    FROM assign a JOIN grp g ON g.vec_id = a.vec_id
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_SQL_SEMANTIC_CLUSTERS)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with deterministic stride-seeded centroids (every 50th
+    vector), fully oracle-replayable: assignment argmax, intra-cluster
+    cosine pairs, connected components (recursive-CTE oracle), and the
+    keep-least-central survivor rule all use the sequential-fold float
+    arithmetic both engines evaluate bit-identically. The trained-
+    centroid composition is dedup_semantic_clusters_kmeans below."""
+    v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
+    cent = v.filter(F.col("vec_id") % SEM_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    return _semantic_dedup(v, cent)
+
+
+@register("dedup_semantic_clusters_kmeans")  # iterative training -> rows-only
+def dedup_semantic_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup composition: k-means-TRAINED centroids (Lloyd's
+    rounds — iterative, hence not SQL-expressible; rows-only driver
+    check) feeding the same cluster -> intra-cluster pair -> group ->
+    survivor pipeline as the oracle-checked stride variant. Pipeline
+    invariants (one survivor per group, cluster-local groups, parity
+    with the stride variant under centroid swap) are pinned in
+    tests/test_quality_metrics.py."""
+    from psql_streamer_spark.operators.similarity import kmeans_centroids
+
+    v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
+    cent = kmeans_centroids(_sim_vectors(spark, sf_dir)).select(
+        F.col("cluster_id").alias("cent_id"),
+        F.col("ce"),
+        _sim_norm(F.col("ce")).alias("cnrm"),
+    )
+    return _semantic_dedup(v, cent)
+
+
+# --------------------------------------------------------------------------
 # Signature-only Jaccard estimation: at true scale the exact verify is the
 # expensive stage (it re-touches document text); the MinHash estimator —
 # fraction of agreeing signature components — needs ONLY the 16-int

