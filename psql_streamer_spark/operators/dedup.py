@@ -41,6 +41,7 @@ from psql_streamer_spark.functions.text_hash import (
     sql_simhash_bit_sums,
     sql_simhash_combine,
     SQL_H32,
+    SQL_WORDS,
 )
 from psql_streamer_spark.caching import INDEX_CACHE, persist_for
 from psql_streamer_spark.registry import register
@@ -1142,6 +1143,134 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev <= LEV_REL_THRESHOLD * F.greatest(F.length("pa"), F.length("pb"))
         )
         .select("doc_a", "doc_b", lev.cast("bigint").alias("edit_distance"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (suffix-array-style): maximal cross-doc verbatim
+# token spans, the canonical "50+ token overlap" family of Lee et al. 2021
+# ("Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499). A distributed suffix array is replaced by the
+# equivalent sorted-shingle-chain form: positional k-token shingles ->
+# inverted-index join across docs -> maximal-run (gaps-and-islands)
+# detection per (doc pair, diagonal). A shared verbatim span of S tokens
+# is EXACTLY a run of S-k+1 consecutive positional shingle matches on one
+# diagonal (pos_a - pos_b constant), so maximal islands reconstruct the
+# maximal spans — no approximation.
+#
+# Scale (100 TB): everything shuffles on the shingle (the inverted index
+# key) and then on (doc_a, doc_b, diag) — pair-bounded, never corpus-
+# quadratic, because positional k=8-gram collisions across UNRELATED docs
+# are rare; the skew risk is boilerplate shingles (license headers) whose
+# doc-frequency blowup mirrors the LSH hot-bucket problem and takes the
+# same guard (df-cap: drop shingles in > cap docs BEFORE the join; a
+# capped shingle can split a span into two reported islands, never drop
+# one entirely, since a 50-token span carries 43 distinct positions).
+# Span growth is bounded: islands per doc pair <= matches / 1, and each
+# island aggregates to ONE row — output is O(true shared spans).
+# --------------------------------------------------------------------------
+SPAN_SHINGLE_K = 8
+SPAN_MIN_TOKENS = 20
+
+_SQL_EXACT_SUBSTRING_SPANS = f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws FROM documents),
+    shp AS (SELECT doc_id, unnest(range(1, len(ws) - {SPAN_SHINGLE_K} + 2)) AS pos,
+                   ws
+            FROM w),
+    s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                 array_to_string(ws[pos:pos+{SPAN_SHINGLE_K}-1], ' ') AS shingle
+          FROM shp),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           MIN(pos_a) AS start_a,
+           MIN(pos_a) - diag AS start_b,
+           COUNT(*) + {SPAN_SHINGLE_K} - 1 AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, island
+    HAVING COUNT(*) + {SPAN_SHINGLE_K} - 1 >= {SPAN_MIN_TOKENS}
+"""
+
+
+@register("dedup_exact_substring_spans", oracle=_SQL_EXACT_SUBSTRING_SPANS)
+def dedup_exact_substring_spans(
+    spark: SparkSession, sf_dir: str, doc_freq_cap: int | None = None
+) -> DataFrame:
+    """Maximal verbatim token spans (>= SPAN_MIN_TOKENS) shared across
+    documents — one row per (doc pair, span) with 1-based token offsets
+    in both docs. ``doc_freq_cap`` enables the boilerplate guard (see
+    section banner); None (the oracle-checked default) keeps every
+    shingle."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    parallelism = spark.sparkContext.defaultParallelism
+    w = d.repartition(parallelism, "doc_id").select(
+        "doc_id", words_expr().alias("ws")
+    )
+    # positional shingles: pos is 1-based to mirror SQL list slicing
+    npos = F.size("ws") - SPAN_SHINGLE_K + 1
+    positions = F.when(
+        npos >= 1, F.sequence(F.lit(1), npos)
+    ).otherwise(F.array().cast("array<int>"))
+    s = w.select(
+        "doc_id",
+        F.explode(positions).alias("ipos"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("ipos").cast("bigint").alias("pos"),
+        F.concat_ws(" ", F.slice("ws", F.col("ipos"), SPAN_SHINGLE_K)).alias(
+            "shingle"
+        ),
+    )
+    if doc_freq_cap is not None:
+        df_counts = s.groupBy("shingle").agg(
+            F.countDistinct("doc_id").alias("_df")
+        )
+        s = (
+            s.join(df_counts, "shingle")
+            .filter(F.col("_df") <= doc_freq_cap)
+            .drop("_df")
+        )
+    a = s.alias("a")
+    b = s.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w_run = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = m.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w_run)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count("*") + SPAN_SHINGLE_K - 1).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            "span_tokens",
+        )
     )
 
 

@@ -364,6 +364,32 @@ def test_semantic_dedup_invariants(spark, sfdir):
         assert sum(r.is_kept for r in rows) == len(by_group)
 
 
+def test_exact_substring_spans_are_verbatim_and_maximal(spark, sfdir):
+    """Every reported span must be a true verbatim token-for-token match
+    at the reported offsets, and maximal (extending one token on either
+    side breaks the match) — the defining property of suffix-array dedup
+    that the gaps-and-islands reconstruction must preserve."""
+    from psql_streamer_spark.operators.dedup import SPAN_MIN_TOKENS
+
+    spans = QUERIES["dedup_exact_substring_spans"](spark, sfdir).collect()
+    if not spans:
+        pytest.skip("no shared spans at this sf")
+    docs = {
+        r.doc_id: [w for w in r.text.lower().split() if w]
+        for r in spark.read.parquet(f"{sfdir}/documents.parquet").collect()
+    }
+    for r in spans:
+        a, b = docs[r.doc_a], docs[r.doc_b]
+        sa, sb, n = int(r.start_a) - 1, int(r.start_b) - 1, int(r.span_tokens)
+        assert n >= SPAN_MIN_TOKENS
+        assert a[sa : sa + n] == b[sb : sb + n], (r, "not verbatim")
+        # maximality: the span cannot extend in either direction
+        if sa > 0 and sb > 0:
+            assert a[sa - 1] != b[sb - 1], (r, "extends left")
+        if sa + n < len(a) and sb + n < len(b):
+            assert a[sa + n] != b[sb + n], (r, "extends right")
+
+
 def test_incremental_lsh_is_exactly_the_delta_touching_slice(spark, sfdir):
     """The incremental miner must return precisely the full-run pairs that
     touch the delta bucket — nothing dropped (a delta-corpus collision
