@@ -184,9 +184,28 @@ class Engine:
         self._started.clear()
 
     def stop(self) -> None:
+        """Ordered shutdown mirroring the reference (main.go:59-96):
+
+        1. SOURCES stop first — ``q.stop()`` blocks until the stream
+           execution thread exits (spark.sql.streaming.stopTimeout=0
+           waits indefinitely), so no new epoch can start afterwards. An
+           epoch interrupted mid-flight never reaches its commit-log
+           entry (foreachBatch runs strictly before the offset commit),
+           so a restart replays it — nothing is half-committed.
+        2. SINKS close second (flush-on-close, mux/mux.go:156-165):
+           write-through sinks only bookkeep; a buffering sink flushes
+           its remaining events here, after the last epoch delivered.
+        3. CONTROL PLANE last (ticker, HTTP status server) — /status
+           and the stats ticker stay observable while the pipeline
+           winds down, exactly the reference's teardown tail.
+        """
         for q in self._started:
             q.stop()
         self._started.clear()
+        for s in self.sinks.values():
+            close = getattr(s, "close", None)
+            if callable(close):
+                close()
         if self.ticker is not None:
             self.ticker.stop()
         if self.server is not None:

@@ -29,6 +29,7 @@ class NoopSink:
         self.name = name
         self.batches = 0
         self.events = 0
+        self.closed = False
         self._lock = threading.Lock()
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -36,6 +37,15 @@ class NoopSink:
         with self._lock:
             self.batches += 1
             self.events += n
+
+    def close(self) -> None:
+        """Flush-on-close hook (mux/mux.go:156-165 parity). Stub/file
+        sinks are write-through per epoch — every delivered batch is
+        already durable when write() returns — so close() only records
+        the shutdown; a buffering sink (e.g. a real Kafka producer)
+        flushes its in-flight events here. Engine.stop() calls this
+        AFTER sources stop and BEFORE the control plane goes down."""
+        self.closed = True
 
     def stats(self) -> str:
         return f"batches {self.batches} events {self.events}"

@@ -629,3 +629,83 @@ def test_streaming_near_dup_alerts(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_engine_stop_ordering_and_drain(spark, dirs):
+    """Ordered shutdown (main.go:59-96): killing an Engine mid-stream must
+    stop sources first, close sinks second, control plane last; no epoch
+    may be half-committed (every commit-log entry had a completed sink
+    delivery); and a restart drains the remainder with nothing lost."""
+    import os
+    import time
+
+    from psql_streamer_spark.config import Engine
+    from psql_streamer_spark.observe import EngineListener
+
+    src, ckpt, tmp = dirs
+    order: list[str] = []
+
+    class OrderedSink(MemorySink):
+        def close(self):
+            order.append(f"sink:{self.name}")
+            super().close()
+
+    n_files = 12
+    for b in range(n_files):
+        _write_batch(src, f"b{b:03d}.json", [_event(b * 10 + i) for i in range(3)])
+
+    sink = OrderedSink("s1")
+    pipe = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink],
+        topic_mapping={"test": "t"},
+        max_files_per_trigger=1,  # 12 slow epochs -> stop lands mid-stream
+        processing_interval="50 milliseconds",
+    )
+    eng = Engine(
+        spark, pipelines={"cdc": pipe}, sinks={"s1": sink},
+        listener=EngineListener(), server=None, ticker_interval_s=0.05,
+    )
+    eng.start()
+    try:
+        assert eng.ticker is not None
+        orig_ticker_stop = eng.ticker.stop
+        eng.ticker.stop = lambda: (order.append("ticker"), orig_ticker_stop())[1]
+        for q in eng._started:
+            orig_q_stop = q.stop
+            q.stop = (lambda orig: lambda: (order.append("source"), orig())[1])(
+                orig_q_stop
+            )
+        deadline = time.time() + 60
+        while sink.batches < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert sink.batches >= 2, "stream never delivered a batch"
+    finally:
+        eng.stop()
+
+    # 1. ordering: sources -> sinks -> control plane
+    assert order[0] == "source" and order[-1] == "ticker"
+    assert order.index("sink:s1") > order.index("source")
+    assert sink.closed
+
+    # 2. no half-committed epoch: every commit-log entry corresponds to a
+    # completed foreachBatch delivery; at most ONE in-flight epoch had its
+    # offsets written without a commit (that one replays on restart)
+    commits = {f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()}
+    offsets = {f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()}
+    assert len(commits) <= sink.batches, "commit without a sink delivery"
+    assert len(offsets) - len(commits) <= 1
+    assert sink.batches == pipe.stats.batches
+    assert sink.batches < n_files, "stop was not mid-stream; weaken the test"
+
+    # 3. restart on the same checkpoint drains the rest: nothing lost,
+    # the one uncommitted epoch may replay (at-least-once)
+    sink2 = MemorySink("s2")
+    pipe2 = CdcPipeline(
+        spark, str(src), ckpt, sinks=[sink2],
+        topic_mapping={"test": "t"}, max_files_per_trigger=1,
+    )
+    pipe2.run_to_completion()
+    uuids = {
+        json.loads(r.value)["UUID"] for r in sink.rows + sink2.rows
+    }
+    assert len(uuids) == n_files * 3, "events lost across stop/restart"
