@@ -64,9 +64,10 @@ def main() -> None:
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        samples: list[float] = []
         for i in range(iters):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -76,8 +77,14 @@ def main() -> None:
                 # materialized-index registry builds eagerly on first use);
                 # reported separately so the one-time cost stays visible
                 cold[name] = round(dt, 3)
-            best = min(best, dt)
-        times[name] = round(best, 3)
+            else:
+                samples.append(dt)
+        warm = samples or [cold[name]]
+        times[name] = round(min(warm), 3)
+        # max-min over the warm (steady-state) iterations: the per-query
+        # noise band. A round-over-round delta smaller than the union of
+        # the two rounds' spreads is noise, not signal.
+        spread[name] = round(max(warm) - min(warm), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -92,6 +99,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_cold": cold,
+                "queries_spread": spread,
                 "sf": sf_val,
             }
         )
