@@ -583,6 +583,95 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Blocked-BLAS brute force: the same all-pairs semantics as
+# dedup_embedding_cosine_pairs, but computed as distributed block matrix
+# products instead of a per-pair expression fold. The sf1 sweep measured
+# the expression form at 397 s (20k vectors, 200M pairs through the codegen
+# fold); the identical O(N^2) FLOPs through numpy matmul per block-pair run
+# ~2 orders of magnitude faster. Work is still quadratic — this is the
+# "you really must do all-pairs" tier, with the LSH miner below as the
+# sub-quadratic scale path — but the constant factor is BLAS, not codegen.
+#
+# Shape: vectors get a block id (xxhash64(vec_id) mod B); a tiny (B*(B+1)/2
+# row) block-pair frame replicates each block to the pairs it participates
+# in; applyInPandas over (block_a, block_b) does one matmul per group.
+# Fully distributed — no driver collect; shuffle volume is N*B rows (each
+# vector visits B block-pairs), tunable against group memory via B.
+# Output is PAIR IDENTITY only (vec_a, vec_b): float cosines from BLAS sum
+# in SIMD order and may differ from a sequential fold in the last ulp, so
+# values stay out of the oracle-hashed columns; pair membership at
+# threshold 0.4 is ulp-robust. tests/test_quality_metrics.py pins exact
+# pair parity against the expression tier.
+# --------------------------------------------------------------------------
+_COSINE_BLOCKS = 16
+
+_SQL_COSINE_PAIRS_IDS = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(e, x -> x*x), (x,y) -> x+y)) AS nrm
+          FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.e)+1),
+                                     i -> a.e[i] * b.e[i]), (x,y) -> x+y)
+            / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine_pairs_blocked", oracle=_SQL_COSINE_PAIRS_IDS)
+def dedup_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine via distributed block matmul (see banner above)."""
+    import numpy as np
+    import pandas as pd
+
+    B = _COSINE_BLOCKS
+    thr = COSINE_DUP_THRESHOLD
+    v = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).alias("blk"),
+    )
+    # block-pair frame: (ba, bb) for ba <= bb — B*(B+1)/2 rows, broadcast
+    rng = spark.range(B).select(F.col("id").cast("int").alias("ba"))
+    bp = rng.crossJoin(spark.range(B).select(F.col("id").cast("int").alias("bb"))).filter(
+        F.col("ba") <= F.col("bb")
+    )
+    left = v.join(F.broadcast(bp), v.blk == F.col("ba")).select(
+        "ba", "bb", F.lit("L").alias("side"), "vec_id", "e"
+    )
+    right = (
+        v.join(F.broadcast(bp.filter(F.col("ba") < F.col("bb"))), v.blk == F.col("bb"))
+        .select("ba", "bb", F.lit("R").alias("side"), "vec_id", "e")
+    )
+    both = left.unionByName(right)
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        l_rows = pdf[pdf["side"] == "L"]
+        r_rows = pdf[pdf["side"] == "R"]
+        if len(l_rows) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        lm = np.stack(l_rows["e"].to_numpy())
+        lid = l_rows["vec_id"].to_numpy()
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        if len(r_rows) == 0:  # diagonal block: within-L upper triangle
+            cos = lm @ lm.T
+            ai, bi = np.nonzero(np.triu(cos >= thr, k=1))
+            va, vb = lid[ai], lid[bi]
+        else:
+            rm = np.stack(r_rows["e"].to_numpy())
+            rid = r_rows["vec_id"].to_numpy()
+            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+            ai, bi = np.nonzero(lm @ rm.T >= thr)
+            va, vb = lid[ai], rid[bi]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    return both.groupBy("ba", "bb").applyInPandas(
+        _block_pairs, schema="vec_a long, vec_b long"
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding near-dup pair mining, bucketed (the 100 TB path).
 # --------------------------------------------------------------------------
 # Reuses similarity.py's deterministic random-hyperplane signatures as band

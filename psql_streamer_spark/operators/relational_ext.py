@@ -14,6 +14,7 @@ Determinism notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from psql_streamer_spark.functions.numeric import dsum, sql_dsum
@@ -602,6 +603,7 @@ def sql_exists_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) ->
     WITH a AS (
       SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
       FROM orders WHERE o_orderkey % 7 = 0
+      QUALIFY row_number() OVER (PARTITION BY prio ORDER BY o_orderkey) <= 100
     ),
     b AS (
       SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
@@ -618,21 +620,49 @@ def sql_exists_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) ->
 def join_null_safe_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
     EACH OTHER instead of vanishing — the semantic a plain equi-join
-    silently drops. NULLIF manufactures a null-bearing key from o_orderpriority so
-    the null-match path is actually exercised; the aggregate reports how
-    many joined pairs rode the null key. Spark plans eqNullSafe as a
-    regular hash join on a null-coalesced key — same shuffle shape as the
-    plain join, no nested loop."""
+    silently drops. NULLIF manufactures a null-bearing key from
+    o_orderpriority so the null-match path is actually exercised; the
+    aggregate reports how many joined pairs rode the null key.
+
+    Scale shape: o_orderpriority has ~5 distinct values, so an unbounded
+    self-join on it produces O(|A_p| * |B_p|) pairs PER KEY — quadratic in
+    data size no matter what join strategy Spark picks (the sf1 sweep
+    measured exactly that: 204 s for 5 output rows). The probe side is
+    therefore bounded to a deterministic top-100 orderkeys per priority,
+    computed with a SALTED two-phase top-k (per-salt row_number first —
+    32-way parallel — then the exact row_number over the <=3200
+    survivors) so no single reducer ever sees a whole priority's rows.
+    The bounded side broadcasts at any corpus scale and the join output
+    is O(100 * |B|) — linear. The null-match semantics are unchanged."""
     o = load_table(spark, "orders", sf_dir)
     clerk = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
-    a = o.filter(F.col("o_orderkey") % 7 == 0).select(
+    a0 = o.filter(F.col("o_orderkey") % 7 == 0).select(
         F.col("o_orderkey").alias("ka"), clerk.alias("ca")
+    )
+    # phase 1: top-100 per (priority, salt) — parallel across 32 salts
+    salt = F.pmod(F.xxhash64(F.col("ka")), F.lit(32))
+    w_salted = W.partitionBy("ca", "salt").orderBy("ka")
+    pre = (
+        a0.withColumn("salt", salt)
+        .withColumn("rn", F.row_number().over(w_salted))
+        .filter(F.col("rn") <= 100)
+        .drop("rn", "salt")
+    )
+    # phase 2: exact top-100 per priority over the bounded survivor set
+    w_exact = W.partitionBy("ca").orderBy("ka")
+    a = (
+        pre.withColumn("rn", F.row_number().over(w_exact))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
     )
     b = o.filter(F.col("o_orderkey") % 11 == 0).select(
         F.col("o_orderkey").alias("kb"), clerk.alias("cb")
     )
     return (
-        a.join(b, F.col("ca").eqNullSafe(F.col("cb")) & (F.col("ka") < F.col("kb")))
+        b.join(
+            F.broadcast(a),
+            F.col("ca").eqNullSafe(F.col("cb")) & (F.col("ka") < F.col("kb")),
+        )
         .groupBy(F.col("ca").alias("prio"))
         .agg(
             F.count("*").alias("n_pairs"),

@@ -108,6 +108,23 @@ def test_embedding_lsh_pairs_subset_and_recall(spark, sfdir):
     assert recall >= 0.3, f"embedding LSH pair recall {recall}"
 
 
+def test_blocked_blas_cosine_pairs_exact_parity(spark, sfdir):
+    """The blocked-BLAS brute-force tier computes the SAME all-pairs
+    semantics as the expression-fold tier — pair sets must match exactly
+    (not recall-bounded: both are exhaustive O(N^2), only the FLOP path
+    differs). Pins that the block-pair replication covers every (a, b)
+    exactly once: diagonal blocks via within-L triangle, off-diagonal via
+    L x R, no pair double-counted or dropped at block boundaries."""
+    expr = _pairs(QUERIES["dedup_embedding_cosine_pairs"](spark, sfdir), "vec_a", "vec_b")
+    blas = _pairs(
+        QUERIES["dedup_embedding_cosine_pairs_blocked"](spark, sfdir), "vec_a", "vec_b"
+    )
+    assert blas == expr, (
+        f"blocked tier diverged: only_blas={sorted(blas - expr)[:5]} "
+        f"only_expr={sorted(expr - blas)[:5]}"
+    )
+
+
 def test_bruteforce_topk_shape(spark, sfdir):
     rows = QUERIES["sim_bruteforce_topk"](spark, sfdir).collect()
     by_q = {}
