@@ -450,3 +450,24 @@ def test_salted_packing_window_partitions_on_source_and_salt(spark, queries):
     # and the window itself sorts within (source, salt)
     window_sorts = [l for l in plan.splitlines() if "Sort " in l]
     assert any("salt" in l for l in window_sorts), window_sorts
+
+
+def test_blocked_blas_cosine_corpus_never_in_a_nested_loop(spark, queries):
+    """The blocked-BLAS all-pairs tier must keep the quadratic work inside
+    per-group numpy matmuls: the embeddings scans attach to the tiny
+    block-pair frame via broadcast HASH joins, the Arrow group-map does the
+    FLOPs, and the only Cross/nested-loop anywhere is the 16x16 Range-on-
+    Range block-pair enumeration (256 rows). A Cartesian or nested loop
+    touching the corpus would re-create the row-pair explosion the tier
+    exists to avoid."""
+    plan = _physical(queries["dedup_embedding_cosine_pairs_blocked"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan  # matmul runs as Arrow group-map
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # L and R corpus attachments
+    # corpus scans must never feed a nested-loop join: every nested-loop
+    # subtree here is the Range x Range block-pair enumeration, and the
+    # corpus joins on blk via hash. SortMergeJoin would also betray a
+    # shuffled row-pair join.
+    assert "SortMergeJoin" not in plan
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scan_lines) == 2 and all("embeddings" in l for l in scan_lines)
