@@ -19,6 +19,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1066,11 +1067,23 @@ def dedup_semantic_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
     survivor pipeline as the oracle-checked stride variant. Pipeline
     invariants (one survivor per group, cluster-local groups, parity
     with the stride variant under centroid swap) are pinned in
-    tests/test_quality_metrics.py."""
-    from psql_streamer_spark.operators.similarity import kmeans_centroids
+    tests/test_quality_metrics.py.
 
-    v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
-    cent = kmeans_centroids(_sim_vectors(spark, sf_dir)).select(
+    Scale shape: k is NOT fixed — a fixed k means cluster size grows with
+    the corpus and intra-cluster pair mining degrades to O(N^2/k) (the
+    10x sweep measured exactly that at k=8: 16.6x time for 10x data).
+    k = max(KM_K, ceil(sqrt(N))) balances the two quadratic pressures:
+    training cost O(N*k*iters) and pair cost O(N * N/k) both become
+    O(N^1.5) — the same trade the SemDeDup paper makes by growing its
+    cluster count with corpus size (50k clusters for LAION). Centroids
+    stay broadcast-sized (sqrt(100TB-scale N) is ~1e4-1e5 rows of 64
+    floats) and the count() that sizes k is a parquet metadata read."""
+    from psql_streamer_spark.operators.similarity import KM_K, kmeans_centroids
+
+    raw = _sim_vectors(spark, sf_dir)
+    k = max(KM_K, int(math.isqrt(raw.count() - 1)) + 1)
+    v = raw.withColumn("nrm", _sim_norm(F.col("e")))
+    cent = kmeans_centroids(_sim_vectors(spark, sf_dir), k=k).select(
         F.col("cluster_id").alias("cent_id"),
         F.col("ce"),
         _sim_norm(F.col("ce")).alias("cnrm"),

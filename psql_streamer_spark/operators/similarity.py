@@ -420,50 +420,92 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above consumes. Iterative and therefore not SQL-expressible — registered
 # without an oracle (rows-only driver check); determinism and convergence
 # invariants are pinned in tests/test_quality_metrics.py.
+#
+# Design: centroids are MODEL STATE (k x dim doubles) held on the driver —
+# never a joined frame. Each Lloyd's round is ONE narrow mapInPandas pass:
+# every Arrow batch computes its argmin via a BLAS matmul against the
+# closure-shipped centroid matrix and emits k partial (count, sum) rows,
+# so the per-round cluster traffic is O(partitions * k * dim), not O(N).
+# No crossJoin, no per-vector shuffle, no lineage growth (the model is a
+# numpy array between rounds, so there is nothing to checkpoint). This is
+# the same shape Spark MLlib's KMeans uses, and the reason k can scale
+# with the corpus (see dedup_semantic_clusters_kmeans): training cost is
+# N*k FLOPs through BLAS instead of N*k ROWS through a window sort.
+# Determinism: init = first k dense vec_ids; argmin ties break to the
+# lowest cluster id (np.argmin); partial sums reduce in stable
+# (partition, cluster) order, so a re-run reproduces assignments exactly.
 # --------------------------------------------------------------------------
 KM_K = 8
 KM_ITERS = 4
 
 
-def kmeans_centroids(
-    v: DataFrame, k: int = KM_K, iters: int = KM_ITERS
-) -> DataFrame:
-    """Trained (cluster_id, ce) centroid frame after ``iters`` Lloyd's
-    rounds — the model artifact; see kmeans_assignments for the design
-    notes. The returned frame is localCheckpointed (k rows)."""
-    dist2 = F.aggregate(
-        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cent = (
-        v.filter(F.col("vec_id") < k)
-        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("e").alias("ce"))
-        .localCheckpoint()
-    )
-    for _ in range(iters):
-        scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", dist2)
-        w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "e", "cluster_id", "d2")
-        )
-        prev = cent
-        cent = (
-            assign.select("cluster_id", F.posexplode("e").alias("pos", "x"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cluster_id",
-                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("ce"),
+def _kmeans_partials_fn(C):
+    """mapInPandas closure: per-batch argmin vs the model matrix C, then
+    per-cluster (count, component-sum) partials. d2 via the expanded form
+    |x|^2 - 2xC^T + |c|^2 (one matmul per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    cn2 = (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+            a = d2.argmin(axis=1)
+            cs, ns, ss = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                cs.append(int(c))
+                ns.append(int(m.sum()))
+                ss.append(X[m].sum(axis=0).tolist())
+            yield pd.DataFrame(
+                {"c": pd.Series(cs, dtype="int32"), "n": ns, "s": ss}
             )
-            .localCheckpoint()
-        )
-        prev.unpersist()
-    return cent
+
+    return fn
+
+
+def _train_kmeans_model(v: DataFrame, k: int, iters: int):
+    """Lloyd's rounds; returns (cluster_ids, C) — the driver-held model.
+    cluster_ids[i] is the stable id of row C[i] (seed vec_id); clusters
+    that lose all members are dropped from the model, matching the
+    aggregate-over-assignments semantics of the previous implementation."""
+    import numpy as np
+
+    seeds = (
+        v.filter(F.col("vec_id") < k).select("vec_id", "e").orderBy("vec_id").collect()
+    )
+    ids = np.array([int(r.vec_id) for r in seeds])
+    C = np.array([r.e for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        parts = v.mapInPandas(
+            _kmeans_partials_fn(C), schema="c int, n long, s array<double>"
+        ).collect()
+        n = np.zeros(len(C))
+        s = np.zeros_like(C)
+        # stable accumulation order: collect() preserves partition order,
+        # rows within a partial frame are cluster-sorted
+        for r in parts:
+            n[r.c] += r.n
+            s[r.c] += np.asarray(r.s)
+        alive = n > 0
+        ids, C = ids[alive], s[alive] / n[alive, None]
+    return ids, C
+
+
+def kmeans_centroids(v: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Trained (cluster_id, ce) centroid frame after ``iters`` Lloyd's
+    rounds — the model artifact (k rows), materialized back to a frame for
+    the broadcast-join consumers (IVF probe, SemDeDup assignment)."""
+    ids, C = _train_kmeans_model(v, k, iters)
+    spark = v.sparkSession
+    return spark.createDataFrame(
+        [(int(i), row.tolist()) for i, row in zip(ids, C)],
+        schema="cluster_id int, ce array<double>",
+    )
 
 
 def kmeans_assignments(
@@ -483,19 +525,31 @@ def kmeans_assignments(
 
     Init: the first k vec_ids (deterministic at every SF; vec_ids are
     dense from 0). Distance = squared L2; ties broken by cluster id."""
-    dist2 = F.aggregate(
-        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cent = kmeans_centroids(v, k, iters)
-    # final assignment against the trained centroids
-    scored = v.crossJoin(F.broadcast(cent)).withColumn("d2", dist2)
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id", "d2")
+    import numpy as np
+    import pandas as pd
+
+    ids, C = _train_kmeans_model(v, k, iters)
+    cn2 = (C * C).sum(axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+            a = d2.argmin(axis=1)
+            best = np.maximum(d2[np.arange(len(X)), a], 0.0)  # clamp -ulp
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": ids[a].astype("int32"),
+                    "d2": best,
+                }
+            )
+
+    # final assignment against the trained model: one narrow BLAS pass
+    return v.select("vec_id", "e").mapInPandas(
+        fn, schema="vec_id long, cluster_id int, d2 double"
     )
 
 
