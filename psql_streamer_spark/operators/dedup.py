@@ -551,12 +551,30 @@ _SQL_COSINE_PAIRS = f"""
 """
 
 
+#: Screen slack for the BLAS candidate pass feeding the exact rescore.
+#: The fold and BLAS dot products differ only in summation order; the
+#: error of either is bounded by ~dim * eps_machine * |a||b| (~1e-14 for
+#: 64-dim unit-scale vectors), so a 1e-6 margin is ~8 orders wider than
+#: the worst disagreement — no true pair can fall outside the screen.
+_COSINE_SCREEN_SLACK = 1e-6
+
+
 @register("dedup_embedding_cosine_pairs", oracle=_SQL_COSINE_PAIRS)
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force pairwise cosine (ground truth / small-N path). The dot
-    product is a sequential left fold so both engines sum in the same
-    order — bit-identical doubles, no rounding slack needed. Scale path:
-    dedup_embedding_lsh_pairs (bucketed pair mining) below."""
+    """Exact all-pairs cosine (ground truth): BLAS-screened candidates,
+    exact-fold rescored. Output is bit-identical to the naive theta
+    self-join — the rescore recomputes every surviving pair's cosine as a
+    sequential left fold (same summation order as DuckDB list_reduce) —
+    but the quadratic work runs as distributed block matmuls at a
+    threshold lowered by _COSINE_SCREEN_SLACK, which provably (see the
+    slack note) passes every pair the exact filter can accept. The sf1
+    sweep measured the naive theta-join at 332 s; the screen+rescore
+    composition does the same 200M-pair workload in a few seconds and
+    rescans only the ~1e5 candidates. Scale path beside it:
+    dedup_embedding_lsh_pairs (sub-quadratic bucketed mining) below."""
+    cand = _blocked_cosine_candidates(
+        spark, sf_dir, COSINE_DUP_THRESHOLD - _COSINE_SCREEN_SLACK
+    )
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -564,21 +582,22 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
     )
     n = e.select("vec_id", "e", F.sqrt(dot_self).alias("nrm"))
-    a = n.alias("a")
-    b = n.alias("b")
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
     dot_ab = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cosine = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
+    cosine = dot_ab / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine.alias("cosine"),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
 
@@ -598,11 +617,14 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in; applyInPandas over (block_a, block_b) does one matmul per group.
 # Fully distributed — no driver collect; shuffle volume is N*B rows (each
 # vector visits B block-pairs), tunable against group memory via B.
-# Output is PAIR IDENTITY only (vec_a, vec_b): float cosines from BLAS sum
-# in SIMD order and may differ from a sequential fold in the last ulp, so
-# values stay out of the oracle-hashed columns; pair membership at
-# threshold 0.4 is ulp-robust. tests/test_quality_metrics.py pins exact
-# pair parity against the expression tier.
+# The helper emits PAIR IDENTITY only (vec_a, vec_b): float cosines from
+# BLAS sum in SIMD order and may differ from a sequential fold in the
+# last ulp, so they never reach oracle-hashed columns. Two consumers:
+# dedup_embedding_cosine_pairs_blocked registers the identity output
+# directly (membership at threshold 0.4 is ulp-robust; exact pair parity
+# vs the rescored tier pinned in tests/test_quality_metrics.py), and
+# dedup_embedding_cosine_pairs uses a slack-lowered threshold as a
+# lossless screen before its bit-exact fold rescore.
 # --------------------------------------------------------------------------
 _COSINE_BLOCKS = 16
 
@@ -619,14 +641,16 @@ _SQL_COSINE_PAIRS_IDS = f"""
 """
 
 
-@register("dedup_embedding_cosine_pairs_blocked", oracle=_SQL_COSINE_PAIRS_IDS)
-def dedup_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine via distributed block matmul (see banner above)."""
+def _blocked_cosine_candidates(
+    spark: SparkSession, sf_dir: str, thr: float
+) -> DataFrame:
+    """(vec_a, vec_b) with BLAS cosine >= thr, via distributed block
+    matmul (see banner above). Shared by the identity-output tier and the
+    screen+exact-rescore composition of dedup_embedding_cosine_pairs."""
     import numpy as np
     import pandas as pd
 
     B = _COSINE_BLOCKS
-    thr = COSINE_DUP_THRESHOLD
     v = load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -670,6 +694,13 @@ def dedup_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> Da
     return both.groupBy("ba", "bb").applyInPandas(
         _block_pairs, schema="vec_a long, vec_b long"
     )
+
+
+@register("dedup_embedding_cosine_pairs_blocked", oracle=_SQL_COSINE_PAIRS_IDS)
+def dedup_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine via distributed block matmul, pair identity only
+    (see banner above)."""
+    return _blocked_cosine_candidates(spark, sf_dir, COSINE_DUP_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
