@@ -1029,9 +1029,11 @@ _SQL_SEMANTIC_CLUSTERS = f"""
              {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
       FROM embeddings
     ),
+    stride AS (SELECT GREATEST({SEM_CENTROID_STRIDE},
+                 CAST(CEIL(SQRT((SELECT COUNT(*) FROM v))) AS BIGINT)) AS st),
     cent AS (
       SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
-      FROM v WHERE vec_id % {SEM_CENTROID_STRIDE} = 0
+      FROM v WHERE vec_id % (SELECT st FROM stride) = 0
     ),
     assign AS (
       SELECT vec_id, e, nrm, cent_id AS cluster_id, ccos FROM (
@@ -1080,9 +1082,16 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine pairs, connected components (recursive-CTE oracle), and the
     keep-least-central survivor rule all use the sequential-fold float
     arithmetic both engines evaluate bit-identically. The trained-
-    centroid composition is dedup_semantic_clusters_kmeans below."""
+    centroid composition is dedup_semantic_clusters_kmeans below.
+
+    The centroid stride scales as max(50, ceil(sqrt(N))) — identical
+    arithmetic in the oracle SQL — so cell count and cell size both track
+    sqrt(N) and assignment + intra-cell pair mining stay O(N^1.5)
+    instead of the fixed-stride O(N^2/50) (see sim_ivf_topk for the same
+    trade). Small SFs floor at 50, keeping the original centroid set."""
     v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
-    cent = v.filter(F.col("vec_id") % SEM_CENTROID_STRIDE == 0).select(
+    stride = max(SEM_CENTROID_STRIDE, math.isqrt(v.count() - 1) + 1)
+    cent = v.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cnrm"),

@@ -260,8 +260,10 @@ _SQL_IVF_TOPK = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
                FROM embeddings),
+    stride AS (SELECT GREATEST({IVF_CENTROID_STRIDE},
+                 CAST(CEIL(SQRT((SELECT COUNT(*) FROM v))) AS BIGINT)) AS st),
     cent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
-             WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+             WHERE vec_id % (SELECT st FROM stride) = 0),
     assign AS (
       SELECT vec_id, e, nrm, cent_id FROM (
         SELECT v.vec_id, v.e, v.nrm, cent.cent_id,
@@ -300,9 +302,18 @@ _SQL_IVF_TOPK = f"""
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search: nearest-centroid assignment (broadcast centroids),
     then exact scoring only inside the query's top-P cells."""
+    import math
+
     v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    # sqrt-scaled stride: k = N/stride ~ sqrt(N) cells of ~sqrt(N) vectors,
+    # the classical IVF balance — assignment O(N*k) and probe O(Q*P*N/k)
+    # both stay O(N^1.5) instead of the fixed-stride O(N^2/50). Floors at
+    # the fixed stride so small SFs (including every oracle-checked one)
+    # keep their original centroid set; the count() is a parquet metadata
+    # read. The oracle SQL computes the same GREATEST(50, ceil(sqrt(N))).
+    stride = max(IVF_CENTROID_STRIDE, math.isqrt(v.count() - 1) + 1)
     cent = (
-        v.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        v.filter(F.col("vec_id") % stride == 0)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("e").alias("ce"),
