@@ -497,7 +497,18 @@ _SQL_SIMHASH_PAIRS = f"""
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= 3, blocked on any
     shared signature byte (a pair within distance 3 must agree on at least
-    one of the 4 bytes — pigeonhole), so no quadratic pair scan."""
+    one of the 4 bytes — pigeonhole), so no quadratic pair scan.
+
+    Scale note: 4 bands x 8 bits gives 256 buckets per band, a FIXED
+    count, so candidate volume grows O(N^2/256) — unlike the embedding
+    LSH, band width cannot simply grow with the corpus because the
+    hamming<=3 guarantee needs >= 4 bands (pigeonhole over the 32-bit
+    signature). Measured sub-linear through the 30x sweep (cheap long-xor
+    verify; 56s at sf3 isolated), but the production path for corpora
+    past ~1M docs is the Manku et al. (WWW'07) design: widen the simhash
+    to 64 bits and band 4 x 16 (65,536 buckets/band, same guarantee).
+    The banding/verify plumbing here is width-generic; only the
+    signature expression (bit-vote loop in _simhash) pins 32."""
     sig = _simhash(spark, sf_dir)
     banded = None
     for b in range(4):
