@@ -682,6 +682,9 @@ def _blocked_cosine_candidates(
     both = left.unionByName(right)
 
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL embeddings can never pair (the expression form yields NULL
+        # cosine, which fails the threshold filter) — drop before stacking
+        pdf = pdf[pdf["e"].notna()]
         l_rows = pdf[pdf["side"] == "L"]
         r_rows = pdf[pdf["side"] == "R"]
         if len(l_rows) == 0:
@@ -842,6 +845,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sig.persist()
 
     def _bucket_screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["e"].notna()]  # NULL embedding -> NULL cosine -> no pair
         if len(pdf) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
         m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
@@ -1168,7 +1172,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the fixed-stride O(N^2/50) (see sim_ivf_topk for the same
     trade). Small SFs floor at 50, keeping the original centroid set."""
     v = _sim_vectors(spark, sf_dir).withColumn("nrm", _sim_norm(F.col("e")))
-    stride = max(SEM_CENTROID_STRIDE, math.isqrt(v.count() - 1) + 1)
+    stride = max(SEM_CENTROID_STRIDE, math.isqrt(max(0, v.count() - 1)) + 1)
     cent = v.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("e").alias("ce"),
@@ -1199,7 +1203,7 @@ def dedup_semantic_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
     from psql_streamer_spark.operators.similarity import KM_K, kmeans_centroids
 
     raw = _sim_vectors(spark, sf_dir)
-    k = max(KM_K, int(math.isqrt(raw.count() - 1)) + 1)
+    k = max(KM_K, math.isqrt(max(0, raw.count() - 1)) + 1)
     v = raw.withColumn("nrm", _sim_norm(F.col("e")))
     cent = kmeans_centroids(_sim_vectors(spark, sf_dir), k=k).select(
         F.col("cluster_id").alias("cent_id"),

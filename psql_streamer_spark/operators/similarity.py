@@ -337,7 +337,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixed stride so small SFs (including every oracle-checked one)
     # keep their original centroid set; the count() is a parquet metadata
     # read. The oracle SQL computes the same GREATEST(50, ceil(sqrt(N))).
-    stride = max(IVF_CENTROID_STRIDE, math.isqrt(v.count() - 1) + 1)
+    stride = max(IVF_CENTROID_STRIDE, math.isqrt(max(0, v.count() - 1)) + 1)
     cent = (
         v.filter(F.col("vec_id") % stride == 0)
         .select(
@@ -487,6 +487,7 @@ def _kmeans_partials_fn(C):
 
     def fn(batches):
         for pdf in batches:
+            pdf = pdf[pdf["e"].notna()]  # NULL vectors take no part in training
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
@@ -513,10 +514,15 @@ def _train_kmeans_model(v: DataFrame, k: int, iters: int):
     import numpy as np
 
     seeds = (
-        v.filter(F.col("vec_id") < k).select("vec_id", "e").orderBy("vec_id").collect()
+        v.filter((F.col("vec_id") < k) & F.col("e").isNotNull())
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .collect()
     )
     ids = np.array([int(r.vec_id) for r in seeds])
     C = np.array([r.e for r in seeds], dtype=np.float64)
+    if len(C) == 0:  # empty corpus: no seeds, nothing to train
+        return ids, C.reshape(0, 0)
     for _ in range(iters):
         parts = v.mapInPandas(
             _kmeans_partials_fn(C), schema="c int, n long, s array<double>"
@@ -570,6 +576,7 @@ def kmeans_assignments(
 
     def fn(batches):
         for pdf in batches:
+            pdf = pdf[pdf["e"].notna()]  # NULL vectors get no assignment row
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
