@@ -471,3 +471,23 @@ def test_blocked_blas_cosine_corpus_never_in_a_nested_loop(spark, queries):
     assert "SortMergeJoin" not in plan
     scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scan_lines) == 2 and all("embeddings" in l for l in scan_lines)
+
+
+def test_embedding_lsh_screen_is_grouped_not_joined(spark, queries):
+    """The bucketed pair miner must run its candidate screen INSIDE the
+    (table, bucket) groups: one FlatMapGroupsInPandas over the signature
+    frame, never a signature self-join that materializes O(sum bucket^2)
+    candidate rows carrying vector payloads (the 30x sweep measured that
+    join at 33M rows before it was removed). The only joins allowed in
+    the plan are the two survivor-rescore attachments back to the corpus,
+    both equi-joins on vec ids."""
+    plan = _physical(queries["dedup_embedding_lsh_pairs"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # signature frame feeds the group map via shuffle on (tbl, bucket)
+    assert any(
+        "hashpartitioning(tbl" in line for line in plan.splitlines()
+    ), "group-map must partition on (tbl, bucket)"
+    # no join keyed on the bucket columns (that would be the old self-join)
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "bucket" in l]
+    assert not join_lines, join_lines

@@ -456,3 +456,61 @@ def test_cluster_atomic_split_never_straddles_near_dup_pairs(spark):
     n_docs = load_table(spark, "documents", SF_SMALL).count()
     assert splits.count() == n_docs
     assert splits.select("doc_id").distinct().count() == n_docs
+
+
+def test_emb_pair_planes_matches_oracle_case_chain():
+    """The Spark side computes p in Python; the oracle computes it with a
+    SQL CASE chain over integer comparisons. Pin that BOTH derivations
+    are the same function — smallest t in [4, 12] with 2^t >= ceil(N/250)
+    — across the boundaries where a float-log2 formulation could diverge
+    by one ulp (exact multiples of 250, exact powers of two)."""
+    from psql_streamer_spark.operators.dedup import (
+        EMB_PAIR_BUCKET,
+        EMB_PAIR_MAX_PLANES,
+        EMB_PAIR_MIN_PLANES,
+        _emb_pair_planes,
+    )
+
+    def sql_case(n: int) -> int:
+        m = (n + EMB_PAIR_BUCKET - 1) // EMB_PAIR_BUCKET
+        for t in range(EMB_PAIR_MIN_PLANES, EMB_PAIR_MAX_PLANES):
+            if m <= (1 << t):
+                return t
+        return EMB_PAIR_MAX_PLANES
+
+    boundary = [1, 2, 199, 200, 2000, 20000, 60000]
+    for k in range(4, 13):
+        c = 250 * (1 << k)
+        boundary += [c - 1, c, c + 1]
+    for n in boundary:
+        assert _emb_pair_planes(n) == sql_case(n), n
+    # clamps
+    assert _emb_pair_planes(1) == EMB_PAIR_MIN_PLANES
+    assert _emb_pair_planes(10**9) == EMB_PAIR_MAX_PLANES
+
+
+def test_plane_signs_match_sql_derivation():
+    """The plan-time literal sign arrays must reproduce the oracle's
+    per-row md5 derivation exactly: parity of the first hex nibble of
+    md5('rp:t:j:i')."""
+    import hashlib as _hl
+
+    from psql_streamer_spark.operators.similarity import _plane_signs
+
+    for t in (0, 3):
+        for j in (0, 11):
+            signs = _plane_signs(t, j, 64)
+            for i in (0, 1, 31, 63):
+                nib = int(_hl.md5(f"rp:{t}:{j}:{i}".encode()).hexdigest()[0], 16)
+                assert signs[i] == (1.0 if nib % 2 == 0 else -1.0)
+
+
+def test_sqrt_stride_floor_preserves_small_sf_behavior(spark):
+    """max(50, ceil(sqrt(N))): the floor keeps every oracle-checked SF on
+    the original stride-50 centroid set (sqrt kicks in only past 2500
+    rows), and isqrt(n-1)+1 == ceil(sqrt(n)) including perfect squares."""
+    import math
+
+    for n, want in [(0, 50), (1, 50), (2500, 50), (2501, 51), (10000, 100), (10001, 101)]:
+        got = max(50, math.isqrt(max(0, n - 1)) + 1)
+        assert got == want, (n, got, want)
