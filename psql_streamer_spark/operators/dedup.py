@@ -33,6 +33,7 @@ from psql_streamer_spark.functions.text_hash import (
     h32,
     minhash_agg_columns,
     shingles_expr,
+    with_words,
     words_expr,
     simhash_bit_sums,
     simhash_combine,
@@ -155,9 +156,9 @@ def _jaccard_pairs(
     verify becomes pure cache probes + two small joins."""
     caller_owns_shingles = shingles is not None
     if not caller_owns_shingles and candidates is not None:
-        from psql_streamer_spark.functions.text_hash import (
+        from psql_streamer_spark.functions.text_hash import (  # noqa: F401
             shingles_expr,
-            words_expr,
+            with_words,
         )
 
         ids = candidates.select(
@@ -167,9 +168,9 @@ def _jaccard_pairs(
             sets = shingle_sets.join(ids, "doc_id", "semi")
         else:
             docs = load_table(spark, "documents", sf_dir).join(ids, "doc_id", "semi")
-            sets = docs.select(
+            sets = with_words(docs).select(
                 "doc_id",
-                F.array_distinct(shingles_expr(words_expr())).alias("ss"),
+                F.array_distinct(shingles_expr(F.col("__words"))).alias("ss"),
             )
         n_common = F.size(F.array_intersect("a_ss", "b_ss"))
         jac = n_common * 1.0 / (F.size("a_ss") + F.size("b_ss") - n_common)
@@ -271,9 +272,9 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the registry afterwards."""
     d = load_table(spark, "documents", sf_dir)
     parallelism = spark.sparkContext.defaultParallelism
-    return d.repartition(parallelism, "doc_id").select(
+    return with_words(d.repartition(parallelism, "doc_id")).select(
         "doc_id",
-        F.array_distinct(shingles_expr(words_expr())).alias("ss"),
+        F.array_distinct(shingles_expr(F.col("__words"))).alias("ss"),
     )
 
 

@@ -571,10 +571,10 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     also occur anywhere in the eval set, and the contamination ratio.
     Documents shorter than K words have no grams and drop out (both
     engines). Downstream filters on ``contamination`` to quarantine."""
-    from psql_streamer_spark.functions.text_hash import shingles_expr, words_expr
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
 
-    d = load_table(spark, "documents", sf_dir)
-    grams = shingles_expr(words_expr(), k=DECONTAM_K)
+    d = with_words(load_table(spark, "documents", sf_dir))
+    grams = shingles_expr(F.col("__words"), k=DECONTAM_K)
     corpus_grams = (
         d.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
         .select("doc_id", F.explode(grams).alias("g"))

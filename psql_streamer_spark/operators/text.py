@@ -17,6 +17,7 @@ from psql_streamer_spark.functions.text_hash import (
     SQL_WORDS,
     h32,
     shingles_expr,
+    with_words,
     words_expr,
 )
 from psql_streamer_spark.registry import register
@@ -231,8 +232,8 @@ def text_regex_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_md5 = exact-dup key; min_shingle_hash = cheapest near-dup
     anchor (single-permutation MinHash) — two fingerprints, one scan."""
-    d = load_table(spark, "documents", sf_dir)
-    sh = shingles_expr(words_expr())
+    d = with_words(load_table(spark, "documents", sf_dir))
+    sh = shingles_expr(F.col("__words"))
     return d.select(
         "doc_id",
         F.md5(F.lower(F.col("text"))).alias("doc_md5"),
@@ -553,7 +554,8 @@ def text_top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     counted = (
-        d.select("source", F.explode(shingles_expr(words_expr())).alias("gram"))
+        with_words(d)
+        .select("source", F.explode(shingles_expr(F.col("__words"))).alias("gram"))
         .groupBy("source", "gram")
         .agg(F.count("*").alias("n"))
     )

@@ -33,7 +33,7 @@ from psql_streamer_spark.functions.text_hash import (
     h32,
     minhash_agg_columns,
     shingles_expr,
-    words_expr,
+    with_words,
 )
 
 
@@ -54,8 +54,8 @@ def probe_band_index(
     batch side is micro-batch-sized and shuffles trivially. Verification
     re-shingles ONLY the colliding corpus docs plus the batch docs.
     """
-    hashed = batch_df.select(
-        "doc_id", F.explode(shingles_expr(words_expr())).alias("shingle")
+    hashed = with_words(batch_df).select(
+        "doc_id", F.explode(shingles_expr(F.col("__words"))).alias("shingle")
     ).select("doc_id", h32(F.col("shingle")).alias("h"))
     sig = hashed.groupBy("doc_id").agg(*minhash_agg_columns())
     bands = F.array(
@@ -78,18 +78,18 @@ def probe_band_index(
         .distinct()
     )
     # exact verify: shingle-sets for batch docs and colliding corpus docs
-    new_sets = batch_df.select(
+    new_sets = with_words(batch_df).select(
         F.col("doc_id").alias("new_doc_id"),
-        F.array_distinct(shingles_expr(words_expr())).alias("a_ss"),
+        F.array_distinct(shingles_expr(F.col("__words"))).alias("a_ss"),
     )
     corpus_ids = collisions.select(
         F.col("corpus_doc_id").alias("doc_id")
     ).distinct()
     corpus_sets = (
-        corpus.join(corpus_ids, "doc_id", "semi")
+        with_words(corpus.join(corpus_ids, "doc_id", "semi"))
         .select(
             F.col("doc_id").alias("corpus_doc_id"),
-            F.array_distinct(shingles_expr(words_expr())).alias("b_ss"),
+            F.array_distinct(shingles_expr(F.col("__words"))).alias("b_ss"),
         )
     )
     n_common = F.size(F.array_intersect("a_ss", "b_ss"))

@@ -26,7 +26,7 @@ from psql_streamer_spark.functions.text_hash import (
     h32,
     minhash_agg_columns,
     shingles_expr,
-    words_expr,
+    with_words,
 )
 
 #: rows of synthetic text — enough k-gram/md5 invocations (~10 shingles
@@ -49,8 +49,8 @@ def warm_expression_paths(spark: SparkSession, n_docs: int = _WARMUP_DOCS) -> No
             ],
         ).alias("text"),
     )
-    sets = synth.repartition(parallelism, "doc_id").select(
-        "doc_id", F.array_distinct(shingles_expr(words_expr())).alias("ss")
+    sets = with_words(synth.repartition(parallelism, "doc_id")).select(
+        "doc_id", F.array_distinct(shingles_expr(F.col("__words"))).alias("ss")
     )
     sig = (
         sets.select("doc_id", F.explode("ss").alias("shingle"))
