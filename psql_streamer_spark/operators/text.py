@@ -39,8 +39,8 @@ from psql_streamer_spark.sources.tables import load_table
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    ws = words_expr()
+    d = with_words(load_table(spark, "documents", sf_dir))
+    ws = F.col("__words")
     return d.select(
         "doc_id",
         F.size(ws).alias("n_tokens"),
@@ -117,8 +117,8 @@ def _sql_marker_score(lang: str) -> str:
     """,
 )
 def text_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, "documents", sf_dir)
-    ws = words_expr()
+    d = with_words(load_table(spark, "documents", sf_dir))
+    ws = F.col("__words")
 
     def score(lang: str):
         acc = F.lit(0)
@@ -167,8 +167,8 @@ _sql_stop_hits = " + ".join(
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style length/repetition heuristics as pure expressions; the
     passes_quality bit is the pipeline's keep/drop filter."""
-    d = load_table(spark, "documents", sf_dir)
-    ws = words_expr()
+    d = with_words(load_table(spark, "documents", sf_dir))
+    ws = F.col("__words")
     n_tokens = F.size(ws)
     # ONE membership pass over the token array; the oracle's sum of
     # per-stopword filters is the same integer (stopwords are distinct
@@ -377,9 +377,11 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle); the top-word share needs one (doc_id, word) count pass —
     at 100 TB that single map-side-combined aggregate IS the plan, and its
     shuffle key (doc_id) matches every other per-doc aggregation here."""
-    d = load_table(spark, "documents", sf_dir)
-    ws = words_expr()
-    g5 = shingles_expr(ws, 5)
+    d = with_words(load_table(spark, "documents", sf_dir)).withColumn(
+        "__g5", shingles_expr(F.col("__words"), 5)
+    )
+    ws = F.col("__words")
+    g5 = F.col("__g5")
     n5 = F.size(g5)
     grams = d.select(
         "doc_id",
@@ -433,8 +435,8 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One hash-aggregate on `source` over per-row quality expressions —
     integer sums only (exactly reproducible), ratio derived at the end."""
-    d = load_table(spark, "documents", sf_dir)
-    ws = words_expr()
+    d = with_words(load_table(spark, "documents", sf_dir))
+    ws = F.col("__words")
     n_tokens = F.size(ws)
     unique_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_tokens
     passes = F.when(
