@@ -510,7 +510,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 64 bits and band 4 x 16 (65,536 buckets/band, same guarantee).
     The banding/verify plumbing here is width-generic; only the
     signature expression (bit-vote loop in _simhash) pins 32."""
-    sig = _simhash(spark, sf_dir)
+    # The signature frame feeds the 4-band union AND both sides of the
+    # self-join — 8 plan references; unpersisted, Spark recomputes the
+    # full shingle-explode + md5 + 32-bit-vote aggregate each time
+    # (measured 37 s at sf1 vs ~8 s for one signature pass). Persist and
+    # register in the bounded index cache like the other miners.
+    sig = _simhash(spark, sf_dir).persist()
     banded = None
     for b in range(4):
         part = sig.select(
@@ -523,7 +528,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = banded.alias("a")
     b_ = banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    result = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -538,6 +543,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+    return persist_for(sig, result)
 
 
 # --------------------------------------------------------------------------
