@@ -1059,39 +1059,123 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_CENTROID_STRIDE = 50  # vec_id % 50 == 0 -> deterministic centroid seeds
 
 
+def semantic_pair_screen(assign: DataFrame, screen_thr: float) -> DataFrame:
+    """Cluster-local BLAS pair screen: one matmul per cluster group inside
+    applyInPandas, emitting (vec_a, vec_b) with BLAS cosine >= screen_thr.
+    Plan shape (pinned in test_plan_quality): FlatMapGroupsInPandas over
+    hashpartitioning(cluster_id) — never a self-join materializing
+    intra-cluster row pairs. Callers pass threshold - margin and rescore
+    survivors with the exact fold (lossless-screen discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    def _cluster_screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["e"].notna()]
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ai, bi = np.nonzero(np.triu(m @ m.T >= screen_thr, k=1))
+        va, vb = ids[ai], ids[bi]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    return (
+        assign.select("cluster_id", "vec_id", "e")
+        .groupBy("cluster_id")
+        .applyInPandas(_cluster_screen, schema="vec_a long, vec_b long")
+    )
+
+
 def _semantic_dedup(v: DataFrame, cent: DataFrame) -> DataFrame:
     """SemDeDup pipeline over (vec_id, e, nrm) vectors and a small
     (cent_id, ce, cnrm) centroid frame.
 
-    Scale design: centroids are model state (broadcast, k rows);
-    assignment is a narrow map (argmax cosine over k broadcast rows);
-    pair mining shuffles once on cluster id and never crosses clusters;
-    the survivor window runs per near-dup group (tiny partitions). The
-    assignment frame feeds three plan branches (both pair-join sides and
-    the final labeling) and is persisted for the duration of the plan."""
+    Scale design: centroids are model state (broadcast / closure-shipped,
+    k rows); assignment is a narrow map; pair mining shuffles once on
+    cluster id and never crosses clusters; the survivor window runs per
+    near-dup group (tiny partitions). The assignment frame feeds three
+    plan branches (pair mining and the final labeling) and is persisted
+    for the duration of the plan.
+
+    Both quadratic-shaped stages use the lossless-BLAS-screen discipline
+    (see dedup_embedding_cosine_pairs): the 1e-6 margin is ~6 orders
+    wider than the worst fold-vs-BLAS summation disagreement, and every
+    emitted value (ccos, pair membership) comes from the sequential fold
+    the oracle replays:
+    - assignment: one mapInPandas matmul against the collected centroid
+      matrix keeps, per vector, only centroids within the margin of its
+      BLAS max (almost always exactly 1); the exact fold ccos + (desc
+      ccos, asc cent_id) tie-break then runs on that candidate set —
+      N * ~1 joined rows instead of the N * k crossJoin + window.
+    - pair mining: each cluster screens its own pairs with one matmul
+      at threshold - margin; survivors take the exact fold filter."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window as W
 
+    margin = 1e-6
+    # NULL-embedding centroids can never win an argmax (fold ccos is NULL,
+    # ordered last) — exclude them from the model matrix
+    cent_rows = (
+        cent.select("cent_id", "ce")
+        .filter(F.col("ce").isNotNull())
+        .orderBy("cent_id")
+        .collect()
+    )
+    cids = np.array([int(r.cent_id) for r in cent_rows])
+    C = np.array([r.ce for r in cent_rows], dtype=np.float64)
+    # empty centroid set (empty corpus): no candidates — every downstream
+    # frame stays empty with its normal expression-derived schema
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True) if len(C) else C
+
+    def _margin_candidates(batches):
+        for pdf in batches:
+            if len(C) == 0:
+                continue
+            pdf = pdf[pdf["e"].notna()]
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = X @ Cn.T
+            keep = cos >= (cos.max(axis=1, keepdims=True) - margin)
+            ri, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[ri],
+                    "cent_id": cids[ci].astype("int64"),
+                }
+            )
+
+    cand = v.select("vec_id", "e").mapInPandas(
+        _margin_candidates, schema="vec_id long, cent_id long"
+    )
     ccos = _sim_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     assign = (
-        v.crossJoin(F.broadcast(cent))
+        cand.join(v, "vec_id")
+        .join(F.broadcast(cent), "cent_id")
         .withColumn("ccos", ccos)
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", "nrm", F.col("cent_id").alias("cluster_id"), "ccos")
         .persist()
     )
-    a = assign.alias("a")
-    b = assign.alias("b")
-    pair_cos = _sim_dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pair_cand = semantic_pair_screen(assign, COSINE_DUP_THRESHOLD - margin)
+    pa = assign.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    pb = assign.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    pair_cos = _sim_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        pair_cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
         .filter(pair_cos >= COSINE_DUP_THRESHOLD)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select("vec_a", "vec_b")
     )
     labels = connected_components(
         assign.select("vec_id"), pairs, id_col="vec_id", max_iter=50

@@ -406,20 +406,30 @@ def test_funnel_stage_joins_broadcast(spark, queries):
 
 def test_semantic_dedup_pair_mining_is_cluster_local(spark, queries):
     # SemDeDup's whole point: near-dup pairs are mined WITHIN clusters.
-    # The pair join must be an equi-join keyed on the cluster id (hash or
-    # sort-merge — either shuffles on cluster_id, never on pairs), and the
-    # only nested-loop join allowed is the broadcast centroid assignment
-    # (k model rows against the corpus — bounded by the model size).
+    # The full query's final plan hides the mining stage behind the
+    # connected-components checkpoint, so pin the two layers separately:
+    # (1) the end-to-end plan has no Cartesian / nested-loop anywhere
+    # (the old crossJoin centroid assignment is gone — assignment is a
+    # narrow margin-candidate map + equi-joins);
     plan = _physical(queries["dedup_semantic_clusters"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
-    assert "cluster_id" in plan
-    # the self-join on cluster_id is an equi-join, not a theta scan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
-    # the centroid assignment is the only permitted nested-loop join and it
-    # must be the broadcast (model-bounded) kind; the line can print more
-    # than once because the cached assignment subtree is shown per reference
-    nested = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
-    assert all("BuildRight" in l for l in nested), plan
+    # (2) the pair screen itself is a group-map over cluster_id — one
+    # matmul per cluster inside FlatMapGroupsInPandas, never a self-join
+    # materializing intra-cluster row pairs
+    from psql_streamer_spark.operators.dedup import semantic_pair_screen
+
+    assign = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, e array<double>, cluster_id long",
+    )
+    screen_plan = _physical(semantic_pair_screen(assign, 0.4))
+    assert "FlatMapGroupsInPandas" in screen_plan
+    assert "Join" not in screen_plan
+    assert any(
+        "hashpartitioning(cluster_id" in line for line in screen_plan.splitlines()
+    ), screen_plan
 
 
 def test_chunking_is_shuffle_free(spark, queries):
