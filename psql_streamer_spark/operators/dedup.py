@@ -1111,47 +1111,12 @@ def _semantic_dedup(v: DataFrame, cent: DataFrame) -> DataFrame:
       N * ~1 joined rows instead of the N * k crossJoin + window.
     - pair mining: each cluster screens its own pairs with one matmul
       at threshold - margin; survivors take the exact fold filter."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window as W
 
+    from psql_streamer_spark.operators.similarity import cosine_margin_candidates
+
     margin = 1e-6
-    # NULL-embedding centroids can never win an argmax (fold ccos is NULL,
-    # ordered last) — exclude them from the model matrix
-    cent_rows = (
-        cent.select("cent_id", "ce")
-        .filter(F.col("ce").isNotNull())
-        .orderBy("cent_id")
-        .collect()
-    )
-    cids = np.array([int(r.cent_id) for r in cent_rows])
-    C = np.array([r.ce for r in cent_rows], dtype=np.float64)
-    # empty centroid set (empty corpus): no candidates — every downstream
-    # frame stays empty with its normal expression-derived schema
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True) if len(C) else C
-
-    def _margin_candidates(batches):
-        for pdf in batches:
-            if len(C) == 0:
-                continue
-            pdf = pdf[pdf["e"].notna()]
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-            X = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cos = X @ Cn.T
-            keep = cos >= (cos.max(axis=1, keepdims=True) - margin)
-            ri, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy()[ri],
-                    "cent_id": cids[ci].astype("int64"),
-                }
-            )
-
-    cand = v.select("vec_id", "e").mapInPandas(
-        _margin_candidates, schema="vec_id long, cent_id long"
-    )
+    cand = cosine_margin_candidates(v, cent, margin)
     ccos = _sim_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
     assign = (

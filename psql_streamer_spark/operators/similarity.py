@@ -349,13 +349,70 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(v, cent)
 
 
+def cosine_margin_candidates(
+    v: DataFrame, cent: DataFrame, margin: float = 1e-6
+) -> DataFrame:
+    """(vec_id, cent_id) rows where the BLAS cosine of v against centroid
+    cent_id is within ``margin`` of that vector's BLAS maximum — the
+    lossless screen for exact nearest-centroid argmax (see
+    dedup_embedding_cosine_pairs for the margin argument: the exact-fold
+    winner's BLAS score is always within ulps of the BLAS max, so it can
+    never fall outside a 1e-6 margin). Callers join back and rerank the
+    (almost always single-row) candidate set with the sequential-fold
+    cosine the oracle replays. Centroids are MODEL STATE: collected to
+    the driver (k rows) and shipped in the Arrow closure; the scan side
+    is one narrow mapInPandas — no crossJoin, no N*k shuffle.
+    NULL-embedding centroids are excluded (fold cosine NULL orders last,
+    they can never win); NULL vectors emit no candidate row."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        cent.select("cent_id", "ce")
+        .filter(F.col("ce").isNotNull())
+        .orderBy("cent_id")
+        .collect()
+    )
+    cids = np.array([int(r.cent_id) for r in cent_rows])
+    C = np.array([r.ce for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True) if len(C) else C
+
+    def _margin_candidates(batches):
+        for pdf in batches:
+            if len(C) == 0:
+                continue
+            pdf = pdf[pdf["e"].notna()]
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cos = X @ Cn.T
+            keep = cos >= (cos.max(axis=1, keepdims=True) - margin)
+            ri, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[ri],
+                    "cent_id": cids[ci].astype("int64"),
+                }
+            )
+
+    return v.select("vec_id", "e").mapInPandas(
+        _margin_candidates, schema="vec_id long, cent_id long"
+    )
+
+
 def _ivf_probe_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
     """Shared IVF probe: cell assignment + probe-cell ranking against a
     (cent_id, ce, cnrm) model frame — always broadcast; the centroid set
     is O(model), never O(data)."""
     sim_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    ranked = (
-        v.crossJoin(F.broadcast(cent))
+    # corpus assignment: lossless BLAS margin screen + exact fold rerank
+    # over the (almost always single-row) candidate set — replaces the
+    # N*k crossJoin + window with a narrow map and an O(N) join
+    assign = (
+        cosine_margin_candidates(v, cent)
+        .join(v, "vec_id")
+        .join(F.broadcast(cent), "cent_id")
         .withColumn("csim", sim_to_cent)
         .withColumn(
             "rn",
@@ -363,10 +420,22 @@ def _ivf_probe_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
                 W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
             ),
         )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "nrm", "cent_id")
     )
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "e", "nrm", "cent_id")
+    # probe selection only touches the N_QUERIES query vectors — the
+    # crossJoin is Q*k rows, model-bounded, and stays fold-exact
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= IVF_PROBES))
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("csim", sim_to_cent)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= IVF_PROBES)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
     q = v.select(
