@@ -151,22 +151,24 @@ def parse_stream(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in range(len(pdf)):
-                # every field present and None-defaulted: a missing key
-                # would become pandas NaN, which Arrow rejects for
-                # array/struct columns
-                base = dict.fromkeys(_PARSED_NAMES)
-                base.update({n: pdf[n].iloc[i] for n in pass_names})
-                raw = pdf[value_col].iloc[i]
+            # column-wise assembly: the passthrough columns are reused
+            # verbatim (zero per-row extraction — per-row .iloc plus a
+            # list-of-dicts DataFrame build measured ~2x the whole decode
+            # cost), and each parsed field accumulates into its own list.
+            # Missing keys default to None via dict.get — never pandas
+            # NaN, which Arrow rejects for array/struct columns.
+            parsed: list[list] = [[] for _ in _PARSED_NAMES]
+            for raw in pdf[value_col].to_numpy():
                 try:
-                    base.update(
-                        _flatten(parse_message(bytes(raw) if raw else b""))
-                    )
+                    m = _flatten(parse_message(bytes(raw) if raw else b""))
                 except (ProtocolError, UnicodeDecodeError) as exc:
-                    base.update(kind="error", parse_error=str(exc))
-                rows.append(base)
-            yield pd.DataFrame(rows, columns=all_names)
+                    m = {"kind": "error", "parse_error": str(exc)}
+                for j, n in enumerate(_PARSED_NAMES):
+                    parsed[j].append(m.get(n))
+            out = pdf[pass_names].reset_index(drop=True)
+            for j, n in enumerate(_PARSED_NAMES):
+                out[n] = pd.Series(parsed[j], dtype=object)
+            yield out[all_names]
 
     return df.mapInPandas(gen, schema=out_schema)
 
