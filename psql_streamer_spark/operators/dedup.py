@@ -689,21 +689,30 @@ def _blocked_cosine_candidates(
     both = left.unionByName(right)
 
     def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        # Diagonal-ness comes from the GROUP KEY, read BEFORE any filtering:
+        # inferring it from "no R rows" misreads an off-diagonal group whose
+        # R-side block happens to be empty (or all-NULL) and re-emits L's
+        # within-block upper triangle once per such group — duplicate pairs
+        # in the output multiset (r5 advice, high).
+        diagonal = bool(pdf["ba"].iloc[0] == pdf["bb"].iloc[0])
         # NULL embeddings can never pair (the expression form yields NULL
         # cosine, which fails the threshold filter) — drop before stacking
         pdf = pdf[pdf["e"].notna()]
         l_rows = pdf[pdf["side"] == "L"]
-        r_rows = pdf[pdf["side"] == "R"]
         if len(l_rows) == 0:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+            return empty
         lm = np.stack(l_rows["e"].to_numpy())
         lid = l_rows["vec_id"].to_numpy()
         lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
-        if len(r_rows) == 0:  # diagonal block: within-L upper triangle
+        if diagonal:  # within-L upper triangle
             cos = lm @ lm.T
             ai, bi = np.nonzero(np.triu(cos >= thr, k=1))
             va, vb = lid[ai], lid[bi]
         else:
+            r_rows = pdf[pdf["side"] == "R"]
+            if len(r_rows) == 0:
+                return empty
             rm = np.stack(r_rows["e"].to_numpy())
             rid = r_rows["vec_id"].to_numpy()
             rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)

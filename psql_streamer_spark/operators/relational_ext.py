@@ -603,7 +603,6 @@ def sql_exists_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) ->
     WITH a AS (
       SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
       FROM orders WHERE o_orderkey % 7 = 0
-      QUALIFY row_number() OVER (PARTITION BY prio ORDER BY o_orderkey) <= 100
     ),
     b AS (
       SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
@@ -618,22 +617,124 @@ def sql_exists_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) ->
     """,
 )
 def join_null_safe_priority_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
-    EACH OTHER instead of vanishing — the semantic a plain equi-join
-    silently drops. NULLIF manufactures a null-bearing key from
-    o_orderpriority so the null-match path is actually exercised; the
-    aggregate reports how many joined pairs rode the null key.
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) pair counts,
+    UNBOUNDED original semantics: NULL keys match EACH OTHER instead of
+    vanishing — the semantic a plain equi-join silently drops. NULLIF
+    manufactures a null-bearing key from o_orderpriority so the
+    null-match path is actually exercised; the aggregate reports how many
+    joined pairs rode the null key.
 
-    Scale shape: o_orderpriority has ~5 distinct values, so an unbounded
-    self-join on it produces O(|A_p| * |B_p|) pairs PER KEY — quadratic in
-    data size no matter what join strategy Spark picks (the sf1 sweep
-    measured exactly that: 204 s for 5 output rows). The probe side is
-    therefore bounded to a deterministic top-100 orderkeys per priority,
-    computed with a SALTED two-phase top-k (per-salt row_number first —
-    32-way parallel — then the exact row_number over the <=3200
-    survivors) so no single reducer ever sees a whole priority's rows.
-    The bounded side broadcasts at any corpus scale and the join output
-    is O(100 * |B|) — linear. The null-match semantics are unchanged."""
+    Scale shape: o_orderpriority has ~5 distinct values, so MATERIALIZING
+    the join's pairs is O(|A_p| * |B_p|) per key — quadratic in data size
+    no matter the join strategy (the r5 sf1 sweep measured 204 s for 5
+    output rows). But the query only ASKS for pair counts, and those are
+    order statistics: for each a-row, pairs = |{b in B_prio : kb > ka}|.
+    Computed analytically, never materializing a pair:
+      1. rows bucket by key range (bkt = k >> 13, ~8k keys/bucket);
+      2. per (prio, bkt): a windowed cumsum ordered by (k, b-before-a)
+         gives each a-row its within-bucket count of b-keys <= ka —
+         partitions are bounded by the bucket width, fully parallel;
+      3. per-bucket b-totals (a frame 8192x smaller than the data) take
+         one tiny suffix-sum window per prio for the cross-bucket count
+         (recursable if N/8192 ever outgrows a reducer);
+      4. pairs(a-row) = (bucket_b_total - cum_b<=ka) + suffix_b, summed
+         per prio.
+    Total O(N log N) sort work within bounded partitions, output 5 rows;
+    the null-safe semantics themselves ride the eqNullSafe bucket-stats
+    join (step 4), which Spark hash-partitions with NULL as a value.
+    The r5 bounded-top-100 rewrite verified a different, cheaper query;
+    this restores the original workload (same oracle as r1-r4) at the
+    analytic cost. The bounded variant survives honestly renamed below."""
+    o = load_table(spark, "orders", sf_dir)
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        prio.alias("prio"),
+        F.lit(0).alias("is_b"),
+    )
+    b = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        prio.alias("prio"),
+        F.lit(1).alias("is_b"),
+    )
+    u = a.unionByName(b).withColumn("bkt", F.shiftright(F.col("k"), 13))
+    # per-(prio, bucket) b totals + suffix sums over LATER buckets: the
+    # stats frame is ~N/8192 rows, so the per-prio window is 4 orders
+    # smaller than a whole-priority window over the data would be
+    bstats = u.groupBy("prio", "bkt").agg(F.sum("is_b").alias("nb"))
+    w_suffix = (
+        W.partitionBy("prio").orderBy(F.desc("bkt"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bstats = bstats.select(
+        F.col("prio").alias("sprio"),
+        F.col("bkt").alias("sbkt"),
+        "nb",
+        F.coalesce(F.sum("nb").over(w_suffix), F.lit(0)).alias("suffix_b"),
+    )
+    # within-bucket cumulative b count; b-rows sort before a-rows on key
+    # ties so an a-row's cumsum counts exactly the b-keys <= its own
+    # (the join predicate is STRICTLY ka < kb)
+    w_cum = (
+        W.partitionBy("prio", "bkt").orderBy(F.asc("k"), F.desc("is_b"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pairs_per_a = (
+        u.withColumn("cum_b", F.sum("is_b").over(w_cum))
+        .filter(F.col("is_b") == 0)
+        .join(
+            bstats,
+            F.col("prio").eqNullSafe(F.col("sprio"))
+            & (F.col("bkt") == F.col("sbkt")),
+        )
+        .withColumn("pairs", F.col("nb") - F.col("cum_b") + F.col("suffix_b"))
+    )
+    return (
+        pairs_per_a.groupBy("prio")
+        .agg(
+            F.sum("pairs").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("prio").isNull(), F.col("pairs")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_key_pairs"),
+        )
+        # the oracle's inner join emits no row for a priority with zero
+        # pairs; the analytic aggregate must drop those groups too
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+@register(
+    "join_null_safe_top100_broadcast",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+      FROM orders WHERE o_orderkey % 7 = 0
+      QUALIFY row_number() OVER (PARTITION BY prio ORDER BY o_orderkey) <= 100
+    ),
+    b AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT a.prio AS prio,
+           COUNT(*) AS n_pairs,
+           COUNT(*) FILTER (WHERE a.prio IS NULL) AS n_null_key_pairs
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+                 AND a.o_orderkey < b.o_orderkey
+    GROUP BY a.prio
+    """,
+)
+def join_null_safe_top100_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICITLY BOUNDED null-safe join variant: side A is first cut to a
+    deterministic top-100 orderkeys per priority, so this verifies a
+    DIFFERENT (drastically cheaper) query than the unbounded
+    join_null_safe_priority_match above — the n_pairs values are not
+    comparable between the two. What this op demonstrates is the
+    bounded-build-side pattern: a SALTED two-phase top-k (per-salt
+    row_number first — 32-way parallel — then the exact row_number over
+    the <=3200 survivors) so no single reducer ever sees a whole
+    priority's rows, after which the bounded side broadcasts at any
+    corpus scale and the null-safe theta join's output is O(100 * |B|) —
+    linear. The QUALIFY clause in the oracle applies the same bound."""
     o = load_table(spark, "orders", sf_dir)
     clerk = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
     a0 = o.filter(F.col("o_orderkey") % 7 == 0).select(

@@ -169,7 +169,23 @@ def _plane_signs(t: int, j: int, dim: int = EMB_DIM) -> tuple[float, ...]:
 def _signature(
     t: int, vec: Column, planes: int = LSH_PLANES, dim: int = EMB_DIM
 ) -> Column:
-    acc = F.lit(0)
+    # Loud dimension guard: zip_with against a sign array of the wrong
+    # length pads with NULLs, the dot folds to NULL, every plane bit falls
+    # to 0 and ALL vectors silently collapse into bucket 0 (quadratic
+    # candidates, corrupted recall) — while the oracle SQL adapts to the
+    # real vector length. A width mismatch must fail, not degrade
+    # (r5 advice, low). NULL vectors keep the legacy all-zero signature.
+    guard = F.when(
+        vec.isNotNull() & (F.size(vec) != F.lit(dim)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"_signature: embedding dim != {dim} (got "),
+                F.size(vec).cast("string"),
+                F.lit("); pass dim= to match the corpus"),
+            )
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    acc = guard
     for j in range(planes):
         # dot(v, hyperplane_tj) against the literal sign array: same
         # products (sign is the same ±1.0 double) and same left-fold
@@ -363,7 +379,12 @@ def cosine_margin_candidates(
     the driver (k rows) and shipped in the Arrow closure; the scan side
     is one narrow mapInPandas — no crossJoin, no N*k shuffle.
     NULL-embedding centroids are excluded (fold cosine NULL orders last,
-    they can never win); NULL vectors emit no candidate row."""
+    they can never win). NULL-embedding VECTORS emit a fallback candidate
+    on the lowest cent_id: the crossJoin+window form this screen replaced
+    (and the DuckDB oracle) keep such vectors — their NULL cosine orders
+    last everywhere, so the asc-cent_id tie-break assigns the lowest id —
+    and dropping them here would silently delete those output rows from
+    IVF/SemDeDup assignments (r5 advice, medium)."""
     import numpy as np
     import pandas as pd
 
@@ -381,6 +402,14 @@ def cosine_margin_candidates(
         for pdf in batches:
             if len(C) == 0:
                 continue
+            nulls = pdf[pdf["e"].isna()]
+            if len(nulls):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": nulls["vec_id"].to_numpy(),
+                        "cent_id": np.full(len(nulls), cids[0], dtype="int64"),
+                    }
+                )
             pdf = pdf[pdf["e"].notna()]
             if len(pdf) == 0:
                 continue
@@ -641,6 +670,14 @@ def kmeans_assignments(
     import pandas as pd
 
     ids, C = _train_kmeans_model(v, k, iters)
+    if len(C) == 0:
+        # empty trained model (e.g. every seed vec_id < k has a NULL
+        # embedding): the previous crossJoin form returned an empty frame;
+        # shipping a (0, 0)-shaped C into the closure would make
+        # d2.argmin(axis=1) raise in the executor (r5 advice, low)
+        return v.sparkSession.createDataFrame(
+            [], schema="vec_id long, cluster_id int, d2 double"
+        )
     cn2 = (C * C).sum(axis=1)
 
     def fn(batches):
