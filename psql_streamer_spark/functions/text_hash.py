@@ -141,6 +141,55 @@ def simhash_combine() -> Column:
     return acc
 
 
+# -- 64-bit SimHash (Manku et al., WWW'07 production width) -----------------
+# The signature is stored as two independent 32-bit halves (sh_lo = bits
+# 0..31, sh_hi = bits 32..63), never as one 64-bit integer: both engines
+# parse hex via signed-BIGINT casts, and a genuine 64-bit value with the
+# top bit set would overflow the cast (Spark runs ANSI mode and throws).
+# Halves lose nothing — banding reads 16-bit windows of a half, and
+# hamming distance is the sum of the halves' popcounts. Bit i's vote
+# comes from md5 word 1 (chars 1-8) for the low half and md5 word 2
+# (chars 9-16) for the high half: independent bits, same one-md5-per-
+# shingle cost as the 32-bit form.
+SIMHASH64_BITS = 64
+_HALF = 32
+
+
+def h32b(col: Column) -> Column:
+    """Second 32-bit word of md5 (hex chars 9-16) — the independent hash
+    that feeds simhash bits 32..63 (same value in DuckDB via SQL_H32B)."""
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("bigint")
+
+
+def simhash64_bit_sums() -> list[Column]:
+    """Per-bit sign sums for all 64 bits over ``h`` (word 1) and ``h2``
+    (word 2) columns, grouped per doc. Aliases t0..t63."""
+    cols = []
+    for i in range(SIMHASH64_BITS):
+        src = F.col("h") if i < _HALF else F.col("h2")
+        cols.append(
+            F.sum(
+                F.when(
+                    F.shiftright(src, i % _HALF).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"t{i}")
+        )
+    return cols
+
+
+def simhash64_halves() -> tuple[Column, Column]:
+    """(sh_lo, sh_hi): fold sign sums t0..t31 / t32..t63 into the two
+    32-bit signature halves (bit set iff sum > 0; each half < 2^32)."""
+
+    def half(lo: int) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for i in range(_HALF):
+            acc = acc + F.when(F.col(f"t{lo + i}") > 0, F.lit(1 << i)).otherwise(0)
+        return acc
+
+    return half(0), half(_HALF)
+
+
 # -- DuckDB (oracle) side ---------------------------------------------------
 SQL_H32 = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
 
@@ -191,3 +240,26 @@ def sql_simhash_combine() -> str:
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
+
+
+SQL_H32B = "CAST('0x' || substr(md5({s}), 9, 8) AS BIGINT)"
+
+
+def sql_simhash64_bit_sums() -> str:
+    parts = []
+    for i in range(SIMHASH64_BITS):
+        src = "h" if i < _HALF else "h2"
+        parts.append(
+            f"SUM(CASE WHEN ({src} >> {i % _HALF}) & 1 = 1 THEN 1 ELSE -1 END) AS t{i}"
+        )
+    return ",\n           ".join(parts)
+
+
+def sql_simhash64_halves() -> tuple[str, str]:
+    def half(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN t{lo + i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+            for i in range(_HALF)
+        )
+
+    return half(0), half(_HALF)

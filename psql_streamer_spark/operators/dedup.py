@@ -42,7 +42,13 @@ from psql_streamer_spark.functions.text_hash import (
     sql_minhash_aggs,
     sql_simhash_bit_sums,
     sql_simhash_combine,
+    h32b,
+    simhash64_bit_sums,
+    simhash64_halves,
+    sql_simhash64_bit_sums,
+    sql_simhash64_halves,
     SQL_H32,
+    SQL_H32B,
     SQL_WORDS,
 )
 from psql_streamer_spark.caching import INDEX_CACHE, persist_for
@@ -533,6 +539,116 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return persist_for(sig, result)
+
+
+# --------------------------------------------------------------------------
+# 64-bit SimHash: the PRODUCTION tier (Manku et al., WWW'07 — "Detecting
+# Near-Duplicates for Web Crawling"). Same hamming<=3 pigeonhole guarantee
+# as the 32-bit form (4 bands, at least one must match exactly), but each
+# band is 16 bits -> 65,536 buckets per band, so expected candidate volume
+# is O(N^2/65536) per band instead of O(N^2/256): the bucket count that
+# makes banding viable at web scale. The 32-bit tier above stays registered
+# as the compact form; this one is what a >1M-doc corpus runs.
+# Signature storage: two 32-bit halves (see functions/text_hash.py banner —
+# a single 64-bit value would overflow both engines' signed hex casts).
+# --------------------------------------------------------------------------
+_s64_lo_sql, _s64_hi_sql = sql_simhash64_halves()
+
+_SQL_SIMHASH64_SIG = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h,
+                      {SQL_H32B.format(s='shingle')} AS h2 FROM sh),
+    sums AS (SELECT doc_id, {sql_simhash64_bit_sums()} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {_s64_lo_sql} AS sh_lo, {_s64_hi_sql} AS sh_hi FROM sums
+"""
+
+
+def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    hashed = doc_shingles(d).select(
+        "doc_id",
+        h32(F.col("shingle")).alias("h"),
+        h32b(F.col("shingle")).alias("h2"),
+    )
+    sums = hashed.groupBy("doc_id").agg(*simhash64_bit_sums())
+    lo, hi = simhash64_halves()
+    return sums.select("doc_id", lo.alias("sh_lo"), hi.alias("sh_hi"))
+
+
+@register("dedup_simhash64_signatures", oracle=_SQL_SIMHASH64_SIG)
+def dedup_simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash64(spark, sf_dir)
+
+
+_SQL_SIMHASH64_PAIRS = f"""
+    WITH sig AS ({_SQL_SIMHASH64_SIG}),
+    banded AS (
+      SELECT doc_id, sh_lo, sh_hi, 0 AS band, (sh_lo >> 0) & 65535 AS key16 FROM sig
+      UNION ALL SELECT doc_id, sh_lo, sh_hi, 1, (sh_lo >> 16) & 65535 FROM sig
+      UNION ALL SELECT doc_id, sh_lo, sh_hi, 2, (sh_hi >> 0) & 65535 FROM sig
+      UNION ALL SELECT doc_id, sh_lo, sh_hi, 3, (sh_hi >> 16) & 65535 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh_lo, b.sh_lo))
+             + bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key16 = b.key16 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+            + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+"""
+
+
+@register("dedup_simhash64_pairs", oracle=_SQL_SIMHASH64_PAIRS)
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 64-bit simhash hamming distance <= 3, blocked
+    on any shared 16-bit signature window (4 x 16 banding — a pair within
+    distance 3 must agree exactly on at least one band, pigeonhole).
+
+    This is the scale tier the 32-bit op's docstring promises: 65,536
+    buckets per band keep expected bucket occupancy ~N/65536, so candidate
+    volume is O(N^2/65536) — 256x fewer candidates than the 32-bit/4x8
+    form at the same corpus (the r5 sweep's slowest absolute query). The
+    verify cost per candidate is two long-xors + popcounts, JVM codegen.
+    Hamming distance sums the two halves' popcounts — identical to the
+    64-bit popcount, no 64-bit integer ever materialized (ANSI-safe in
+    both engines). Reference anchor: the reference's dedup story is
+    event-UUID exactness (event/event.go:24-34); this implements SURVEY
+    §2.8's fuzzy-dedup row at production width."""
+    sig = _simhash64(spark, sf_dir).persist()
+    banded = None
+    for band in range(4):
+        half = F.col("sh_lo") if band < 2 else F.col("sh_hi")
+        part = sig.select(
+            "doc_id",
+            "sh_lo",
+            "sh_hi",
+            F.lit(band).alias("band"),
+            F.shiftright(half, 16 * (band % 2)).bitwiseAND(F.lit(65535)).alias(
+                "key16"
+            ),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
+    ) + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+    result = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key16") == F.col("b.key16"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

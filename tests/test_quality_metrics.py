@@ -514,3 +514,30 @@ def test_sqrt_stride_floor_preserves_small_sf_behavior(spark):
     for n, want in [(0, 50), (1, 50), (2500, 50), (2501, 51), (10000, 100), (10001, 101)]:
         got = max(50, math.isqrt(max(0, n - 1)) + 1)
         assert got == want, (n, got, want)
+
+
+def test_simhash64_band_pigeonhole_and_half_range(spark, sfdir):
+    """64-bit tier invariants: signature halves fit 32 unsigned bits
+    (never negative — a signed overflow would corrupt banding in either
+    engine), and every emitted pair agrees exactly on at least one 16-bit
+    band — the pigeonhole property the 4x16 banding is built on (a pair
+    that disagrees on all 4 bands has hamming >= 4 and must not appear)."""
+    sig = {
+        r.doc_id: (r.sh_lo, r.sh_hi)
+        for r in QUERIES["dedup_simhash64_signatures"](spark, sfdir).collect()
+    }
+    assert sig, "empty signature frame"
+    for lo, hi in sig.values():
+        assert 0 <= lo < 1 << 32 and 0 <= hi < 1 << 32
+
+    def bands(lo, hi):
+        return [(lo >> 0) & 0xFFFF, (lo >> 16) & 0xFFFF,
+                (hi >> 0) & 0xFFFF, (hi >> 16) & 0xFFFF]
+
+    pairs = QUERIES["dedup_simhash64_pairs"](spark, sfdir).collect()
+    for r in pairs:
+        la, ha = sig[r.doc_a]
+        lb, hb = sig[r.doc_b]
+        ham = bin(la ^ lb).count("1") + bin(ha ^ hb).count("1")
+        assert ham == r.hamming <= 3
+        assert any(x == y for x, y in zip(bands(la, ha), bands(lb, hb)))
