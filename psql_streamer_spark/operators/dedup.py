@@ -1576,15 +1576,32 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SPAN_SHINGLE_K = 8
 SPAN_MIN_TOKENS = 20
+#: Production boilerplate guard: shingles appearing in more than this many
+#: documents are dropped before the inverted-index join. The self-join is
+#: quadratic in per-shingle doc frequency, and a real corpus's boilerplate
+#: (license headers, navigation chrome shared by 10^4+ docs) makes the
+#: uncapped form a blow-up; the cap bounds per-shingle join fan-out to
+#: O(cap^2) and total candidate volume to O(N_shingles * cap).
+SPAN_DOC_FREQ_CAP = 64
 
-_SQL_EXACT_SUBSTRING_SPANS = f"""
+
+def _sql_exact_substring_spans(cap: int | None) -> str:
+    df_ctes = (
+        f""",
+    keep AS (SELECT shingle FROM s0 GROUP BY shingle
+             HAVING COUNT(DISTINCT doc_id) <= {cap}),
+    s AS (SELECT s0.* FROM s0 JOIN keep USING (shingle))"""
+        if cap is not None
+        else ",\n    s AS (SELECT * FROM s0)"
+    )
+    return f"""
     WITH w AS (SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws FROM documents),
     shp AS (SELECT doc_id, unnest(range(1, len(ws) - {SPAN_SHINGLE_K} + 2)) AS pos,
                    ws
             FROM w),
-    s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-                 array_to_string(ws[pos:pos+{SPAN_SHINGLE_K}-1], ' ') AS shingle
-          FROM shp),
+    s0 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                  array_to_string(ws[pos:pos+{SPAN_SHINGLE_K}-1], ' ') AS shingle
+           FROM shp){df_ctes},
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
              a.pos - b.pos AS diag
@@ -1605,6 +1622,9 @@ _SQL_EXACT_SUBSTRING_SPANS = f"""
 """
 
 
+_SQL_EXACT_SUBSTRING_SPANS = _sql_exact_substring_spans(None)
+
+
 @register("dedup_exact_substring_spans", oracle=_SQL_EXACT_SUBSTRING_SPANS)
 def dedup_exact_substring_spans(
     spark: SparkSession, sf_dir: str, doc_freq_cap: int | None = None
@@ -1612,8 +1632,10 @@ def dedup_exact_substring_spans(
     """Maximal verbatim token spans (>= SPAN_MIN_TOKENS) shared across
     documents — one row per (doc pair, span) with 1-based token offsets
     in both docs. ``doc_freq_cap`` enables the boilerplate guard (see
-    section banner); None (the oracle-checked default) keeps every
-    shingle."""
+    section banner); None keeps every shingle — the GROUND-TRUTH tier,
+    quadratic in per-shingle doc frequency. The registered production
+    tier is dedup_exact_substring_spans_capped below (same dual-tier
+    discipline as the exact-vs-blocked cosine pair miners)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, "documents", sf_dir)
@@ -1677,6 +1699,32 @@ def dedup_exact_substring_spans(
             "span_tokens",
         )
     )
+
+
+@register(
+    "dedup_exact_substring_spans_capped",
+    oracle=_sql_exact_substring_spans(SPAN_DOC_FREQ_CAP),
+)
+def dedup_exact_substring_spans_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION tier of exact-substring span dedup: identical maximal-
+    span reconstruction, but shingles present in more than
+    SPAN_DOC_FREQ_CAP documents are dropped BEFORE the inverted-index
+    self-join. Why this is the registered scale default: the join's
+    candidate volume is sum over shingles of df^2, and boilerplate text
+    (license headers, navigation chrome) gives a handful of shingles
+    df ~ corpus size — quadratic blow-up the synthetic sweep corpus
+    cannot exhibit but any real crawl does. The cap bounds per-shingle
+    fan-out to cap^2 and total candidates to O(N_shingles * cap).
+    Effect on results: a capped shingle can SPLIT a reported span into
+    two islands (or drop spans made entirely of >cap-frequency text —
+    which is precisely the boilerplate a curator does not want counted),
+    never invent one; a 50-token genuine span carries 43 distinct
+    positional shingles, so organic spans survive. The uncapped op above
+    stays registered as the ground-truth verifier; both tiers carry
+    matching DuckDB oracles (the cap is a df-filtered CTE there)."""
+    return dedup_exact_substring_spans(spark, sf_dir, doc_freq_cap=SPAN_DOC_FREQ_CAP)
 
 
 # --------------------------------------------------------------------------

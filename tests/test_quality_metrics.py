@@ -541,3 +541,25 @@ def test_simhash64_band_pigeonhole_and_half_range(spark, sfdir):
         ham = bin(la ^ lb).count("1") + bin(ha ^ hb).count("1")
         assert ham == r.hamming <= 3
         assert any(x == y for x, y in zip(bands(la, ha), bands(lb, hb)))
+
+
+def test_exact_substring_cap_drops_boilerplate_keeps_organic(spark, tmp_path):
+    """The df-cap tier must kill the quadratic boilerplate blow-up (30
+    identical docs -> C(30,2)=435 span rows uncapped) while organic
+    low-frequency spans survive verbatim — the exact trade the capped
+    production registration promises."""
+    from psql_streamer_spark.operators.dedup import dedup_exact_substring_spans
+
+    boiler = " ".join(f"lic{i}" for i in range(40))
+    organic = " ".join(f"org{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(100, "prefixa " * 3 + organic), (101, "prefixb " * 5 + organic)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    uncapped = dedup_exact_substring_spans(spark, sf).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 1  # boilerplate blowup + organic
+    capped = dedup_exact_substring_spans(spark, sf, doc_freq_cap=8).collect()
+    assert [(r.doc_a, r.doc_b, r.span_tokens) for r in capped] == [(100, 101, 30)]
