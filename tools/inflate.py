@@ -35,7 +35,10 @@ leaves others untouched):
   intra-replica pairwise distances exactly (the original cluster
   structure exists in every replica) while cross-replica vectors
   decorrelate — same reasoning as the text substitution, applied to
-  cosine space.
+  cosine space.  Past factor=64 the rotation ring wraps; wrapped
+  generations additionally flip a generation-keyed deterministic sign
+  pattern per dimension (uniform within a replica, so intra-replica
+  geometry is still exact) to keep cross-replica copies decorrelated.
 - Timestamps are NOT shifted: 10x events in the same time range means
   10x rows per window — which is precisely what data growth looks like
   to a windowed aggregation.
@@ -128,9 +131,60 @@ def _rotate_embedding(df: DataFrame, factor: int) -> DataFrame:
         F.slice(emb, shift + 1, F.lit(dim) - shift),
         F.slice(emb, F.lit(1), shift),
     )
-    return df.withColumn(
-        "embedding", F.when(shift == 0, emb).otherwise(rotated).cast("array<float>")
-    )
+    base = F.when(shift == 0, emb).otherwise(rotated)
+    # Past factor=64 the rotation ring WRAPS: replicas r and r+64 would
+    # carry bit-identical vectors — factor-1 planted cosine-1.0 twins per
+    # vector, a fabricated O(factor^2) pair blow-up that measures the
+    # synthetic data, not the engine (found preparing the sf10 sweep).
+    # Wrapped generations g = (r*step) // dim > 0 therefore apply a
+    # generation-keyed deterministic sign flip per dimension: a uniform
+    # +-1 pattern within a replica cancels in every intra-replica dot
+    # product and norm (geometry exactly preserved), while cross-
+    # generation copies of the same vector decorrelate. g=0 replicas
+    # (every factor <= 64, i.e. all previously-built scale dirs) are
+    # bit-for-bit unchanged.
+    gens = ((factor - 1) * step) // dim + 1
+    if gens > 1:
+        g = F.floor((F.col("__r") * F.lit(step)) / F.lit(dim)).cast("int")
+        parity = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit("flip"), g.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+        )
+        # dimension d's sign: bit d of a 64-bit generation hash (two md5
+        # words), deterministic and expression-only
+        parity2 = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("flip2"), g.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        base = F.when(g == 0, base).otherwise(
+            F.transform(
+                base,
+                lambda x, i: x
+                * F.when(
+                    F.shiftright(
+                        F.when(i < 32, parity).otherwise(parity2), i % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(-1.0),
+                ).otherwise(F.lit(1.0)),
+            )
+        )
+    return df.withColumn("embedding", base.cast("array<float>"))
 
 
 def inflate(spark: SparkSession, src: str, dst: str, factor: int) -> None:

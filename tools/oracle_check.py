@@ -123,17 +123,35 @@ def _cells_equal(a, b) -> bool:
     return a == b
 
 
-def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
+def compare_record(
+    name: str, spark_df, oracle_df: pd.DataFrame
+) -> tuple[dict, list[str]]:
+    """Compare and return (driver-shaped record, problem strings).
+
+    The record mirrors the driver's CORRECTNESS_r{N}.json entry shape:
+    rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+    err — so the full-surface local sweep can be committed as a
+    machine-readable artifact beside the driver's 50-query sample."""
     problems: list[str] = []
     sp = spark_df.toPandas()
+    rec = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": len(sp),
+        "oracle_rows": len(oracle_df),
+        "err": None,
+    }
     if sorted(sp.columns) != sorted(oracle_df.columns):
         problems.append(
             f"schema mismatch: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
         )
-        return problems
+        return rec, problems
     if len(sp) != len(oracle_df):
+        rec["schema_match"] = True
         problems.append(f"row count mismatch: spark={len(sp)} oracle={len(oracle_df)}")
-        return problems
+        return rec, problems
+    rec["rows_match"] = True
     for col in sorted(sp.columns):
         ks, ko = _col_kind(sp[col]), _col_kind(oracle_df[col])
         if "all-null" in (ks, ko):
@@ -144,7 +162,8 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
                 f"oracle={ko}({oracle_df[col].dtype}) — driver hash WILL differ"
             )
     if problems:
-        return problems
+        return rec, problems
+    rec["schema_match"] = True
     a, b = _normalize(sp), _normalize(oracle_df)
     n_bad = 0
     for col in a.columns:
@@ -156,12 +175,23 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
                     problems.append(f"value mismatch col={col} row={i}: spark={x!r} oracle={y!r}")
     if n_bad > 3:
         problems.append(f"... {n_bad} total mismatched cells")
-    return problems
+    rec["hash_match"] = n_bad == 0
+    return rec, problems
+
+
+def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
+    return compare_record(name, spark_df, oracle_df)[1]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    emit_path = None
+    for a in list(args):
+        if a.startswith("--emit-correctness-json"):
+            emit_path = a.split("=", 1)[1] if "=" in a else "CORRECTNESS_LOCAL.json"
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
     import __spark_entry__ as entrymod
@@ -172,21 +202,44 @@ def main() -> int:
     con = _duck_con(sf_dir)
 
     failed = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
                 odf = con.execute(oracles[name]).fetchdf()
-                problems = compare(name, sdf, odf)
+                rec, problems = compare_record(name, sdf, odf)
             else:
+                # rows-only: the driver's weaker check for non-SQL-
+                # expressible ops — must execute and return a well-formed
+                # frame; hash_match is null (not checked), mirroring how
+                # the driver records these
                 n = sdf.count()
                 problems = [] if n >= 0 else ["negative count?"]
+                rec.update(
+                    rows_match=True,
+                    schema_match=True,
+                    hash_match=None,
+                    spark_rows=n,
+                    oracle_rows=None,
+                    rows_only=True,
+                )
                 print(f"  [rows-only] {name}: {n} rows")
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+        records[name] = rec
         dt = time.time() - t0
         status = "OK " if not problems else "FAIL"
         print(f"{status} {name} ({dt:.1f}s)")
@@ -195,7 +248,15 @@ def main() -> int:
         if problems:
             failed.append(name)
 
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries match" + (f"; FAILED: {failed}" if failed else ""))
+    if emit_path:
+        import json
+
+        with open(emit_path, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records)} records to {emit_path}")
+
+    n_run = len(records)
+    print(f"\n{n_run - len(failed)}/{n_run} queries match" + (f"; FAILED: {failed}" if failed else ""))
     return 1 if failed else 0
 
 
