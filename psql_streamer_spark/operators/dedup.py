@@ -513,9 +513,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature). Measured sub-linear through the 30x sweep (cheap long-xor
     verify; 56s at sf3 isolated), but the production path for corpora
     past ~1M docs is the Manku et al. (WWW'07) design: widen the simhash
-    to 64 bits and band 4 x 16 (65,536 buckets/band, same guarantee).
-    The banding/verify plumbing here is width-generic; only the
-    signature expression (bit-vote loop in _simhash) pins 32."""
+    to 64 bits and band 4 x 16 (65,536 buckets/band, same guarantee) —
+    REGISTERED below as dedup_simhash64_pairs (r6), measured flat
+    through 30x (12.7 s at sf3 vs this op's 56.6 s). This 32-bit form
+    stays as the compact tier for small corpora."""
     # The signature frame feeds the 4-band union AND both sides of the
     # self-join — 8 plan references; unpersisted, Spark recomputes the
     # full shingle-explode + md5 + 32-bit-vote aggregate each time
@@ -1648,6 +1649,19 @@ def dedup_exact_substring_spans(
     positions = F.when(
         npos >= 1, F.sequence(F.lit(1), npos)
     ).otherwise(F.array().cast("array<int>"))
+    # Shingle strings (~50 B of text each) never leave the map side: every
+    # downstream equality (df count, df-cap join, inverted-index self-join)
+    # keys on a pair of independent native xxhash64 values instead —
+    # 16 bytes per row through THREE shuffles of the full positional-
+    # shingle frame (measured at sf10: 89.6 s with raw string keys,
+    # 34.9 s with this form; the md5/conv variant tried in between paid
+    # ~30% extra CPU at small SFs for the hex parse). Equality differs
+    # from string equality only on a simultaneous collision of both
+    # 64-bit hashes (~2^-128 for non-adversarial text — the same
+    # hash-keying tolerance the minhash/banding family already accepts;
+    # the DuckDB oracle joins the raw strings, so a collision would
+    # surface as a parity failure).
+    shingle = F.concat_ws(" ", F.slice("ws", F.col("ipos"), SPAN_SHINGLE_K))
     s = w.select(
         "doc_id",
         F.explode(positions).alias("ipos"),
@@ -1655,16 +1669,15 @@ def dedup_exact_substring_spans(
     ).select(
         "doc_id",
         F.col("ipos").cast("bigint").alias("pos"),
-        F.concat_ws(" ", F.slice("ws", F.col("ipos"), SPAN_SHINGLE_K)).alias(
-            "shingle"
-        ),
+        F.xxhash64(shingle).alias("k1"),
+        F.xxhash64(shingle, F.lit(1)).alias("k2"),
     )
     if doc_freq_cap is not None:
-        df_counts = s.groupBy("shingle").agg(
+        df_counts = s.groupBy("k1", "k2").agg(
             F.countDistinct("doc_id").alias("_df")
         )
         s = (
-            s.join(df_counts, "shingle")
+            s.join(df_counts, ["k1", "k2"])
             .filter(F.col("_df") <= doc_freq_cap)
             .drop("_df")
         )
@@ -1672,7 +1685,8 @@ def dedup_exact_substring_spans(
     b = s.alias("b")
     m = a.join(
         b,
-        (F.col("a.shingle") == F.col("b.shingle"))
+        (F.col("a.k1") == F.col("b.k1"))
+        & (F.col("a.k2") == F.col("b.k2"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),

@@ -171,14 +171,19 @@ def _rotate_embedding(df: DataFrame, factor: int) -> DataFrame:
             16,
             10,
         ).cast("bigint")
+        # bit (i % 32) of the generation word, extracted arithmetically
+        # (shiftright needs a literal shift amount; powers of two are
+        # exact doubles, so floor(word / 2^b) % 2 is the exact bit)
         base = F.when(g == 0, base).otherwise(
             F.transform(
                 base,
                 lambda x, i: x
                 * F.when(
-                    F.shiftright(
-                        F.when(i < 32, parity).otherwise(parity2), i % 32
-                    ).bitwiseAND(F.lit(1))
+                    F.floor(
+                        F.when(i < 32, parity).otherwise(parity2)
+                        / F.pow(F.lit(2.0), (i % 32).cast("double"))
+                    ).cast("bigint")
+                    % 2
                     == 1,
                     F.lit(-1.0),
                 ).otherwise(F.lit(1.0)),
