@@ -99,12 +99,15 @@ def _run_config(
     _generate_events(spark, src, n, events_per_file)
 
     batch_times: list[float] = []
+    batch_sizes: list[int] = []
 
     class TimedPipeline(CdcPipeline):
         def _process_batch(self, batch_df, batch_id):
+            before = self.stats.events_in
             t0 = time.time()
             super()._process_batch(batch_df, batch_id)
             batch_times.append(time.time() - t0)
+            batch_sizes.append(self.stats.events_in - before)
 
     pipe = TimedPipeline(
         spark,
@@ -121,10 +124,104 @@ def _run_config(
     assert pipe.stats.events_in == n, (pipe.stats.events_in, n)
     assert pipe.stats.events_routed == n, pipe.stats.as_line()
     lat_ms = sorted(t * 1000 for t in batch_times)
+    sizes = sorted(batch_sizes)
     return {
         "events": n,
-        "events_per_batch": events_per_file * files_per_trigger,
+        # nominal: repartition(n_files) is round-robin and only
+        # approximately balances rows across files (r6 advice), so the
+        # mux-batchSize analogy is approximate; the measured per-batch
+        # event counts (diffed off the pipeline's own n_in accounting,
+        # zero extra actions) are the real distribution
+        "events_per_batch_nominal": events_per_file * files_per_trigger,
+        "events_per_batch_measured": {
+            "min": sizes[0],
+            "p50": int(statistics.median(sizes)),
+            "max": sizes[-1],
+        },
         "batches": pipe.stats.batches,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1),
+        "batch_latency_ms": {
+            "p50": round(statistics.median(lat_ms), 1),
+            "mean": round(statistics.fmean(lat_ms), 1),
+            "max": round(lat_ms[-1], 1),
+        },
+    }
+
+
+def _run_neardup_config(
+    spark, work: str, sf_dir: str, docs_per_file: int, files_per_trigger: int
+) -> dict:
+    """Ingest-time near-dup alerting throughput: the most expensive
+    per-event operator the streaming path owns (r6 verdict task #6).
+
+    The corpus band index is materialized ONCE (build time reported
+    separately — it is the ingest-amortized cost, not per-event), then
+    the sf0.1 documents table streams through the drop-dir source and
+    every micro-batch runs the full sign -> band -> bucket-local index
+    probe -> exact-Jaccard verify -> parquet alert write
+    (streaming/dedup_stream.probe_band_index). docs/sec here is the
+    events/sec of a pipeline that screens every arriving document
+    against a 100 TB-shaped corpus index."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.operators.dedup import band_index_table
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.dedup_stream import probe_band_index
+
+    t0 = time.time()
+    index_table = band_index_table(spark, sf_dir)
+    index_build_sec = time.time() - t0
+
+    corpus = load_table(spark, "documents", sf_dir)
+    src = os.path.join(work, "neardup", "src")
+    ckpt = os.path.join(work, "neardup", "ckpt")
+    out = os.path.join(work, "neardup", "out")
+    docs = corpus.select("doc_id", "text")
+    n = docs.count()
+    n_files = max(1, (n + docs_per_file - 1) // docs_per_file)
+    docs.repartition(n_files).write.mode("overwrite").json(src)
+
+    batch_times: list[float] = []
+    batch_sizes: list[int] = []
+
+    def _probe(batch_df, epoch_id):
+        batch_sizes.append(batch_df.count())  # outside the timed region
+        t0 = time.time()
+        alerts = probe_band_index(spark, batch_df, index_table, corpus, 0.8)
+        alerts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+        batch_times.append(time.time() - t0)
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .json(src)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    n_alerts = spark.read.parquet(out).count() if batch_times else 0
+    lat_ms = sorted(t * 1000 for t in batch_times) or [0.0]
+    sizes = sorted(batch_sizes)
+    return {
+        "events": n,
+        "events_per_batch_nominal": docs_per_file * files_per_trigger,
+        "events_per_batch_measured": {
+            "min": sizes[0],
+            "p50": int(statistics.median(sizes)),
+            "max": sizes[-1],
+        },
+        "batches": len(batch_times),
+        "index_build_sec": round(index_build_sec, 3),
+        "alerts": n_alerts,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n / wall, 1),
         "batch_latency_ms": {
@@ -156,6 +253,14 @@ def main() -> None:
             # deployment-shaped micro-batches over 1M events
             "bulk_drain_1m": _run_config(
                 spark, work, "bulk_drain_1m", 1_000_000, 15_625, 8
+            ),
+            # ingest-time near-dup alerting: every arriving doc signed,
+            # banded, probed against the materialized corpus band index,
+            # exact-Jaccard verified (r6 verdict task #6)
+            "neardup_probe_sf01": _run_neardup_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 5_000, 1
             ),
         }
     finally:

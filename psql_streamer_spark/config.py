@@ -79,17 +79,22 @@ class ConfigError(ValueError):
 
 
 # -- duration parsing (viper GetDuration accepts Go duration strings) -------
-_GO_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+# integer milliseconds per unit: float factors (0.001 for "ms") truncated
+# "130117ms" to 130116 through int() — hypothesis-found off-by-one
+_GO_UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000}
 
 
 def parse_duration_ms(v: Any) -> int:
     """Go-style duration ("5ms", "1s", "2m") or bare seconds → milliseconds."""
     if isinstance(v, (int, float)):
-        return int(v * 1000)
+        return round(v * 1000)
     s = str(v).strip()
     for unit in ("ms", "s", "m", "h"):  # ms before s: "5ms" must not match "s"
-        if s.endswith(unit) and s[: -len(unit)].replace(".", "", 1).isdigit():
-            return int(float(s[: -len(unit)]) * _GO_UNITS[unit] * 1000)
+        num = s[: -len(unit)]
+        if s.endswith(unit) and num.replace(".", "", 1).isdigit():
+            if num.isdigit():  # integer quantity: stay in exact int math
+                return int(num) * _GO_UNIT_MS[unit]
+            return round(float(num) * _GO_UNIT_MS[unit])
     raise ConfigError(f"unparseable duration: {v!r}")
 
 

@@ -1653,14 +1653,24 @@ def dedup_exact_substring_spans(
     # downstream equality (df count, df-cap join, inverted-index self-join)
     # keys on a pair of independent native xxhash64 values instead —
     # 16 bytes per row through THREE shuffles of the full positional-
-    # shingle frame (measured at sf10: 89.6 s with raw string keys,
-    # 34.9 s with this form; the md5/conv variant tried in between paid
-    # ~30% extra CPU at small SFs for the hex parse). Equality differs
-    # from string equality only on a simultaneous collision of both
-    # 64-bit hashes (~2^-128 for non-adversarial text — the same
-    # hash-keying tolerance the minhash/banding family already accepts;
-    # the DuckDB oracle joins the raw strings, so a collision would
-    # surface as a parity failure).
+    # shingle frame. Measured at sf10, ISOLATED (fresh session, this
+    # query only): 89.6 s with raw string keys -> 34.9 s at the r6 rekey
+    # -> 21.6 s re-measured r7; IN-SWEEP (after ~160 queries' session
+    # state) the same plan read 66.7 s in SCALE_r06_sf10.json — the gap
+    # is accumulated JVM/page-cache state, not the operator (see
+    # SCALE.md's isolated-remeasure protocol). The md5/conv variant
+    # tried between the string and xxhash64 forms paid ~30% extra CPU at
+    # small SFs for the hex parse. Independence
+    # requires the seed literal FIRST: Spark's multi-arg xxhash64 folds
+    # left-to-right with the running hash as the next seed, so
+    # xxhash64(shingle, 1) would be a pure function of k1 (any k1
+    # collision is automatically a k2 collision — r6 advice);
+    # xxhash64(1, shingle) hashes the shingle under a different
+    # effective seed, so a pair collision needs the same text to collide
+    # under two unrelated seeds (~2^-128 for non-adversarial text — the
+    # same hash-keying tolerance the minhash/banding family already
+    # accepts; the DuckDB oracle joins the raw strings, so a collision
+    # would surface as a parity failure).
     shingle = F.concat_ws(" ", F.slice("ws", F.col("ipos"), SPAN_SHINGLE_K))
     s = w.select(
         "doc_id",
@@ -1670,7 +1680,7 @@ def dedup_exact_substring_spans(
         "doc_id",
         F.col("ipos").cast("bigint").alias("pos"),
         F.xxhash64(shingle).alias("k1"),
-        F.xxhash64(shingle, F.lit(1)).alias("k2"),
+        F.xxhash64(F.lit(1), shingle).alias("k2"),
     )
     if doc_freq_cap is not None:
         df_counts = s.groupBy("k1", "k2").agg(
@@ -1937,23 +1947,65 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every delta-corpus and delta-delta collision surfaces while
     corpus-corpus pairs (already mined on previous days) are skipped.
 
-    The delta side is the small probe side; at real scale the corpus band
-    index is a bucketed table written at ingest (see compact_parquet) and
-    this join is delta-driven — shuffle cost O(|delta| bands), not
-    O(|corpus|^2). Exact-Jaccard verification runs on candidates only."""
+    All three index frames (shingle sets, minhash signatures, the banded
+    index pre-partitioned on its join key) come from the SAME
+    LRU-materialized registry dedup_minhash_lsh_pairs builds — an
+    earlier form rebuilt shingles + signatures for the full corpus per
+    invocation and re-shuffled the banded corpus on every delta probe,
+    which measured super-linear at sf10 (90.6 s, ~N^1.7 over sf1→sf10).
+    Probing the cached index instead makes each invocation cost
+    O(|delta| bands shuffled + |candidates| verified): the cached banded
+    frame is stored already hash-partitioned on (band, band_key), so the
+    delta-vs-corpus join reads it in place with no corpus-side Exchange.
+    The disk-backed variant of the same discipline (the band index as a
+    bucketed table that survives the session and is appended at ingest)
+    is dedup_incremental_materialized_pairs below; this tier is the
+    serving-session form. Exact-Jaccard verification runs on candidate
+    docs only, probed out of the cached shingle-set arrays."""
     from psql_streamer_spark.operators.mlprep import md5_bucket
 
-    sh = doc_shingles(load_table(spark, "documents", sf_dir)).persist()
-    sig = _minhash_signatures(spark, sf_dir, shingles=sh).persist()
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
-            for b, key in band_key_exprs()
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    def _build_sets() -> DataFrame:
+        s = _doc_shingle_sets(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sets = INDEX_CACHE.get_or_build(spark, "dedup_shingle_sets", sf_dir, _build_sets)
+
+    def _build_sig() -> DataFrame:
+        exploded = sets.select("doc_id", F.explode("ss").alias("shingle"))
+        s = _minhash_signatures(spark, sf_dir, shingles=exploded).persist()
+        s.count()
+        return s
+
+    sig = INDEX_CACHE.get_or_build(spark, "dedup_minhash_sig", sf_dir, _build_sig)
+
+    def _build_banded() -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+                for b, key in band_key_exprs()
+            ]
+        )
+        b = (
+            sig.select("doc_id", F.explode(bands).alias("bk"))
+            .select(
+                "doc_id",
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"),
+            )
+            # cache the frame ALREADY partitioned on the probe-join key:
+            # InMemoryTableScan reports the cached plan's partitioning, so
+            # every later delta probe joins against it with zero
+            # corpus-side Exchange — the in-session analogue of the
+            # bucketed band_index_table
+            .repartition(spark.sparkContext.defaultParallelism, "band", "band_key")
+            .persist()
+        )
+        b.count()
+        return b
+
+    banded = INDEX_CACHE.get_or_build(spark, "dedup_band_index", sf_dir, _build_banded)
+
     is_new = md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET
     delta_banded = banded.filter(is_new).select(
         F.col("doc_id").alias("n_doc_id"),
@@ -1972,9 +2024,11 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("n_doc_id", "doc_id").alias("doc_b"),
         )
         .distinct()
+        # the verify walks candidates three times (ids + both pair joins)
+        .persist()
     )
-    result = _jaccard_pairs(spark, sf_dir, candidates=cand, shingles=sh)
-    return persist_for(sh, persist_for(sig, result))
+    result = _jaccard_pairs(spark, sf_dir, candidates=cand, shingle_sets=sets)
+    return persist_for(cand, result)
 
 
 # --------------------------------------------------------------------------

@@ -378,13 +378,17 @@ def cosine_margin_candidates(
     cosine the oracle replays. Centroids are MODEL STATE: collected to
     the driver (k rows) and shipped in the Arrow closure; the scan side
     is one narrow mapInPandas — no crossJoin, no N*k shuffle.
-    NULL-embedding centroids are excluded (fold cosine NULL orders last,
-    they can never win). NULL-embedding VECTORS emit a fallback candidate
-    on the lowest cent_id: the crossJoin+window form this screen replaced
-    (and the DuckDB oracle) keep such vectors — their NULL cosine orders
-    last everywhere, so the asc-cent_id tie-break assigns the lowest id —
-    and dropping them here would silently delete those output rows from
-    IVF/SemDeDup assignments (r5 advice, medium)."""
+    NULL-embedding centroids are excluded from the matmul (fold cosine
+    NULL orders last, they can never beat a finite score). Whenever the
+    cosine cannot decide — a NULL-embedding VECTOR against any centroid,
+    or ANY vector when every centroid row is NULL (r6 advice: that case
+    previously returned an empty frame) — the crossJoin+window form this
+    screen replaced (and the DuckDB oracle) still keep one output row per
+    vector: all cosines are NULL, NULL orders last everywhere, so the
+    asc-cent_id tie-break assigns the lowest cent_id OF THE WHOLE model,
+    NULL-embedding centroids included. Those paths emit that fallback
+    candidate here; dropping them would silently delete assignment rows
+    from IVF/SemDeDup outputs."""
     import numpy as np
     import pandas as pd
 
@@ -394,20 +398,34 @@ def cosine_margin_candidates(
         .orderBy("cent_id")
         .collect()
     )
+    # the tie-break floor when no cosine is defined: min cent_id over ALL
+    # model rows (a NULL-embedding centroid with the lowest id wins ties)
+    fallback_cid = cent.agg(F.min("cent_id")).collect()[0][0]
     cids = np.array([int(r.cent_id) for r in cent_rows])
     C = np.array([r.ce for r in cent_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True) if len(C) else C
 
     def _margin_candidates(batches):
         for pdf in batches:
+            if fallback_cid is None:
+                # zero centroid rows at all: no assignment is defined
+                continue
             if len(C) == 0:
+                # centroid rows exist but every embedding is NULL: every
+                # vector falls back to the lowest cent_id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cent_id": np.full(len(pdf), fallback_cid, dtype="int64"),
+                    }
+                )
                 continue
             nulls = pdf[pdf["e"].isna()]
             if len(nulls):
                 yield pd.DataFrame(
                     {
                         "vec_id": nulls["vec_id"].to_numpy(),
-                        "cent_id": np.full(len(nulls), cids[0], dtype="int64"),
+                        "cent_id": np.full(len(nulls), fallback_cid, dtype="int64"),
                     }
                 )
             pdf = pdf[pdf["e"].notna()]

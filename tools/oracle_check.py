@@ -134,9 +134,15 @@ def compare_record(
     machine-readable artifact beside the driver's 50-query sample."""
     problems: list[str] = []
     sp = spark_df.toPandas()
+    # schema_match = column NAMES match (the driver's notion); kind skew
+    # is recorded separately under kinds_match so a consumer can tell a
+    # real column-set mismatch from a formatting-kind mismatch (r6 advice
+    # — previously schema_match doubled for both and was set
+    # inconsistently across the early-return paths).
     rec = {
         "rows_match": False,
         "schema_match": False,
+        "kinds_match": None,  # None = kind check did not run
         "hash_match": False,
         "spark_rows": len(sp),
         "oracle_rows": len(oracle_df),
@@ -147,23 +153,25 @@ def compare_record(
             f"schema mismatch: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
         )
         return rec, problems
-    if len(sp) != len(oracle_df):
-        rec["schema_match"] = True
-        problems.append(f"row count mismatch: spark={len(sp)} oracle={len(oracle_df)}")
-        return rec, problems
-    rec["rows_match"] = True
+    rec["schema_match"] = True
+    kind_problems: list[str] = []
     for col in sorted(sp.columns):
         ks, ko = _col_kind(sp[col]), _col_kind(oracle_df[col])
         if "all-null" in (ks, ko):
             continue
         if ks != ko:
-            problems.append(
+            kind_problems.append(
                 f"dtype-kind mismatch col={col}: spark={ks}({sp[col].dtype}) "
                 f"oracle={ko}({oracle_df[col].dtype}) — driver hash WILL differ"
             )
+    rec["kinds_match"] = not kind_problems
+    problems.extend(kind_problems)
+    if len(sp) != len(oracle_df):
+        problems.append(f"row count mismatch: spark={len(sp)} oracle={len(oracle_df)}")
+        return rec, problems
+    rec["rows_match"] = True
     if problems:
         return rec, problems
-    rec["schema_match"] = True
     a, b = _normalize(sp), _normalize(oracle_df)
     n_bad = 0
     for col in a.columns:
@@ -186,9 +194,17 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     args = sys.argv[1:]
     emit_path = None
+    sample_n = None
+    sample_seed = 0
     for a in list(args):
         if a.startswith("--emit-correctness-json"):
             emit_path = a.split("=", 1)[1] if "=" in a else "CORRECTNESS_LOCAL.json"
+            args.remove(a)
+        elif a.startswith("--sample="):
+            sample_n = int(a.split("=", 1)[1])
+            args.remove(a)
+        elif a.startswith("--seed="):
+            sample_seed = int(a.split("=", 1)[1])
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -199,6 +215,16 @@ def main() -> int:
 
     spark = get_spark("oracle_check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if sample_n is not None and not only:
+        # fresh random re-verification subset (--sample N --seed R): the
+        # driver's own CORRECTNESS sample has been static across rounds,
+        # so each round also commits a seeded random slice — queries the
+        # driver never samples get visibly re-verified round over round
+        import random
+
+        names = sorted(qs)
+        only = set(random.Random(sample_seed).sample(names, min(sample_n, len(names))))
+        print(f"sampled {len(only)} / {len(names)} queries (seed={sample_seed})")
     con = _duck_con(sf_dir)
 
     failed = []
@@ -210,6 +236,7 @@ def main() -> int:
         rec = {
             "rows_match": False,
             "schema_match": False,
+            "kinds_match": None,
             "hash_match": False,
             "spark_rows": None,
             "oracle_rows": None,
