@@ -174,9 +174,10 @@ def _run_neardup_config(
     index_build_sec = time.time() - t0
 
     corpus = load_table(spark, "documents", sf_dir)
-    src = os.path.join(work, "neardup", "src")
-    ckpt = os.path.join(work, "neardup", "ckpt")
-    out = os.path.join(work, "neardup", "out")
+    tag = f"neardup_{docs_per_file}x{files_per_trigger}"
+    src = os.path.join(work, tag, "src")
+    ckpt = os.path.join(work, tag, "ckpt")
+    out = os.path.join(work, tag, "out")
     docs = corpus.select("doc_id", "text")
     n = docs.count()
     n_files = max(1, (n + docs_per_file - 1) // docs_per_file)
@@ -256,11 +257,20 @@ def main() -> None:
             ),
             # ingest-time near-dup alerting: every arriving doc signed,
             # banded, probed against the materialized corpus band index,
-            # exact-Jaccard verified (r6 verdict task #6)
-            "neardup_probe_sf01": _run_neardup_config(
+            # exact-Jaccard verified (r6 verdict task #6). Two batch
+            # granularities — the 500-doc point shows the ~1.4 s epoch
+            # floor of the probe+verify+write cycle, the bulk point its
+            # amortized throughput (same epoch-sizing conclusion as the
+            # CDC path above)
+            "neardup_probe_500": _run_neardup_config(
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-                ), 5_000, 1
+                ), 500, 1
+            ),
+            "neardup_probe_bulk": _run_neardup_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2
             ),
         }
     finally:

@@ -9,6 +9,7 @@ final aggregates — so throughput is bound by parquet scan + codegen.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from psql_streamer_spark.functions.text_hash import (
@@ -607,4 +608,212 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("predicted_lang"),
         )
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal: the CCNet-style perplexity quality filter, in
+# integer-exact form. CCNet ranks documents by the perplexity of a
+# language model over them and keeps the low-perplexity head; the
+# engine-local transcendental (ln of a smoothed probability) does not
+# hash-compare across engines, so the registered form measures per-token
+# Shannon surprisal in WHOLE BITS: bits(w) = floor(log2(N / cf(w))) with
+# N = total corpus tokens, computed exactly as length(bin(N div cf)) - 1
+# (for x >= 1, floor(log2 x) = bitlength(floor x) - 1 — no power of two
+# lies strictly between floor(x) and x). High avg bits = improbable
+# tokens = noisy or novel text; low = boilerplate. The average is kept
+# rational as integer centibits (total*100 div n) — decimal division
+# scale rules differ per engine, integer division does not.
+# --------------------------------------------------------------------------
+_SQL_UNIGRAM_SURPRISAL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS cf FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM freq)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(LENGTH(BIN(n_total // cf)) - 1) AS BIGINT) AS total_bits,
+           CAST(SUM(LENGTH(BIN(n_total // cf)) - 1) * 100
+                // COUNT(*) AS BIGINT) AS avg_centibits
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@register("text_unigram_surprisal", oracle=_SQL_UNIGRAM_SURPRISAL)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM surprisal (n_tokens, total_bits,
+    avg_centibits) — the integer-exact form of the perplexity quality
+    gate (see section banner for why bits, not nats).
+
+    Two-pass plan: explode -> vocab count -> join back, same shape as
+    text_token_corpus_freq; the corpus-total scalar rides a broadcast
+    1-row frame (never a collect). At 100 TB the Zipf head of `freq` is
+    broadcastable and AQE's skew-join split handles the hot stopword
+    keys on the tail join."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(words_expr("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("cf"))
+    tot = freq.agg(F.sum("cf").alias("n_total"))
+    bits = F.length(F.bin(F.expr("n_total div cf"))) - F.lit(1)
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(bits).cast("bigint").alias("total_bits"),
+            (F.sum(bits) * 100).cast("bigint").alias("_tb100"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_bits",
+            F.expr("_tb100 div n_tokens").cast("bigint").alias("avg_centibits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval: top-k documents per query under the Okapi BM25 weight
+# (k1 = 1.2, b = 0.75), in integer-exact cross-engine form. With
+# A = total corpus tokens and N = docs, k1 and b clear to the rational
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#     = 44*A*tf / (20*A*tf + 6*A + 18*dl*N)          [avgdl = A/N]
+# so each term contributes idf_bits * (44000*A*tf div (...)) exactly in
+# both engines (one integer division per term, milli-scaled); idf_bits =
+# bitlength(N div df) is the whole-bit idf surrogate, same discipline as
+# text_unigram_surprisal. Queries are self-derived for determinism: the
+# 3 longest distinct tokens (ties lexicographic) of each doc_id < 5.
+# Products stay under 2^63 through ~2e14 corpus tokens; past that the
+# milli-score term moves to decimal(38,0) — documented, not silent.
+# --------------------------------------------------------------------------
+_BM25_N_QUERIES = 5
+_BM25_TERMS_PER_QUERY = 3
+_BM25_TOP_K = 10
+
+_SQL_BM25_TOPK = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS a_total,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dl
+    ),
+    qterms AS (
+      SELECT query_id, w FROM (
+        SELECT doc_id AS query_id, w,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY LENGTH(w) DESC, w ASC
+               ) AS rn
+        FROM (SELECT DISTINCT doc_id, w FROM tok WHERE doc_id < {_BM25_N_QUERIES})
+      ) WHERE rn <= {_BM25_TERMS_PER_QUERY}
+    ),
+    df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df
+      FROM tok JOIN (SELECT DISTINCT w FROM qterms) USING (w)
+      GROUP BY w
+    ),
+    tf AS (
+      SELECT t.doc_id, t.w, COUNT(*) AS tf
+      FROM tok t JOIN (SELECT DISTINCT w FROM qterms) q USING (w)
+      GROUP BY t.doc_id, t.w
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(SUM(
+               LENGTH(BIN(n_docs // df)) *
+               ((CAST(44000 AS BIGINT) * a_total * tf) //
+                (CAST(20 AS BIGINT) * a_total * tf
+                 + CAST(6 AS BIGINT) * a_total
+                 + CAST(18 AS BIGINT) * dl.dl * n_docs))
+             ) AS BIGINT) AS score_milli
+      FROM tf
+      JOIN qterms q USING (w)
+      JOIN df USING (w)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus
+      WHERE tf.doc_id <> q.query_id
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, rank, doc_id, score_milli FROM (
+      SELECT query_id, doc_id, score_milli,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_milli DESC, doc_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+@register("text_bm25_topk", oracle=_SQL_BM25_TOPK)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents per query under integer-exact Okapi BM25 (see
+    section banner for the rational-form derivation and the whole-bit
+    idf surrogate).
+
+    Scale shape: the query-term list (queries x terms rows) broadcasts to
+    every path that needs it — df counting, tf counting, scoring — so the
+    corpus-sized explode is scanned ONCE for tf/df of the query terms and
+    never self-joined; the per-query top-k is a window over the scored
+    candidates (docs sharing >= 1 query term), which is the posting-list
+    union, not the corpus. At 100 TB this is the classic distributed
+    retrieval plan: broadcast the query, scan the postings, rank the
+    union."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(words_expr("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("bigint").alias("a_total"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    qterms = (
+        tok.filter(F.col("doc_id") < _BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.length("w").desc(), F.col("w").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _BM25_TERMS_PER_QUERY)
+        .drop("rn")
+    )
+    uniq_terms = qterms.select("w").distinct()
+    hits = tok.join(F.broadcast(uniq_terms), "w")
+    df_ = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    term_score = F.length(F.bin(F.expr("n_docs div df"))) * F.expr(
+        "(44000L * a_total * tf) div"
+        " (20L * a_total * tf + 6L * a_total + 18L * dl * n_docs)"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(term_score).cast("bigint").alias("score_milli"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("score_milli").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _BM25_TOP_K)
+        .select("query_id", "rank", "doc_id", "score_milli")
     )

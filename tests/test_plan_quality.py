@@ -501,3 +501,20 @@ def test_embedding_lsh_screen_is_grouped_not_joined(spark, queries):
     # no join keyed on the bucket columns (that would be the old self-join)
     join_lines = [l for l in plan.splitlines() if "Join" in l and "bucket" in l]
     assert not join_lines, join_lines
+
+
+def test_bm25_broadcasts_query_side_no_cartesian(spark, queries):
+    # retrieval plan: the tiny query-term frames broadcast to the postings
+    # scan; the corpus must never be self-joined or cartesian-joined (the
+    # only nested-loop allowed is the broadcast 1-row corpus-totals frame)
+    plan = _physical(queries["text_bm25_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unigram_surprisal_total_is_broadcast_scalar(spark, queries):
+    # the corpus-total token count rides a broadcast 1-row frame; a
+    # collect would put the driver in the loop, a cartesian would blow up
+    plan = _physical(queries["text_unigram_surprisal"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
