@@ -1652,15 +1652,16 @@ def dedup_exact_substring_spans(
     # Shingle strings (~50 B of text each) never leave the map side: every
     # downstream equality (df count, df-cap join, inverted-index self-join)
     # keys on a pair of independent native xxhash64 values instead —
-    # 16 bytes per row through THREE shuffles of the full positional-
-    # shingle frame. Measured at sf10, ISOLATED (fresh session, this
-    # query only): 89.6 s with raw string keys -> 34.9 s at the r6 rekey
-    # -> 21.6 s re-measured r7; IN-SWEEP (after ~160 queries' session
-    # state) the same plan read 66.7 s in SCALE_r06_sf10.json — the gap
-    # is accumulated JVM/page-cache state, not the operator (see
-    # SCALE.md's isolated-remeasure protocol). The md5/conv variant
-    # tried between the string and xxhash64 forms paid ~30% extra CPU at
-    # small SFs for the hex parse. Independence
+    # 16 bytes per row through the postings shuffle of the full
+    # positional-shingle frame (ONE shuffle total since r7 — see the
+    # grouped-pair comment below). Measured at sf10, ISOLATED (fresh
+    # session, this query only): 89.6 s with raw string keys -> 34.9 s
+    # at the r6 rekey -> 21.6 s re-measured r7; IN-SWEEP (after ~160
+    # queries' session state) the same plan read 66.7 s in
+    # SCALE_r06_sf10.json — the gap is accumulated JVM/page-cache state,
+    # not the operator (see SCALE.md's isolated-remeasure protocol). The
+    # md5/conv variant tried between the string and xxhash64 forms paid
+    # ~30% extra CPU at small SFs for the hex parse. Independence
     # requires the seed literal FIRST: Spark's multi-arg xxhash64 folds
     # left-to-right with the running hash as the next seed, so
     # xxhash64(shingle, 1) would be a pure function of k1 (any k1
@@ -1682,27 +1683,36 @@ def dedup_exact_substring_spans(
         F.xxhash64(shingle).alias("k1"),
         F.xxhash64(F.lit(1), shingle).alias("k2"),
     )
+    # ONE shuffle of the positional-shingle frame, total. The r6 form ran
+    # the df-cap as aggregate + join-back and then a sort-merge SELF-join
+    # — with near-unique shingle keys (70.7M rows -> 69M keys at sf30,
+    # the cap removing only ~600 rows) that re-shuffled and re-sorted the
+    # full frame ~5x, and the cost curve broke between sf10 and sf30
+    # (21.6 s -> 143.6 s isolated, ~6.7x for 3x data). Grouping each
+    # shingle's postings into an array instead makes the df filter an
+    # array expression and pair generation a per-group explode that only
+    # touches COLLIDING groups (ndocs >= 2 — a vanishing fraction), after
+    # which every downstream frame is |pairs|-sized. Measured isolated:
+    # sf30 143.6 -> 79.6 s, same 70,194 spans; the 2^-128 dual-hash key
+    # discipline (see above) is unchanged — the group key IS (k1, k2).
+    g = s.groupBy("k1", "k2").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("es")
+    )
+    ndocs = F.size(F.array_distinct(F.transform("es", lambda e: e["doc_id"])))
+    keep = ndocs >= 2
     if doc_freq_cap is not None:
-        df_counts = s.groupBy("k1", "k2").agg(
-            F.countDistinct("doc_id").alias("_df")
+        keep = keep & (ndocs <= doc_freq_cap)
+    m = (
+        g.filter(keep)
+        .select(F.explode("es").alias("e1"), "es")
+        .select("e1", F.explode("es").alias("e2"))
+        .filter(F.col("e1.doc_id") < F.col("e2.doc_id"))
+        .select(
+            F.col("e1.doc_id").alias("doc_a"),
+            F.col("e2.doc_id").alias("doc_b"),
+            F.col("e1.pos").alias("pos_a"),
+            (F.col("e1.pos") - F.col("e2.pos")).alias("diag"),
         )
-        s = (
-            s.join(df_counts, ["k1", "k2"])
-            .filter(F.col("_df") <= doc_freq_cap)
-            .drop("_df")
-        )
-    a = s.alias("a")
-    b = s.alias("b")
-    m = a.join(
-        b,
-        (F.col("a.k1") == F.col("b.k1"))
-        & (F.col("a.k2") == F.col("b.k2"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.pos").alias("pos_a"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
     w_run = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     runs = m.withColumn(
