@@ -126,19 +126,64 @@ def salted_join(
     small_on: str,
     buckets: int = 8,
     salt_by: str | None = None,
+    hot_row_threshold: int = 10_000,
+    sample_fraction: float = 0.001,
 ) -> DataFrame:
-    """Equi-join with explicit key salting: the big side's hot keys split
-    across `buckets` reducers; the small side is replicated `buckets`
-    times (explode of a literal range — cheap for dim-sized tables).
-    Result is row-identical to a plain inner join.
+    """Equi-join with HOT-KEY salting: keys the skew detector flags split
+    across `buckets` reducers (their `small`-side rows replicated
+    `buckets` ways); every other key joins plain with salt 0. Result is
+    row-identical to a plain inner join for ANY hot set — salting a key
+    never changes which rows match, only which reducer they meet on — so
+    the detector is free to be approximate: a seeded (deterministic)
+    `sample_fraction` sample counts rows per key and flags keys whose
+    estimated row count reaches `hot_row_threshold`. That is how
+    production engines detect skew (sampled stats; AQE's skew-join does
+    the same from shuffle statistics at runtime).
 
-    `salt_by`: a big-side column whose hash spreads rows across buckets
-    (default: the rows' own key + a per-row disambiguator column you pass;
-    using only the join key would put each hot key in ONE bucket and
-    defeat the salt)."""
+    The r6 form salted EVERY key, replicating the whole small side
+    `buckets` times — fine when the small side is dim-sized, but the
+    sf30 sweep (orders grown to 45M rows) measured the 8x replication at
+    305 s for a join whose plain form needs none: universal salting is
+    the demo form, hot-key salting is the production form, and this
+    function now does the latter. With no key over the threshold (TPC-H
+    fan-outs are bounded — max ~7 lines per order) the plan degenerates
+    to the plain join plus one broadcast of an empty hot set, which is
+    exactly what it should cost; the hot path is exercised by the skewed
+    synthetic frame in tests/test_asof_join.py.
+
+    `salt_by`: a big-side column whose hash spreads a hot key's rows
+    across buckets (using only the join key would put each hot key in
+    ONE bucket and defeat the salt)."""
+    frac_floor = max(1, int(hot_row_threshold * sample_fraction))
+    hot = (
+        big.sample(fraction=sample_fraction, seed=42)
+        .groupBy(big_on)
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= frac_floor)
+        .select(F.col(big_on).alias("_hotkey"))
+    )
     salt_col = F.pmod(F.hash(F.col(salt_by if salt_by else big_on)), F.lit(buckets))
-    b = big.withColumn("_salt", salt_col)
-    s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    b = (
+        big.join(F.broadcast(hot), F.col(big_on) == F.col("_hotkey"), "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hotkey").isNotNull(), salt_col).otherwise(F.lit(0)),
+        )
+        .drop("_hotkey")
+    )
+    s = (
+        small.join(F.broadcast(hot), F.col(small_on) == F.col("_hotkey"), "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hotkey").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(buckets - 1)),
+                ).otherwise(F.sequence(F.lit(0), F.lit(0)))
+            ),
+        )
+        .drop("_hotkey")
+    )
     out = b.join(
         s,
         (F.col(big_on) == F.col(small_on)) & (b["_salt"] == s["_salt"]),
