@@ -62,6 +62,20 @@ def get_spark(
         # a minimum hint — at cluster scale (thousands of files) it is
         # already satisfied and changes nothing.
         .config("spark.sql.files.minPartitionNum", str(int(_LOCAL_CPUS)))
+        # OptimizeJsonExprs rewrites every from_json(...).field access
+        # into its OWN single-field parse — a win when a query touches 1
+        # field of a wide document, an anti-optimization for a CDC engine
+        # whose decode uses EVERY envelope field: the wal2json decoder's
+        # ~12 field references became 5-6 DISTINCT narrow parses per row
+        # (distinct schemas defeat codegen subexpression elimination),
+        # measured 140.1 s vs 38.9 s for 24M events at the 300x sweep
+        # (sf10: 15-16 s either way — the blow-up only shows once the
+        # re-tokenization allocations dominate). With the rule off, the
+        # repeated references stay IDENTICAL wide parses and codegen CSE
+        # evaluates the parse once per row. Results are bit-identical;
+        # the engine's single-field JSON probes use get_json_object,
+        # which this rule does not touch.
+        .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
         .config("spark.ui.enabled", "false")
         # local[N] runs every task thread inside the driver JVM, so this
         # heap is the whole cluster's memory: 8g across 32 task slots was
