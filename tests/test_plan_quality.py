@@ -266,8 +266,10 @@ def test_pgoutput_decode_is_narrow_single_python_pass(spark):
     df = spark.createDataFrame(rows, "seq long, wal_position long, value binary")
     plan = _physical(decode_pgoutput(df, uuid=F.lit("u")))
     assert "Exchange" not in plan
-    # exactly one Python stage (the frame parser); projection is JVM-side
-    assert plan.count("MapInPandas") == 1
+    # exactly one Python stage (the frame parser, a MapInArrow pass since
+    # the r7 pandas-glue fix); projection is JVM-side
+    assert plan.count("MapInArrow") == 1
+    assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
 
 
