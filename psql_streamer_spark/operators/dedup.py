@@ -247,6 +247,16 @@ def _jaccard_pairs(
 
 @register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD_PAIRS)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUND-TRUTH tier: exact pairwise Jaccard via the full
+    inverted-index self-join — O(sum df^2) candidates, quadratic in any
+    shingle's document frequency. Its sibling containment miner (same
+    postings-join shape) measurably exhausted 66 GB of spill disk at
+    sf30 (r7), so from sf10 up both sit with the other declared
+    ground-truth tiers: verifiers for samples, not corpus-wide passes.
+    The production path for symmetric near-dups is
+    `dedup_minhash_lsh_pairs` — banded LSH candidates, then this exact
+    Jaccard as a candidate-driven verify (`_jaccard_pairs(candidates=)`),
+    which keeps the score identical without the quadratic mine."""
     return _jaccard_pairs(spark, sf_dir)
 
 
@@ -1882,6 +1892,17 @@ _SQL_CONTAINMENT_PAIRS = f"""
 
 @register("dedup_ngram_containment_pairs", oracle=_SQL_CONTAINMENT_PAIRS)
 def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUND-TRUTH tier: exact containment over the full inverted-index
+    self-join. Candidate volume is sum over shingles of df^2 — quadratic
+    in any shingle's document frequency. MEASURED at sf30 (r7): the
+    postings join spilled past the machine's 66 GB of free disk and
+    aborted (`No space left on device`), which is this tier's honest
+    scale verdict — like `dedup_exact_substring_spans` and the exact
+    cosine pairs it is a verifier you run on samples, not a corpus-wide
+    production pass. The registered scale defaults are
+    `dedup_ngram_containment_pairs_capped` (df-capped postings, below)
+    and, for symmetric near-dups, `dedup_minhash_lsh_pairs` (banded
+    candidates, exact-Jaccard verify)."""
     sh = doc_shingles(load_table(spark, "documents", sf_dir)).persist()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1903,6 +1924,91 @@ def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
     return persist_for(sh, result)
+
+
+# Production containment tier: shingles in more than NGRAM_DOC_FREQ_CAP
+# documents are dropped from BOTH the numerator and the denominator —
+# stopword-filtered containment. 64 is the same knob value as the
+# capped-substring tier (SPAN_DOC_FREQ_CAP): high enough that organic
+# shared passages (df 2..10s) are untouched, low enough that boilerplate
+# (df ~ corpus size) cannot produce df^2 candidate blow-up.
+NGRAM_DOC_FREQ_CAP = 64
+
+_SQL_CONTAINMENT_PAIRS_CAPPED = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {NGRAM_DOC_FREQ_CAP}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / LEAST(ca.c, cb.c) AS containment
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / LEAST(ca.c, cb.c) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_containment_pairs_capped",
+    oracle=_SQL_CONTAINMENT_PAIRS_CAPPED,
+)
+def dedup_ngram_containment_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION tier of containment dedup: same score, but shingles
+    present in more than NGRAM_DOC_FREQ_CAP documents are excluded from
+    both the intersection and the per-doc counts before any join runs.
+    Motivated the same way as `dedup_exact_substring_spans_capped`: the
+    uncapped postings self-join is O(sum df^2) and boilerplate shingles
+    have df ~ corpus size — at sf30 the uncapped tier measurably
+    exhausted 66 GB of spill disk. With the cap, candidates are bounded
+    by O(N_shingles * cap) and the whole mine is ONE postings shuffle:
+    group by shingle-hash -> doc list, filter 2 <= df <= cap, explode the
+    per-shingle pairs. Shingle strings never shuffle — grouping keys on
+    native xxhash64 (a 64-bit collision merges two shingles' doc lists
+    with p ~ N^2/2^64; the DuckDB oracle joins raw strings, so any
+    collision would surface as a parity failure, same discipline as the
+    capped-substring tier). Dropping >cap shingles from the denominator
+    too makes the score a stopword-filtered containment: a doc made
+    ENTIRELY of boilerplate reports no pairs (a curator quarantines it by
+    df-profile instead), while organic subset-duplication keeps its exact
+    score because every shingle it shares survives the cap."""
+    sh = doc_shingles(load_table(spark, "documents", sf_dir))
+    g = (
+        sh.select(F.xxhash64("shingle").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= NGRAM_DOC_FREQ_CAP)
+        .persist()  # feeds both the pair mine and the per-doc counts
+    )
+    cnt = (
+        g.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        g.filter(F.size("ds") >= 2)
+        .select(F.explode("ds").alias("e1"), "ds")
+        .select("e1", F.explode("ds").alias("e2"))
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy(F.col("e1").alias("doc_a"), F.col("e2").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    containment = F.col("n_common") * 1.0 / F.least(F.col("ca.c"), F.col("cb.c"))
+    result = (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    return persist_for(g, result)
 
 
 # --------------------------------------------------------------------------
