@@ -192,7 +192,18 @@ def _rotate_embedding(df: DataFrame, factor: int) -> DataFrame:
     return df.withColumn("embedding", base.cast("array<float>"))
 
 
-def inflate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
+def inflate(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    factor: int,
+    tables: list[str] | None = None,
+) -> None:
+    """``tables`` restricts which entity tables are inflated (fixed dims
+    are always copied) — at factor 1000 the full lake is dominated by
+    lineitem (~14 GB single-host), which no documents/embeddings
+    scale-tier op reads; building only the tables under test keeps the
+    1000x decade runnable on one machine's disk."""
     os.makedirs(dst, exist_ok=True)
     for name in ("region", "nation"):
         spark.read.parquet(os.path.join(src, f"{name}.parquet")).coalesce(1).write.mode(
@@ -200,6 +211,8 @@ def inflate(spark: SparkSession, src: str, dst: str, factor: int) -> None:
         ).parquet(os.path.join(dst, f"{name}.parquet"))
         print(f"  {name}: copied (fixed dim)")
     for name, keys in _KEYED.items():
+        if tables is not None and name not in tables:
+            continue
         df = spark.read.parquet(os.path.join(src, f"{name}.parquet"))
         out = _remap_keys(_with_replicas(df, factor), keys)
         if name == "documents":
@@ -217,13 +230,19 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/.scale/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="entity tables to inflate (default: all); fixed dims always copied",
+    )
     args = ap.parse_args()
 
     from psql_streamer_spark.session import get_spark
 
     spark = get_spark("inflate")
     print(f"inflating {args.src} -> {args.dst} x{args.factor}")
-    inflate(spark, args.src, args.dst, args.factor)
+    inflate(spark, args.src, args.dst, args.factor, tables=args.tables)
     print("done")
 
 
