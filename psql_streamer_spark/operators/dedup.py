@@ -1969,8 +1969,12 @@ def dedup_ngram_containment_pairs_capped(
     have df ~ corpus size — at sf30 the uncapped tier measurably
     exhausted 66 GB of spill disk. With the cap, candidates are bounded
     by O(N_shingles * cap) and the whole mine is ONE postings shuffle:
-    group by shingle-hash -> doc list, filter 2 <= df <= cap, explode the
-    per-shingle pairs. Shingle strings never shuffle — grouping keys on
+    group raw (non-distinct) postings by shingle-hash with collect_set —
+    the per-(doc,shingle) dedup and the df grouping ride the same hash
+    exchange, eliminating a separate corpus-wide distinct pass (measured
+    at sf100/5M docs: 463 -> 307 s; sf3..sf30 within machine spread) —
+    filter 2 <= df <= cap, then posexplode+suffix-slice exactly C(df,2)
+    pairs per group. Shingle strings never shuffle — grouping keys on
     native xxhash64 (a 64-bit collision merges two shingles' doc lists
     with p ~ N^2/2^64; the DuckDB oracle joins raw strings, so any
     collision would surface as a parity failure, same discipline as the
@@ -1978,12 +1982,19 @@ def dedup_ngram_containment_pairs_capped(
     too makes the score a stopword-filtered containment: a doc made
     ENTIRELY of boilerplate reports no pairs (a curator quarantines it by
     df-profile instead), while organic subset-duplication keeps its exact
-    score because every shingle it shares survives the cap."""
-    sh = doc_shingles(load_table(spark, "documents", sf_dir))
+    score because every shingle it shares survives the cap. Measured
+    decade (current form): ~22 s at sf10, ~94-112 s at sf30, 307 s at
+    sf100 (5M docs) — the sf30->sf100 step is 2.8-3.3x for 3.33x data,
+    at/under linear."""
+    # distinct=False + collect_set: set semantics land inside the ONE
+    # postings aggregation instead of a separate 1B-row distinct shuffle
+    # before it — the per-(doc,shingle) dedup and the df grouping are the
+    # same hash exchange
+    sh = doc_shingles(load_table(spark, "documents", sf_dir), distinct=False)
     g = (
         sh.select(F.xxhash64("shingle").alias("h"), "doc_id")
         .groupBy("h")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.collect_set("doc_id").alias("ds"))
         .filter(F.size("ds") <= NGRAM_DOC_FREQ_CAP)
         .persist()  # feeds both the pair mine and the per-doc counts
     )
@@ -1992,12 +2003,24 @@ def dedup_ngram_containment_pairs_capped(
         .groupBy("doc_id")
         .agg(F.count("*").alias("c"))
     )
+    # posexplode + suffix-slice generates exactly C(df,2) rows per group;
+    # the naive explode x explode + e1<e2 filter streams df^2 rows first —
+    # 2x the volume through the dominant stage (~2B rows at sf100)
     pairs = (
         g.filter(F.size("ds") >= 2)
-        .select(F.explode("ds").alias("e1"), "ds")
-        .select("e1", F.explode("ds").alias("e2"))
-        .filter(F.col("e1") < F.col("e2"))
-        .groupBy(F.col("e1").alias("doc_a"), F.col("e2").alias("doc_b"))
+        .select(F.posexplode("ds").alias("i", "e1"), "ds")
+        .select(
+            "e1",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("e2"),
+        )
+        # e1 != e2 guards the 2^-64 hash-merge case: a collision-merged
+        # group could list one doc twice, and a self-pair would have no
+        # counterpart in the string-keyed oracle
+        .filter(F.col("e1") != F.col("e2"))
+        .groupBy(
+            F.least("e1", "e2").alias("doc_a"),
+            F.greatest("e1", "e2").alias("doc_b"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
     ca, cb = cnt.alias("ca"), cnt.alias("cb")
