@@ -1954,38 +1954,11 @@ _SQL_CONTAINMENT_PAIRS_CAPPED = f"""
 """
 
 
-@register(
-    "dedup_ngram_containment_pairs_capped",
-    oracle=_SQL_CONTAINMENT_PAIRS_CAPPED,
-)
-def dedup_ngram_containment_pairs_capped(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """PRODUCTION tier of containment dedup: same score, but shingles
-    present in more than NGRAM_DOC_FREQ_CAP documents are excluded from
-    both the intersection and the per-doc counts before any join runs.
-    Motivated the same way as `dedup_exact_substring_spans_capped`: the
-    uncapped postings self-join is O(sum df^2) and boilerplate shingles
-    have df ~ corpus size — at sf30 the uncapped tier measurably
-    exhausted 66 GB of spill disk. With the cap, candidates are bounded
-    by O(N_shingles * cap) and the whole mine is ONE postings shuffle:
-    group raw (non-distinct) postings by shingle-hash with collect_set —
-    the per-(doc,shingle) dedup and the df grouping ride the same hash
-    exchange, eliminating a separate corpus-wide distinct pass (measured
-    at sf100/5M docs: 463 -> 307 s; sf3..sf30 within machine spread) —
-    filter 2 <= df <= cap, then posexplode+suffix-slice exactly C(df,2)
-    pairs per group. Shingle strings never shuffle — grouping keys on
-    native xxhash64 (a 64-bit collision merges two shingles' doc lists
-    with p ~ N^2/2^64; the DuckDB oracle joins raw strings, so any
-    collision would surface as a parity failure, same discipline as the
-    capped-substring tier). Dropping >cap shingles from the denominator
-    too makes the score a stopword-filtered containment: a doc made
-    ENTIRELY of boilerplate reports no pairs (a curator quarantines it by
-    df-profile instead), while organic subset-duplication keeps its exact
-    score because every shingle it shares survives the cap. Measured
-    decade (current form): ~22 s at sf10, ~94-112 s at sf30, 307 s at
-    sf100 (5M docs) — the sf30->sf100 step is 2.8-3.3x for 3.33x data,
-    at/under linear."""
+def _capped_pair_counts(spark: SparkSession, sf_dir: str):
+    """Shared df-capped postings mine: one shuffle from raw postings to
+    (doc_a, doc_b, n_common) plus the per-doc capped shingle counts.
+    Both capped pair tiers (containment + Jaccard) differ only in the
+    score expression they put over these frames."""
     # distinct=False + collect_set: set semantics land inside the ONE
     # postings aggregation instead of a separate 1B-row distinct shuffle
     # before it — the per-(doc,shingle) dedup and the df grouping are the
@@ -2023,6 +1996,42 @@ def dedup_ngram_containment_pairs_capped(
         )
         .agg(F.count("*").alias("n_common"))
     )
+    return g, cnt, pairs
+
+
+@register(
+    "dedup_ngram_containment_pairs_capped",
+    oracle=_SQL_CONTAINMENT_PAIRS_CAPPED,
+)
+def dedup_ngram_containment_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION tier of containment dedup: same score, but shingles
+    present in more than NGRAM_DOC_FREQ_CAP documents are excluded from
+    both the intersection and the per-doc counts before any join runs.
+    Motivated the same way as `dedup_exact_substring_spans_capped`: the
+    uncapped postings self-join is O(sum df^2) and boilerplate shingles
+    have df ~ corpus size — at sf30 the uncapped tier measurably
+    exhausted 66 GB of spill disk. With the cap, candidates are bounded
+    by O(N_shingles * cap) and the whole mine is ONE postings shuffle:
+    group raw (non-distinct) postings by shingle-hash with collect_set —
+    the per-(doc,shingle) dedup and the df grouping ride the same hash
+    exchange, eliminating a separate corpus-wide distinct pass (measured
+    at sf100/5M docs: 463 -> 307 s; sf3..sf30 within machine spread) —
+    filter 2 <= df <= cap, then posexplode+suffix-slice exactly C(df,2)
+    pairs per group. Shingle strings never shuffle — grouping keys on
+    native xxhash64 (a 64-bit collision merges two shingles' doc lists
+    with p ~ N^2/2^64; the DuckDB oracle joins raw strings, so any
+    collision would surface as a parity failure, same discipline as the
+    capped-substring tier). Dropping >cap shingles from the denominator
+    too makes the score a stopword-filtered containment: a doc made
+    ENTIRELY of boilerplate reports no pairs (a curator quarantines it by
+    df-profile instead), while organic subset-duplication keeps its exact
+    score because every shingle it shares survives the cap. Measured
+    decade (current form): ~22 s at sf10, ~94-112 s at sf30, 307 s at
+    sf100 (5M docs) — the sf30->sf100 step is 2.8-3.3x for 3.33x data,
+    at/under linear."""
+    g, cnt, pairs = _capped_pair_counts(spark, sf_dir)
     ca, cb = cnt.alias("ca"), cnt.alias("cb")
     containment = F.col("n_common") * 1.0 / F.least(F.col("ca.c"), F.col("cb.c"))
     result = (
@@ -2030,6 +2039,57 @@ def dedup_ngram_containment_pairs_capped(
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .select("doc_a", "doc_b", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    return persist_for(g, result)
+
+
+_SQL_JACCARD_PAIRS_CAPPED = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {NGRAM_DOC_FREQ_CAP}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (ca.c + cb.c - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.c + cb.c - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard_pairs_capped", oracle=_SQL_JACCARD_PAIRS_CAPPED)
+def dedup_ngram_jaccard_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION tier of exact-Jaccard pair mining over the df-capped
+    postings index — the direct sibling of
+    `dedup_ngram_containment_pairs_capped` (same one-shuffle
+    `_capped_pair_counts` mine, Jaccard denominator instead of the
+    min-count one, stopword-filtered score semantics with the same
+    cap-honesty trade). Two production paths now exist for symmetric
+    near-dups: `dedup_minhash_lsh_pairs` (banded candidates + exact
+    verify — probabilistic recall, lowest cost, LRU-warm serving path)
+    and this tier (deterministic recall over sub-boilerplate shingles,
+    one bounded postings shuffle — the shape to pick when a curator
+    needs every pair whose overlap lives in <= cap-frequency text, not
+    just LSH-recalled ones). The uncapped ground-truth miner stays
+    registered for sample-scale verification."""
+    g, cnt, pairs = _capped_pair_counts(spark, sf_dir)
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("n_common") * 1.0 / (
+        F.col("ca.c") + F.col("cb.c") - F.col("n_common")
+    )
+    result = (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return persist_for(g, result)
 
