@@ -628,17 +628,59 @@ def cdc_wal_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a rewind (F2/F3) to confirm nothing was skipped: per table, gap
     sizes between consecutive WAL positions. The reference exposes only
     walPosition/walPositionPersisted gauges; over the event log itself this
-    finds holes those counters can't see."""
+    finds holes those counters can't see.
+
+    Scale shape: a naive `LAG OVER (PARTITION BY table ORDER BY wal)` sorts
+    the ENTIRE change stream on |tables| threads — the table column has a
+    handful of values, so at cluster scale that window is the whole job on
+    a few cores. Consecutive-pair gap stats decompose exactly by position
+    range, so this runs as (1) a lag window within (table,
+    floor(wal/4096)) buckets — cardinality scales with the stream, fully
+    parallel — and (2) a boundary pass over the per-bucket (min, max)
+    summary frame, 4096x smaller than the stream (same order-statistics
+    bucketing as join_null_safe_priority_match). Within-bucket and
+    boundary gap aggregates then merge; results are bit-identical to the
+    single-window form because every consecutive pair is counted exactly
+    once — within its bucket, or at the boundary between two adjacent
+    non-empty buckets."""
     from pyspark.sql import Window as W
 
-    ev = filter_dml(_as_cdc_events(spark, sf_dir))
-    w = W.partitionBy("table").orderBy("wal_position")
-    seq = ev.withColumn("prev_wal", F.lag("wal_position").over(w))
-    gap = F.col("wal_position") - F.col("prev_wal")
-    return seq.groupBy("table").agg(
-        F.count("*").alias("n_events"),
-        F.count(F.when(gap > 5, 1)).alias("n_gaps_over_5"),
-        F.max(gap).alias("max_gap"),
+    bucket_width = 4096
+    ev = filter_dml(_as_cdc_events(spark, sf_dir)).select(
+        "table",
+        "wal_position",
+        (F.col("wal_position") / F.lit(bucket_width))
+        .cast("long")
+        .alias("__bkt"),
+    )
+    w_in = W.partitionBy("table", "__bkt").orderBy("wal_position")
+    gap_in = F.col("wal_position") - F.lag("wal_position").over(w_in)
+    per_bucket = (
+        ev.withColumn("__gap", gap_in)
+        .groupBy("table", "__bkt")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("__gap") > 5, 1)).alias("n_gaps_over_5"),
+            F.max("__gap").alias("max_gap"),
+            F.min("wal_position").alias("bkt_min"),
+            F.max("wal_position").alias("bkt_max"),
+        )
+    )
+    # Boundary gaps: each bucket's min against the previous non-empty
+    # bucket's max, over the 4096x-smaller summary frame.
+    w_b = W.partitionBy("table").orderBy("__bkt")
+    gap_b = F.col("bkt_min") - F.lag("bkt_max").over(w_b)
+    return (
+        per_bucket.withColumn("__bgap", gap_b)
+        .groupBy("table")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (
+                F.sum("n_gaps_over_5")
+                + F.count(F.when(F.col("__bgap") > 5, 1))
+            ).alias("n_gaps_over_5"),
+            F.greatest(F.max("max_gap"), F.max("__bgap")).alias("max_gap"),
+        )
     )
 
 

@@ -520,3 +520,26 @@ def test_unigram_surprisal_total_is_broadcast_scalar(spark, queries):
     plan = _physical(queries["text_unigram_surprisal"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_top_ngrams_topk_is_salted_two_phase(spark, queries):
+    # the per-source top-5 must never sort the whole vocabulary on
+    # |sources| threads (measured 105 s at sf30 before the fix): the
+    # phase-1 ranking window hash-partitions on (source, __salt) so the
+    # counted-gram frame spreads over source x 64 reducers; only the tiny
+    # survivor frame (|sources| x 64 x 5 rows) sees a source-only window
+    plan = _physical(queries["text_top_ngrams_per_source"](spark, SF_DIR))
+    part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("source" in l and "__salt" in l for l in part_lines), part_lines
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_wal_gap_audit_windows_are_bucketed(spark, queries):
+    # offset-continuity audit: the lag window over the raw change stream
+    # must partition on (table, __bkt) — `table` alone has a handful of
+    # values, so a table-only window would sort the whole stream on
+    # |tables| threads; only the 4096x-smaller bucket-summary frame may
+    # carry a table-partitioned window (boundary-gap pass)
+    plan = _physical(queries["cdc_wal_gap_audit"](spark, SF_DIR))
+    part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("__bkt" in l for l in part_lines), part_lines

@@ -157,3 +157,134 @@ def test_compare_record_schema_and_kind_fields_are_uniform():
     )
     assert problems == []
     assert rec["schema_match"] and rec["kinds_match"] and rec["hash_match"]
+
+
+def _write_parquet(dirpath, name, pdf):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(dirpath / f"{name}.parquet"))
+
+
+def test_wal_gap_audit_bucket_boundaries_match_single_window(spark, tmp_path):
+    """The bucketed gap audit (lag within (table, floor(wal/4096)) + a
+    boundary pass over the bucket summary) must count every consecutive
+    pair exactly once. This corpus is built to cross every edge: gaps
+    inside a bucket, a >5 gap across ADJACENT buckets, a =1 gap across
+    adjacent buckets (must NOT count), and a gap spanning an EMPTY bucket.
+    Expected values computed from the sorted positions by hand."""
+    import pandas as pd
+
+    # wal_position == event_id; 'click' -> insert (DML, survives filter)
+    ids = [1, 3, 4090, 4100, 8191, 8192, 8193, 20000]
+    pdf = pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": pd.to_datetime("2026-01-01"),
+            "user_id": [1] * len(ids),
+            "event_type": ["click"] * len(ids),
+            "value": [0.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        }
+    )
+    _write_parquet(tmp_path, "events", pdf)
+    from psql_streamer_spark.registry import all_queries
+
+    out = all_queries()["cdc_wal_gap_audit"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    # consecutive gaps: 2, 4087, 10 (boundary b0->b1), 4091, 1 (boundary
+    # b1->b2), 1, 11807 (spans empty buckets) -> four gaps over 5
+    assert row["n_events"] == 8
+    assert row["n_gaps_over_5"] == 4
+    assert row["max_gap"] == 11807
+
+
+def test_wal_gap_audit_single_event_table_has_null_max_gap(spark, tmp_path):
+    # one event -> no consecutive pairs: the aggregate must yield NULL
+    # max_gap and zero gaps (parity with the single-window LAG form)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [42],
+            "ts": pd.to_datetime("2026-01-01"),
+            "user_id": [1],
+            "event_type": ["click"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+    )
+    _write_parquet(tmp_path, "events", pdf)
+    from psql_streamer_spark.registry import all_queries
+
+    row = all_queries()["cdc_wal_gap_audit"](spark, str(tmp_path)).collect()[0]
+    assert row["n_events"] == 1
+    assert row["n_gaps_over_5"] == 0
+    assert row["max_gap"] is None
+
+
+def test_top_ngrams_salted_topk_is_lossless_under_total_tie(spark, tmp_path):
+    """Degenerate corpus where EVERY gram count ties at 1 — the worst case
+    for any two-phase top-k. The salted phase-1 window must keep every
+    gram that can reach the true top-5 (both phases rank by the same
+    (n DESC, gram ASC) total order, so per-cell survivors cover it) and
+    produce the 5 lexicographically-smallest grams, identical to a naive
+    single window over the full vocabulary."""
+    import pandas as pd
+
+    texts = [f"w{i:02d}a w{i:02d}b w{i:02d}c w{i:02d}d" for i in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    _write_parquet(tmp_path, "documents", pdf)
+
+    grams = []
+    for t in texts:
+        ws = t.lower().split()
+        grams += [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+    assert len(set(grams)) == len(grams)  # all counts tie at 1
+    expected = sorted(grams)[:5]
+
+    from psql_streamer_spark.registry import all_queries
+
+    out = (
+        all_queries()["text_top_ngrams_per_source"](spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["gram"] for r in out] == expected
+    assert [r["n"] for r in out] == [1] * 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_top_ngrams_with_fewer_grams_than_topk(spark, tmp_path):
+    # fewer distinct grams than TOP_K: the two-phase top-k must return
+    # them all, correctly ranked, not require 5 survivors per cell
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["alpha beta gamma delta"],  # exactly 2 grams
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [22],
+        }
+    )
+    _write_parquet(tmp_path, "documents", pdf)
+    from psql_streamer_spark.registry import all_queries
+
+    out = (
+        all_queries()["text_top_ngrams_per_source"](spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["gram"] for r in out] == ["alpha beta gamma", "beta gamma delta"]
