@@ -28,6 +28,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from psql_streamer_spark.functions.ranking import salted_topk
 from psql_streamer_spark.registry import register
 from psql_streamer_spark.sources.tables import load_table
 
@@ -109,12 +110,18 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # per-query ranking is salted two-phase (functions/ranking.py): the
+    # scored frame spreads over query_id x 64 reducers; only the
+    # |queries| x 64 x k survivor frame sees a query-only window. With
+    # N_QUERIES queries, the single-phase form sorted every candidate on
+    # N_QUERIES threads — the low-cardinality window wall.
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -285,12 +292,18 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # per-query ranking is salted two-phase (functions/ranking.py): the
+    # scored frame spreads over query_id x 64 reducers; only the
+    # |queries| x 64 x k survivor frame sees a query-only window. With
+    # N_QUERIES queries, the single-phase form sorted every candidate on
+    # N_QUERIES threads — the low-cardinality window wall.
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -503,12 +516,18 @@ def _ivf_probe_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # per-query ranking is salted two-phase (functions/ranking.py): the
+    # scored frame spreads over query_id x 64 reducers; only the
+    # |queries| x 64 x k survivor frame sees a query-only window. With
+    # N_QUERIES queries, the single-phase form sorted every candidate on
+    # N_QUERIES threads — the low-cardinality window wall.
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # --------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from psql_streamer_spark.functions.text_hash import (
     with_words,
     words_expr,
 )
+from psql_streamer_spark.functions.ranking import salted_topk
 from psql_streamer_spark.registry import register
 from psql_streamer_spark.sources.tables import load_table
 
@@ -845,15 +846,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum(term_score).cast("bigint").alias("score_milli"))
     )
-    return (
-        scored.withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("score_milli").desc(), F.col("doc_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rank") <= _BM25_TOP_K)
-        .select("query_id", "rank", "doc_id", "score_milli")
-    )
+    # per-query ranking is salted two-phase (functions/ranking.py): the
+    # scored posting-union frame spreads over query_id x 64 reducers
+    # instead of sorting on |queries| threads — for common query terms
+    # the posting union is a large corpus fraction, so the single-phase
+    # window was the same low-cardinality wall as top_ngrams' was.
+    return salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("score_milli").desc(), F.col("doc_id").asc()],
+        _BM25_TOP_K,
+        F.col("doc_id"),
+    ).select("query_id", "rank", "doc_id", "score_milli")

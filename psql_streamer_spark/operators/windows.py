@@ -1,9 +1,20 @@
 """Window functions: ranking, analytic (lag/lead), aggregate frames.
 
-Scale notes: every Window.partitionBy is a shuffle on that key — these
+Scale notes: every Window.partitionBy is a shuffle on that key — most
 queries partition on high-cardinality keys (custkey/user_id/suppkey), so
-they parallelize across executors; no global (unpartitioned) windows in
-the hot path.
+they parallelize across executors. The two full-ranking queries order
+within LOW-cardinality partitions (c_mktsegment has 5 values; the ntile
+demo is a single global ordering), which single-phase windows would sort
+on 5 threads / 1 thread no matter how many executors exist — the same
+wall class as text_top_ngrams_per_source's 105-s window at sf30. Because
+their output is a rank for EVERY row (not top-k), salting doesn't apply;
+instead RANK/DENSE_RANK/ROW_NUMBER/NTILE/PERCENT_RANK/CUME_DIST decompose
+exactly over order-respecting value buckets of the leading ORDER BY key:
+rank within (partition, bucket) + a prefix-sum offset computed on the
+per-bucket count summary (|partitions| x |buckets| rows — the only frame
+that ever sees a low-cardinality window). Equal key values share a bucket
+by construction, so tie groups never straddle buckets and the
+decomposition is bit-identical to the single window, ties included.
 """
 
 from __future__ import annotations
@@ -14,6 +25,18 @@ from pyspark.sql import functions as F
 from psql_streamer_spark.functions.numeric import DEC
 from psql_streamer_spark.registry import register
 from psql_streamer_spark.sources.tables import load_table
+
+# Order-respecting bucket width for the c_acctbal ranking decompositions:
+# TPC-H balances span ~[-1000, 10000] uniformly, so width 200 gives ~55
+# buckets (x5 segments = ~275 ranking cells). The width is the parallelism
+# knob — shrink it on a bigger cluster; for a skewed ORDER BY key, replace
+# the fixed width with approx-quantile boundaries (same decomposition,
+# data-driven buckets). NULL balances (none in TPC-H, but the decomposition
+# must not silently drop them) collapse to a sentinel bucket that sorts
+# where Spark's window ordering places NULLs (first under ASC, last under
+# DESC — a very negative bucket id does both).
+_ACCTBAL_BUCKET_WIDTH = 200.0
+_NULL_BUCKET = -(2**31)
 
 
 # Running totals need an exact (order-independent-per-prefix) sum too:
@@ -86,15 +109,83 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-partitioned RANK/DENSE_RANK + a global NTILE(4), computed
+    distributed: the naive form sorts the whole table on |segments| = 5
+    threads (and the global ntile on ONE) — see the module docstring.
+
+    Decomposition, bit-identical to the single window: bucket on
+    floor(c_acctbal / width) (equal balances share a bucket, so rank tie
+    groups never straddle); RANK = rows in earlier buckets + rank within
+    bucket; DENSE_RANK = distinct balances in earlier buckets + dense rank
+    within bucket; NTILE(4) is a closed form of the global row number
+    (earlier-bucket rows + row_number within bucket) and the total count:
+    the first n%4 tiles take floor(n/4)+1 rows. Offsets ride prefix sums
+    over the per-bucket count summary (5 x ~55 rows), the only frame that
+    sees a segment-only window; the 1-row total broadcasts (house
+    crossJoin(broadcast) pattern — never collect)."""
     c = load_table(spark, "customer", sf_dir)
-    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    wg = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
+    b = c.withColumn(
+        "__bkt",
+        F.coalesce(
+            F.floor(F.col("c_acctbal") / F.lit(_ACCTBAL_BUCKET_WIDTH)).cast("long"),
+            F.lit(_NULL_BUCKET),
+        ),
+    )
+    seg_sum = b.groupBy("c_mktsegment", "__bkt").agg(
+        F.count("*").alias("__cnt"),
+        # distinct FULL order keys per bucket — dense_rank peers are
+        # defined by ALL order columns (acctbal, custkey), not the leading
+        # one; count_distinct drops tuples with any NULL, so NULL-balance
+        # peer groups (one per custkey, since NULL sorts as a single value)
+        # are counted explicitly
+        (
+            F.countDistinct("c_acctbal", "c_custkey")
+            + F.countDistinct(
+                F.when(F.col("c_acctbal").isNull(), F.col("c_custkey"))
+            )
+        ).alias("__dcnt"),
+    )
+    w_seg_pfx = W.partitionBy("c_mktsegment").orderBy(F.desc("__bkt"))
+    seg_off = seg_sum.select(
+        "c_mktsegment",
+        "__bkt",
+        (F.sum("__cnt").over(w_seg_pfx) - F.col("__cnt")).alias("__row_off"),
+        (F.sum("__dcnt").over(w_seg_pfx) - F.col("__dcnt")).alias("__dense_off"),
+    )
+    glob_sum = b.groupBy("__bkt").agg(F.count("*").alias("__gcnt"))
+    w_glob_pfx = W.partitionBy(F.lit(0)).orderBy(F.desc("__bkt"))
+    glob_off = glob_sum.select(
+        "__bkt",
+        (F.sum("__gcnt").over(w_glob_pfx) - F.col("__gcnt")).alias("__grow_off"),
+    )
+    total = glob_sum.agg(F.sum("__gcnt").alias("__n"))
+
+    w_in = W.partitionBy("c_mktsegment", "__bkt").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_gin = W.partitionBy("__bkt").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    j = (
+        b.join(F.broadcast(seg_off), ["c_mktsegment", "__bkt"])
+        .join(F.broadcast(glob_off), "__bkt")
+        .crossJoin(F.broadcast(total))
+    )
+    rn_g = F.col("__grow_off") + F.row_number().over(w_gin)
+    n = F.col("__n")
+    q = F.floor(n / 4).cast("long")
+    r = n % 4
+    big = q + F.lit(1)
+    cut = r * big
+    # greatest(q,1): the otherwise-branch divisor; when q=0, cut = r = n so
+    # the branch is never taken, but Spark may still evaluate the expression
+    tile = F.when(rn_g <= cut, F.floor((rn_g - 1) / big) + 1).otherwise(
+        r + F.floor((rn_g - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return j.select(
         "c_custkey",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
-        F.ntile(4).over(wg).alias("bal_quartile"),
+        (F.col("__row_off") + F.rank().over(w_in)).alias("bal_rank"),
+        (F.col("__dense_off") + F.dense_rank().over(w_in)).alias("bal_dense_rank"),
+        tile.alias("bal_quartile"),
     )
 
 
@@ -112,16 +203,48 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     """Relative-position analytics (percentile of each customer's balance
     within its segment). Rounded to 6 places on BOTH sides: the division
     (rank-1)/(n-1) is IEEE-identical cross-engine, rounding just pins the
-    formatted hash. Same single-shuffle window shape as the rank query."""
+    formatted hash.
+
+    Distributed via the same bucket decomposition as the rank query (see
+    module docstring): PERCENT_RANK = (rank-1)/(n-1) and CUME_DIST =
+    (rank + peers - 1)/n both derive from the bucket-offset RANK, the
+    per-segment total, and the peer count (rows sharing the full ORDER BY
+    key). The peer window's partition keys extend the in-bucket window's,
+    so hashpartitioning(segment, __bkt) satisfies both — one exchange, two
+    sorts, |segments| x |buckets| parallelism."""
     c = load_table(spark, "customer", sf_dir)
-    w = W.partitionBy("c_mktsegment").orderBy(
+    b = c.withColumn(
+        "__bkt",
+        F.coalesce(
+            F.floor(F.col("c_acctbal") / F.lit(_ACCTBAL_BUCKET_WIDTH)).cast("long"),
+            F.lit(_NULL_BUCKET),
+        ),
+    )
+    seg_sum = b.groupBy("c_mktsegment", "__bkt").agg(F.count("*").alias("__cnt"))
+    w_seg_pfx = W.partitionBy("c_mktsegment").orderBy(F.asc("__bkt"))
+    seg_off = seg_sum.select(
+        "c_mktsegment",
+        "__bkt",
+        (F.sum("__cnt").over(w_seg_pfx) - F.col("__cnt")).alias("__row_off"),
+    )
+    seg_tot = seg_sum.groupBy("c_mktsegment").agg(F.sum("__cnt").alias("__n_seg"))
+    w_in = W.partitionBy("c_mktsegment", "__bkt").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
-    return c.select(
+    w_peer = W.partitionBy("c_mktsegment", "__bkt", "c_acctbal", "c_custkey")
+    j = b.join(F.broadcast(seg_off), ["c_mktsegment", "__bkt"]).join(
+        F.broadcast(seg_tot), "c_mktsegment"
+    )
+    rank_g = F.col("__row_off") + F.rank().over(w_in)
+    peers = F.count("*").over(w_peer)
+    n = F.col("__n_seg")
+    pct = F.when(n > 1, (rank_g - F.lit(1)) / (n - F.lit(1))).otherwise(F.lit(0.0))
+    cume = (rank_g + peers - F.lit(1)) / n
+    return j.select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.round(pct, 6).alias("bal_pct_rank"),
+        F.round(cume, 6).alias("bal_cume_dist"),
     )
 
 

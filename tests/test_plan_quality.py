@@ -543,3 +543,36 @@ def test_wal_gap_audit_windows_are_bucketed(spark, queries):
     plan = _physical(queries["cdc_wal_gap_audit"](spark, SF_DIR))
     part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert any("__bkt" in l for l in part_lines), part_lines
+
+
+def test_full_ranking_windows_are_bucket_decomposed(spark, queries):
+    # full-ranking output over low-cardinality partitions (5 segments; ONE
+    # global ordering for ntile) must never sort the customer table on
+    # |segments|/1 threads: every big-side ranking window (recognizable by
+    # c_custkey in its spec) partitions on __bkt; segment-only or
+    # SinglePartition windows may appear only over the per-bucket count
+    # summaries (|segments| x ~55 rows)
+    for name in ("window_rank_dense_ntile", "window_percent_rank_cume_dist"):
+        plan = _physical(queries[name](spark, SF_DIR))
+        wlines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        big = [l for l in wlines if "c_custkey" in l]
+        assert big, (name, wlines)
+        assert all("__bkt" in l for l in big), (name, big)
+
+
+def test_per_query_topk_windows_are_salted(spark, queries):
+    # per-query candidate ranking (similarity search, BM25 retrieval) is
+    # the same wall with |queries| threads: phase 1 of the lossless
+    # two-phase top-k must rank within (query_id, __salt) cells; only the
+    # |queries| x 64 x k survivor frame may see a query-only window
+    for name in (
+        "sim_bruteforce_topk",
+        "sim_lsh_topk",
+        "sim_ivf_topk",
+        "text_bm25_topk",
+    ):
+        plan = _physical(queries[name](spark, SF_DIR))
+        part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+        assert any(
+            "query_id" in l and "__salt" in l for l in part_lines
+        ), (name, part_lines)

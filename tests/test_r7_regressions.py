@@ -288,3 +288,161 @@ def test_top_ngrams_with_fewer_grams_than_topk(spark, tmp_path):
         .collect()
     )
     assert [r["gram"] for r in out] == ["alpha beta gamma", "beta gamma delta"]
+
+
+# ---------------------------------------------------------------------------
+# Low-cardinality-window-wall sweep, part 3 (after top_ngrams and
+# wal_gap_audit): the full-ranking customer windows decompose over
+# order-respecting acctbal buckets, and the per-query top-k windows
+# (similarity / BM25) rank through functions/ranking.salted_topk. Both
+# forms must be bit-identical to the naive single-window computation,
+# ties and edge cases included.
+# ---------------------------------------------------------------------------
+
+
+def _customer_lake(tmp_path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    _write_parquet(tmp_path, "customer", pdf)
+
+
+# ties inside a bucket (400.0 x2), ties exactly ON the bucket-boundary
+# value (200.0 = bucket edge, x3 in one segment + once in another), a
+# value one cent below the edge (199.99 — adjacent bucket), a single-row
+# segment, a duplicated FULL order key (custkey 5 twice -> peers > 1 for
+# cume_dist), and total n = 13 (ntile remainder 1: the first tile takes
+# floor(13/4)+1 = 4 rows).
+_TIE_ROWS = [
+    (0, "HOUSEHOLD", -994.28),
+    (1, "AUTOMOBILE", 200.0),
+    (2, "AUTOMOBILE", 200.0),
+    (3, "AUTOMOBILE", 200.0),
+    (4, "AUTOMOBILE", 199.99),
+    (5, "AUTOMOBILE", 400.0),
+    (5, "AUTOMOBILE", 400.0),
+    (7, "AUTOMOBILE", -10.0),
+    (8, "AUTOMOBILE", 123.45),
+    (9, "BUILDING", 200.0),
+    (10, "MACHINERY", 999.0),
+    (11, "MACHINERY", 999.0),
+    (12, "MACHINERY", 9999.99),
+]
+
+
+def test_rank_ntile_bucket_decomposition_matches_single_window(spark, tmp_path):
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.registry import all_queries
+    from psql_streamer_spark.sources.tables import load_table
+
+    _customer_lake(tmp_path, _TIE_ROWS)
+    got = sorted(
+        map(
+            tuple,
+            all_queries()["window_rank_dense_ntile"](spark, str(tmp_path))
+            .select("c_custkey", "c_acctbal", "bal_rank", "bal_dense_rank", "bal_quartile")
+            .collect(),
+        )
+    )
+    c = load_table(spark, "customer", str(tmp_path))
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wg = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    naive = sorted(
+        map(
+            tuple,
+            c.select(
+                "c_custkey",
+                "c_acctbal",
+                F.rank().over(w).cast("long").alias("bal_rank"),
+                F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+                F.ntile(4).over(wg).cast("long").alias("bal_quartile"),
+            ).collect(),
+        )
+    )
+    assert got == naive
+
+
+def test_rank_ntile_decomposition_total_smaller_than_tiles(spark, tmp_path):
+    """n = 3 < 4 tiles: the closed-form ntile's q = floor(n/4) = 0 branch
+    (every tile has at most one row; the otherwise-branch divisor must
+    not divide by zero even though the branch is never taken)."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.registry import all_queries
+
+    _customer_lake(
+        tmp_path,
+        [(1, "AUTOMOBILE", 5.0), (2, "AUTOMOBILE", 5.0), (3, "BUILDING", 7.0)],
+    )
+    out = {
+        r.c_custkey: r.bal_quartile
+        for r in all_queries()["window_rank_dense_ntile"](spark, str(tmp_path)).collect()
+    }
+    # global order: (7.0, ck3), (5.0, ck1), (5.0, ck2) -> tiles 1, 2, 3
+    assert out == {3: 1, 1: 2, 2: 3}
+
+
+def test_percent_rank_cume_dist_decomposition_matches_single_window(spark, tmp_path):
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.registry import all_queries
+    from psql_streamer_spark.sources.tables import load_table
+
+    _customer_lake(tmp_path, _TIE_ROWS)
+    got = sorted(
+        map(
+            tuple,
+            all_queries()["window_percent_rank_cume_dist"](spark, str(tmp_path))
+            .select("c_custkey", "c_mktsegment", "bal_pct_rank", "bal_cume_dist")
+            .collect(),
+        )
+    )
+    c = load_table(spark, "customer", str(tmp_path))
+    w = W.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    naive = sorted(
+        map(
+            tuple,
+            c.select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+                F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+            ).collect(),
+        )
+    )
+    assert got == naive
+
+
+def test_salted_topk_matches_single_window(spark):
+    """Lossless two-phase top-k: bit-identical to the naive group-only
+    ROW_NUMBER window under a total order, including a group smaller
+    than k and whatever salt-cell distribution xxhash64 deals."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.ranking import salted_topk
+
+    rows = [(g, i, (i * 37 + g * 11) % 23) for g in range(3) for i in range(40)]
+    rows += [(9, 0, 5), (9, 1, 5)]  # group with fewer rows than k
+    df = spark.createDataFrame(rows, "grp long, id long, score long")
+    order = [F.desc("score"), F.asc("id")]
+    got = sorted(
+        map(
+            tuple,
+            salted_topk(df, ["grp"], order, 5, F.col("id"), n_salts=8)
+            .select("grp", "id", "score", "rank")
+            .collect(),
+        )
+    )
+    naive = sorted(
+        map(
+            tuple,
+            df.withColumn(
+                "rank", F.row_number().over(W.partitionBy("grp").orderBy(*order))
+            )
+            .filter(F.col("rank") <= 5)
+            .select("grp", "id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert got == naive
