@@ -65,9 +65,12 @@ def udf_minmax_normalize_per_group(spark: SparkSession, sf_dir: str) -> DataFram
     """Per-group min-max normalization via applyInPandas — each group
     arrives as one pandas DataFrame (Arrow transfer), is transformed in
     vectorized numpy, and returns with the same grouping guarantee a
-    shuffle-on-key gives. Scale: state is one group per task at a time;
-    groups must fit in executor memory (they do: groups here are event
-    types; for huge groups, pre-aggregate or window instead)."""
+    shuffle-on-key gives. Scale: state is one group per task at a time and
+    event_type has a HANDFUL of values, so this is the declared
+    demonstration tier of the grouped-map API — at corpus scale one task
+    would hold ~corpus/|types| rows. The production tier is
+    `udf_minmax_normalize_broadcast_stats` below: same result, aggregate
+    state reduced map-side and broadcast back, no group materialization."""
 
     def normalize(pdf):
         lo, hi = pdf["value"].min(), pdf["value"].max()
@@ -77,6 +80,54 @@ def udf_minmax_normalize_per_group(spark: SparkSession, sf_dir: str) -> DataFram
 
     e = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
     return e.groupBy("event_type").applyInPandas(normalize, _NORM_SCHEMA)
+
+
+@register(
+    "udf_minmax_normalize_broadcast_stats",
+    oracle="""
+    SELECT event_id, event_type, value,
+           (value - MIN(value) OVER w) / (MAX(value) OVER w - MIN(value) OVER w)
+             AS norm_value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udf_minmax_normalize_broadcast_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production tier of the grouped-map demo above. event_type has a
+    handful of values, so `groupBy(type).applyInPandas` materializes
+    ~corpus/|types| rows as ONE pandas frame in one task — an OOM wall at
+    100 TB regardless of executor count (the demo op's docstring names
+    this; this op IS the named mitigation). When the per-group state a
+    grouped map needs is an aggregate (here: min, max), reduce it with
+    map-side-combined built-ins, broadcast the |types|-row stats frame
+    back, and apply the transform as a JVM expression — zero Python, zero
+    group materialization, no shuffle of the big side at all. Same IEEE
+    subtract/divide as the pandas path, so results hash-match it and the
+    oracle bit-for-bit."""
+    e = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    # eqNullSafe: groupBy (and the oracle's window PARTITION BY) treat
+    # NULL event_type as one group; a plain equi-join would drop its rows
+    return (
+        e.alias("e")
+        .join(
+            F.broadcast(stats.alias("s")),
+            F.col("e.event_type").eqNullSafe(F.col("s.event_type")),
+        )
+        .select(
+            F.col("e.event_id").alias("event_id"),
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.value").alias("value"),
+            (
+                (F.col("e.value") - F.col("s.__lo"))
+                / (F.col("s.__hi") - F.col("s.__lo"))
+            ).alias("norm_value"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -576,3 +576,17 @@ def test_per_query_topk_windows_are_salted(spark, queries):
         assert any(
             "query_id" in l and "__salt" in l for l in part_lines
         ), (name, part_lines)
+
+
+def test_minmax_broadcast_stats_is_jvm_only_narrow(spark, queries):
+    # the grouped-map production tier: per-group aggregate state reduces
+    # map-side (partial_min/partial_max) and broadcasts back; the big side
+    # must see NO exchange and NO Python — the only Exchange allowed is
+    # the |types|-row stats aggregation
+    plan = _physical(
+        queries["udf_minmax_normalize_broadcast_stats"](spark, SF_DIR)
+    )
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan and "partial_max" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

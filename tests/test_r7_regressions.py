@@ -446,3 +446,124 @@ def test_salted_topk_matches_single_window(spark):
         )
     )
     assert got == naive
+
+
+def test_minmax_broadcast_stats_matches_grouped_map_incl_null_group(spark, tmp_path):
+    """The broadcast-stats production tier must agree with the
+    applyInPandas demonstration tier row-for-row, INCLUDING rows whose
+    event_type is NULL — groupBy and the oracle's window both treat NULL
+    as one group, so the null-safe join must not drop it."""
+    import math
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime("2026-01-01"),
+            "user_id": [1] * 6,
+            "event_type": ["a", "a", None, None, "b", "b"],
+            "value": [1.0, 3.0, 10.0, 20.0, 5.0, 7.0],
+            "props": ["{}"] * 6,
+        }
+    )
+    _write_parquet(tmp_path, "events", pdf)
+    from psql_streamer_spark.registry import all_queries
+
+    q = all_queries()
+
+    def by_id(name):
+        return {
+            r.event_id: (r.event_type, r.value, r.norm_value)
+            for r in q[name](spark, str(tmp_path)).collect()
+        }
+
+    demo = by_id("udf_minmax_normalize_per_group")
+    prod = by_id("udf_minmax_normalize_broadcast_stats")
+    assert set(demo) == set(prod) == {1, 2, 3, 4, 5, 6}
+    for k in demo:
+        assert demo[k][0] == prod[k][0] and demo[k][1] == prod[k][1]
+        assert demo[k][2] == prod[k][2] or (
+            math.isnan(demo[k][2]) and math.isnan(prod[k][2])
+        )
+    # spot-check values: NULL group spans 10..20
+    assert prod[3][2] == 0.0 and prod[4][2] == 1.0
+
+
+def test_rank_decompositions_match_native_on_random_tie_heavy_frame(spark, tmp_path):
+    """Randomized cross-check of both bucket decompositions against the
+    native single-window forms: values drawn from a tie-heavy pool that
+    includes bucket-boundary values AND NULL balances (the sentinel-bucket
+    path: NULL sorts last under DESC, first under ASC, exactly where
+    Spark's window ordering puts it), duplicate custkeys, three segments.
+    Seeded, deterministic."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.registry import all_queries
+    from psql_streamer_spark.sources.tables import load_table
+
+    rng = random.Random(41)
+    vals = [-994.28, -200.0, -10.0, 0.0, 199.99, 200.0, 200.01, 999.0, 9999.99, None]
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    rows = [
+        (rng.randrange(20), rng.choice(segs), rng.choice(vals)) for _ in range(80)
+    ]
+    pdf = pd.DataFrame(rows, columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    _write_parquet(tmp_path, "customer", pdf)
+    q = all_queries()
+    c = load_table(spark, "customer", str(tmp_path))
+
+    key = repr  # None-safe total order over result tuples
+
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wg = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    naive_rank = sorted(
+        map(
+            tuple,
+            c.select(
+                "c_custkey",
+                "c_acctbal",
+                F.rank().over(w).cast("long").alias("bal_rank"),
+                F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+                F.ntile(4).over(wg).cast("long").alias("bal_quartile"),
+            ).collect(),
+        ),
+        key=key,
+    )
+    got_rank = sorted(
+        map(
+            tuple,
+            q["window_rank_dense_ntile"](spark, str(tmp_path))
+            .select("c_custkey", "c_acctbal", "bal_rank", "bal_dense_rank", "bal_quartile")
+            .collect(),
+        ),
+        key=key,
+    )
+    assert got_rank == naive_rank
+
+    wp = W.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    naive_pct = sorted(
+        map(
+            tuple,
+            c.select(
+                "c_custkey",
+                "c_mktsegment",
+                F.round(F.percent_rank().over(wp), 6).alias("bal_pct_rank"),
+                F.round(F.cume_dist().over(wp), 6).alias("bal_cume_dist"),
+            ).collect(),
+        ),
+        key=key,
+    )
+    got_pct = sorted(
+        map(
+            tuple,
+            q["window_percent_rank_cume_dist"](spark, str(tmp_path))
+            .select("c_custkey", "c_mktsegment", "bal_pct_rank", "bal_cume_dist")
+            .collect(),
+        ),
+        key=key,
+    )
+    assert got_pct == naive_pct
