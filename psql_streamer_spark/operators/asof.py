@@ -152,8 +152,12 @@ def salted_join(
     synthetic frame in tests/test_asof_join.py.
 
     `salt_by`: a big-side column whose hash spreads a hot key's rows
-    across buckets (using only the join key would put each hot key in
-    ONE bucket and defeat the salt)."""
+    across buckets. When omitted, the WHOLE big-side row is hashed —
+    hashing only the join key would put each hot key in ONE bucket and
+    silently defeat the salt (full replication cost, zero parallelism
+    gain), so that is never the fallback. Any big-side salt assignment
+    is row-correct (the small side is replicated to every bucket); the
+    spread column only controls how evenly a hot key fans out."""
     frac_floor = max(1, int(hot_row_threshold * sample_fraction))
     hot = (
         big.sample(fraction=sample_fraction, seed=42)
@@ -162,7 +166,12 @@ def salted_join(
         .filter(F.col("_c") >= frac_floor)
         .select(F.col(big_on).alias("_hotkey"))
     )
-    salt_col = F.pmod(F.hash(F.col(salt_by if salt_by else big_on)), F.lit(buckets))
+    spread = (
+        F.col(salt_by)
+        if salt_by
+        else F.struct(*[F.col(c) for c in big.columns])
+    )
+    salt_col = F.pmod(F.hash(spread), F.lit(buckets))
     b = (
         big.join(F.broadcast(hot), F.col(big_on) == F.col("_hotkey"), "left")
         .withColumn(

@@ -1964,9 +1964,18 @@ def _capped_pair_counts(spark: SparkSession, sf_dir: str):
     # before it — the per-(doc,shingle) dedup and the df grouping are the
     # same hash exchange
     sh = doc_shingles(load_table(spark, "documents", sf_dir), distinct=False)
+    # two independent 64-bit keys (seed-first second hash, same discipline
+    # as the span miner at dedup.py:1693): a single xxhash64 key has
+    # expected merged-shingle pairs ~ N^2/2^65 — O(1..30) at this tier's
+    # own 1e8-1e9-shingle production scale, where no oracle runs — while
+    # the pair is ~2^-128; +8 B/row on the postings exchange buys that
     g = (
-        sh.select(F.xxhash64("shingle").alias("h"), "doc_id")
-        .groupBy("h")
+        sh.select(
+            F.xxhash64("shingle").alias("h1"),
+            F.xxhash64(F.lit(1), "shingle").alias("h2"),
+            "doc_id",
+        )
+        .groupBy("h1", "h2")
         .agg(F.collect_set("doc_id").alias("ds"))
         .filter(F.size("ds") <= NGRAM_DOC_FREQ_CAP)
         .persist()  # feeds both the pair mine and the per-doc counts
@@ -1986,9 +1995,9 @@ def _capped_pair_counts(spark: SparkSession, sf_dir: str):
             "e1",
             F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("e2"),
         )
-        # e1 != e2 guards the 2^-64 hash-merge case: a collision-merged
-        # group could list one doc twice, and a self-pair would have no
-        # counterpart in the string-keyed oracle
+        # e1 != e2 guards the (now ~2^-128) hash-merge case: a
+        # collision-merged group could pair a doc with itself, and a
+        # self-pair would have no counterpart in the string-keyed oracle
         .filter(F.col("e1") != F.col("e2"))
         .groupBy(
             F.least("e1", "e2").alias("doc_a"),
@@ -2019,10 +2028,11 @@ def dedup_ngram_containment_pairs_capped(
     exchange, eliminating a separate corpus-wide distinct pass (measured
     at sf100/5M docs: 463 -> 307 s; sf3..sf30 within machine spread) —
     filter 2 <= df <= cap, then posexplode+suffix-slice exactly C(df,2)
-    pairs per group. Shingle strings never shuffle — grouping keys on
-    native xxhash64 (a 64-bit collision merges two shingles' doc lists
-    with p ~ N^2/2^64; the DuckDB oracle joins raw strings, so any
-    collision would surface as a parity failure, same discipline as the
+    pairs per group. Shingle strings never shuffle — grouping keys on a
+    pair of independent native xxhash64 values (seed-first second key,
+    ~2^-128 merge odds; a single 64-bit key would expect O(1..30) merged
+    shingles at the tier's own 1e8-1e9-shingle scale, where the
+    string-keyed DuckDB oracle never runs — same discipline as the
     capped-substring tier). Dropping >cap shingles from the denominator
     too makes the score a stopword-filtered containment: a doc made
     ENTIRELY of boilerplate reports no pairs (a curator quarantines it by

@@ -405,15 +405,20 @@ def cosine_margin_candidates(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        cent.select("cent_id", "ce")
-        .filter(F.col("ce").isNotNull())
-        .orderBy("cent_id")
-        .collect()
+    # ONE collect over the model frame: cent may be a computed lineage
+    # (trained centroids), so a second driver action would re-execute it;
+    # both the matmul rows (non-NULL embeddings) and the tie-break floor
+    # (min cent_id over ALL model rows — a NULL-embedding centroid with
+    # the lowest id wins ties) derive from the same k-row collect
+    all_rows = cent.select("cent_id", "ce").collect()
+    cent_rows = sorted(
+        (r for r in all_rows if r.ce is not None and r.cent_id is not None),
+        key=lambda r: r.cent_id,
     )
-    # the tie-break floor when no cosine is defined: min cent_id over ALL
-    # model rows (a NULL-embedding centroid with the lowest id wins ties)
-    fallback_cid = cent.agg(F.min("cent_id")).collect()[0][0]
+    # F.min semantics: NULL cent_ids ignored; None only when no row has one
+    fallback_cid = min(
+        (r.cent_id for r in all_rows if r.cent_id is not None), default=None
+    )
     cids = np.array([int(r.cent_id) for r in cent_rows])
     C = np.array([r.ce for r in cent_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True) if len(C) else C

@@ -560,14 +560,16 @@ def text_top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct values, so a single `PARTITION BY source` window would sort
     the entire corpus vocabulary on |sources| threads — measured 105 s of
     the op's 105 s at sf30; the salt fix alone took the op to 40 s.
-    Phase 1 ranks within (source, xxhash64(gram) mod {s}) cells by the
+    Phase 1 ranks within (source, xxhash64(gram) mod 64) cells by the
     final (n DESC, gram ASC) order — lossless, because after the
     aggregate each gram's count is COMPLETE and lives in exactly one
     cell, so a gram with fewer than 5 grams ahead of it in the total
     order has fewer than 5 ahead of it in its own cell. Phase 2 re-ranks
-    the |sources| x {s} x 5 survivors, a frame any single thread handles
+    the |sources| x 64 x 5 survivors, a frame any single thread handles
     at any corpus scale; boundary ties resolve identically in both
-    phases because both use the same total order.
+    phases because both use the same total order. The two phases are the
+    shared `functions/ranking.salted_topk` primitive (this op's fix is
+    where it was promoted from).
 
     Measured dead end, recorded so nobody re-digs it: a hash-keyed
     screen + exact-string rescore (count by (source, xxhash64(gram)),
@@ -584,31 +586,22 @@ def text_top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen only on a real cluster where shuffle bytes are the scarce
     resource. For a true streaming-scale corpus the exact count swaps
     for a count-min/space-saving sketch, but the top-k contract stays
-    identical.""".format(s=_TOP_NGRAMS_SALT)
+    identical."""
     d = load_table(spark, "documents", sf_dir)
-    from pyspark.sql import Window as W
-
     counted = (
         with_words(d)
         .select("source", F.explode(shingles_expr(F.col("__words"))).alias("gram"))
         .groupBy("source", "gram")
         .agg(F.count("*").alias("n"))
     )
-    w1 = W.partitionBy("source", "__salt").orderBy(F.desc("n"), F.asc("gram"))
-    survivors = (
-        counted.withColumn(
-            "__salt", F.pmod(F.xxhash64("gram"), F.lit(_TOP_NGRAMS_SALT))
-        )
-        .withColumn("__r", F.row_number().over(w1))
-        .filter(F.col("__r") <= _TOP_NGRAMS_K)
-        .drop("__salt", "__r")
-    )
-    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("gram"))
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_NGRAMS_K)
-        .select("source", "gram", "n", "rank")
-    )
+    return salted_topk(
+        counted,
+        ["source"],
+        [F.desc("n"), F.asc("gram")],
+        _TOP_NGRAMS_K,
+        F.col("gram"),
+        n_salts=_TOP_NGRAMS_SALT,
+    ).select("source", "gram", "n", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -728,8 +721,11 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bitlength(N div df) is the whole-bit idf surrogate, same discipline as
 # text_unigram_surprisal. Queries are self-derived for determinism: the
 # 3 longest distinct tokens (ties lexicographic) of each doc_id < 5.
-# Products stay under 2^63 through ~2e14 corpus tokens; past that the
-# milli-score term moves to decimal(38,0) — documented, not silent.
+# The A*tf products overflow int64 at a_total*tf > ~2.1e14 — i.e. well
+# inside the 100 TB design point once any term has tf > 10 (ANSI Spark
+# would throw, DuckDB would widen — either way not the recorded plan) —
+# so the milli-score term runs in decimal(38,0) / HUGEINT on both sides:
+# bit-identical integer arithmetic with ~1e38 headroom, no cliff.
 # --------------------------------------------------------------------------
 _BM25_N_QUERIES = 5
 _BM25_TERMS_PER_QUERY = 3
@@ -769,10 +765,10 @@ _SQL_BM25_TOPK = f"""
       SELECT q.query_id, tf.doc_id,
              CAST(SUM(
                LENGTH(BIN(n_docs // df)) *
-               ((CAST(44000 AS BIGINT) * a_total * tf) //
-                (CAST(20 AS BIGINT) * a_total * tf
-                 + CAST(6 AS BIGINT) * a_total
-                 + CAST(18 AS BIGINT) * dl.dl * n_docs))
+               ((CAST(44000 AS HUGEINT) * a_total * tf) //
+                (CAST(20 AS HUGEINT) * a_total * tf
+                 + CAST(6 AS HUGEINT) * a_total
+                 + CAST(18 AS HUGEINT) * dl.dl * n_docs))
              ) AS BIGINT) AS score_milli
       FROM tf
       JOIN qterms q USING (w)
@@ -833,9 +829,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = tok.join(F.broadcast(uniq_terms), "w")
     df_ = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # decimal(38,0) (HUGEINT on the DuckDB side): the A*tf products pass
+    # int64 at ~2.1e14 token-occurrences — see the section banner
     term_score = F.length(F.bin(F.expr("n_docs div df"))) * F.expr(
-        "(44000L * a_total * tf) div"
-        " (20L * a_total * tf + 6L * a_total + 18L * dl * n_docs)"
+        "(cast(44000 as decimal(38,0)) * a_total * tf) div"
+        " (cast(20 as decimal(38,0)) * a_total * tf"
+        "  + cast(6 as decimal(38,0)) * a_total"
+        "  + cast(18 as decimal(38,0)) * dl * n_docs)"
     )
     scored = (
         tf.join(F.broadcast(qterms), "w")

@@ -70,7 +70,12 @@ def udf_minmax_normalize_per_group(spark: SparkSession, sf_dir: str) -> DataFram
     demonstration tier of the grouped-map API — at corpus scale one task
     would hold ~corpus/|types| rows. The production tier is
     `udf_minmax_normalize_broadcast_stats` below: same result, aggregate
-    state reduced map-side and broadcast back, no group materialization."""
+    state reduced map-side and broadcast back, no group materialization.
+    Degenerate-group edge (absent from the data, test-pinned): an
+    all-equal group is numpy 0/0 = NaN in the pandas frame, which the
+    Arrow return path surfaces as NULL (NaN is pandas' null sentinel) —
+    agreeing with the oracle's and the production tier's zero-divisor
+    NULL, so all three tiers match even here."""
 
     def normalize(pdf):
         lo, hi = pdf["value"].min(), pdf["value"].max()
@@ -104,8 +109,12 @@ def udf_minmax_normalize_broadcast_stats(
     map-side-combined built-ins, broadcast the |types|-row stats frame
     back, and apply the transform as a JVM expression — zero Python, zero
     group materialization, no shuffle of the big side at all. Same IEEE
-    subtract/divide as the pandas path, so results hash-match it and the
-    oracle bit-for-bit."""
+    subtract/divide as the pandas path on every non-degenerate group, so
+    results hash-match it and the oracle bit-for-bit; for an all-equal
+    group (hi == lo, none in the data, test-pinned) all three tiers agree
+    on NULL: try_divide here (ANSI Spark's plain Divide would THROW),
+    DuckDB v1.0.0's float zero-divisor rule in the oracle, and the demo's
+    numpy NaN arriving as Arrow NULL."""
     e = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
     stats = e.groupBy("event_type").agg(
         F.min("value").alias("__lo"), F.max("value").alias("__hi")
@@ -122,9 +131,13 @@ def udf_minmax_normalize_broadcast_stats(
             F.col("e.event_id").alias("event_id"),
             F.col("e.event_type").alias("event_type"),
             F.col("e.value").alias("value"),
-            (
-                (F.col("e.value") - F.col("s.__lo"))
-                / (F.col("s.__hi") - F.col("s.__lo"))
+            # constant group (hi == lo): ANSI Spark's plain Divide THROWS
+            # on a zero divisor; try_divide yields NULL, which matches
+            # DuckDB's float x/0 (checked on v1.0.0: NULL, not IEEE NaN)
+            # and the demo tier (its numpy NaN lands as Arrow NULL)
+            F.try_divide(
+                F.col("e.value") - F.col("s.__lo"),
+                F.col("s.__hi") - F.col("s.__lo"),
             ).alias("norm_value"),
         )
     )

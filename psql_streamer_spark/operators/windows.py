@@ -146,16 +146,19 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__dcnt"),
     )
     w_seg_pfx = W.partitionBy("c_mktsegment").orderBy(F.desc("__bkt"))
+    # offset-frame keys renamed + joined back null-safely: groupBy (and
+    # the single-window form this must stay bit-identical to) treat a
+    # NULL segment as one group, which a plain equi-join would drop
     seg_off = seg_sum.select(
-        "c_mktsegment",
-        "__bkt",
+        F.col("c_mktsegment").alias("__seg_k"),
+        F.col("__bkt").alias("__bkt_k"),
         (F.sum("__cnt").over(w_seg_pfx) - F.col("__cnt")).alias("__row_off"),
         (F.sum("__dcnt").over(w_seg_pfx) - F.col("__dcnt")).alias("__dense_off"),
     )
     glob_sum = b.groupBy("__bkt").agg(F.count("*").alias("__gcnt"))
     w_glob_pfx = W.partitionBy(F.lit(0)).orderBy(F.desc("__bkt"))
     glob_off = glob_sum.select(
-        "__bkt",
+        F.col("__bkt").alias("__bkt_g"),
         (F.sum("__gcnt").over(w_glob_pfx) - F.col("__gcnt")).alias("__grow_off"),
     )
     total = glob_sum.agg(F.sum("__gcnt").alias("__n"))
@@ -165,9 +168,14 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_gin = W.partitionBy("__bkt").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     j = (
-        b.join(F.broadcast(seg_off), ["c_mktsegment", "__bkt"])
-        .join(F.broadcast(glob_off), "__bkt")
+        b.join(
+            F.broadcast(seg_off),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg_k"))
+            & (F.col("__bkt") == F.col("__bkt_k")),
+        )
+        .join(F.broadcast(glob_off), F.col("__bkt") == F.col("__bkt_g"))
         .crossJoin(F.broadcast(total))
+        .drop("__seg_k", "__bkt_k", "__bkt_g")
     )
     rn_g = F.col("__grow_off") + F.row_number().over(w_gin)
     n = F.col("__n")
@@ -222,18 +230,32 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     seg_sum = b.groupBy("c_mktsegment", "__bkt").agg(F.count("*").alias("__cnt"))
     w_seg_pfx = W.partitionBy("c_mktsegment").orderBy(F.asc("__bkt"))
+    # offset/total keys renamed + joined back null-safely (NULL segment is
+    # one group in the single-window form — see the rank op)
     seg_off = seg_sum.select(
-        "c_mktsegment",
-        "__bkt",
+        F.col("c_mktsegment").alias("__seg_k"),
+        F.col("__bkt").alias("__bkt_k"),
         (F.sum("__cnt").over(w_seg_pfx) - F.col("__cnt")).alias("__row_off"),
     )
     seg_tot = seg_sum.groupBy("c_mktsegment").agg(F.sum("__cnt").alias("__n_seg"))
+    seg_tot = seg_tot.select(
+        F.col("c_mktsegment").alias("__seg_t"), "__n_seg"
+    )
     w_in = W.partitionBy("c_mktsegment", "__bkt").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
     w_peer = W.partitionBy("c_mktsegment", "__bkt", "c_acctbal", "c_custkey")
-    j = b.join(F.broadcast(seg_off), ["c_mktsegment", "__bkt"]).join(
-        F.broadcast(seg_tot), "c_mktsegment"
+    j = (
+        b.join(
+            F.broadcast(seg_off),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg_k"))
+            & (F.col("__bkt") == F.col("__bkt_k")),
+        )
+        .join(
+            F.broadcast(seg_tot),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg_t")),
+        )
+        .drop("__seg_k", "__bkt_k", "__seg_t")
     )
     rank_g = F.col("__row_off") + F.rank().over(w_in)
     peers = F.count("*").over(w_peer)

@@ -459,12 +459,12 @@ def test_minmax_broadcast_stats_matches_grouped_map_incl_null_group(spark, tmp_p
 
     pdf = pd.DataFrame(
         {
-            "event_id": [1, 2, 3, 4, 5, 6],
+            "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
             "ts": pd.to_datetime("2026-01-01"),
-            "user_id": [1] * 6,
-            "event_type": ["a", "a", None, None, "b", "b"],
-            "value": [1.0, 3.0, 10.0, 20.0, 5.0, 7.0],
-            "props": ["{}"] * 6,
+            "user_id": [1] * 8,
+            "event_type": ["a", "a", None, None, "b", "b", "c", "c"],
+            "value": [1.0, 3.0, 10.0, 20.0, 5.0, 7.0, 4.0, 4.0],
+            "props": ["{}"] * 8,
         }
     )
     _write_parquet(tmp_path, "events", pdf)
@@ -480,14 +480,19 @@ def test_minmax_broadcast_stats_matches_grouped_map_incl_null_group(spark, tmp_p
 
     demo = by_id("udf_minmax_normalize_per_group")
     prod = by_id("udf_minmax_normalize_broadcast_stats")
-    assert set(demo) == set(prod) == {1, 2, 3, 4, 5, 6}
-    for k in demo:
+    assert set(demo) == set(prod) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for k in (1, 2, 3, 4, 5, 6):  # non-degenerate groups: exact parity
         assert demo[k][0] == prod[k][0] and demo[k][1] == prod[k][1]
-        assert demo[k][2] == prod[k][2] or (
-            math.isnan(demo[k][2]) and math.isnan(prod[k][2])
-        )
+        assert demo[k][2] == prod[k][2]
     # spot-check values: NULL group spans 10..20
     assert prod[3][2] == 0.0 and prod[4][2] == 1.0
+    # degenerate all-equal group "c" (hi == lo): all three tiers agree on
+    # NULL — numpy 0/0 = NaN becomes Arrow NULL on the grouped-map return
+    # path (NaN is pandas' null sentinel), try_divide yields NULL in the
+    # production tier, and DuckDB v1.0.0 float x/0 is NULL in the oracle
+    for k in (7, 8):
+        assert demo[k][2] is None
+        assert prod[k][2] is None
 
 
 def test_rank_decompositions_match_native_on_random_tie_heavy_frame(spark, tmp_path):
@@ -495,7 +500,9 @@ def test_rank_decompositions_match_native_on_random_tie_heavy_frame(spark, tmp_p
     native single-window forms: values drawn from a tie-heavy pool that
     includes bucket-boundary values AND NULL balances (the sentinel-bucket
     path: NULL sorts last under DESC, first under ASC, exactly where
-    Spark's window ordering puts it), duplicate custkeys, three segments.
+    Spark's window ordering puts it), duplicate custkeys, three segments
+    plus NULL segment (one partition group — the offset joins must be
+    null-safe or its rows silently vanish).
     Seeded, deterministic."""
     import random
 
@@ -507,7 +514,7 @@ def test_rank_decompositions_match_native_on_random_tie_heavy_frame(spark, tmp_p
 
     rng = random.Random(41)
     vals = [-994.28, -200.0, -10.0, 0.0, 199.99, 200.0, 200.01, 999.0, 9999.99, None]
-    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY", None]
     rows = [
         (rng.randrange(20), rng.choice(segs), rng.choice(vals)) for _ in range(80)
     ]
