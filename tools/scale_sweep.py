@@ -49,15 +49,27 @@ def main() -> None:
     results: dict[str, dict[str, float | int]] = {}
     errors: dict[str, str] = {}
     t_all = time.time()
+    # SPARK_GRAFT_SWEEP_EVAL=noop forces FULL evaluation through Spark's
+    # noop sink. The default count() surfaces result cardinality (the
+    # super-linearity tell for pair miners) but lets the optimizer PRUNE
+    # unreferenced columns — a per-row transform or a full-ranking window
+    # whose outputs count() never reads measures as scan+count (this is
+    # how the customer ranking ops' window wall stayed invisible in the
+    # r5-r7 sweeps). noop mode evaluates every output column; rows are
+    # then reported from a separate count so the artifact keeps its
+    # cardinality column (that count is NOT included in sec).
+    eval_mode = os.environ.get("SPARK_GRAFT_SWEEP_EVAL", "count")
     for name in names:
         t0 = time.time()
         try:
-            # count() executes the full distributed plan; unlike the
-            # bench's noop sink it also surfaces the result cardinality,
-            # which is the super-linearity tell for the pair-mining ops
-            # (linear data growth should give linear-ish pair growth).
-            n = queries[name](spark, sf_dir).count()
-            dt = time.time() - t0
+            if eval_mode == "noop":
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                n = df.count()
+            else:
+                n = queries[name](spark, sf_dir).count()
+                dt = time.time() - t0
             results[name] = {"sec": round(dt, 3), "rows": n}
             print(json.dumps({"query": name, "sec": round(dt, 3), "rows": n}), flush=True)
         except Exception:
