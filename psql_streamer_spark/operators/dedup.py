@@ -1651,9 +1651,6 @@ def dedup_exact_substring_spans(
 
     d = load_table(spark, "documents", sf_dir)
     parallelism = spark.sparkContext.defaultParallelism
-    w = d.repartition(parallelism, "doc_id").select(
-        "doc_id", words_expr().alias("ws")
-    )
     # positional shingles: pos is 1-based to mirror SQL list slicing
     npos = F.size("ws") - SPAN_SHINGLE_K + 1
     positions = F.when(
@@ -1683,16 +1680,31 @@ def dedup_exact_substring_spans(
     # accepts; the DuckDB oracle joins the raw strings, so a collision
     # would surface as a parity failure).
     shingle = F.concat_ws(" ", F.slice("ws", F.col("ipos"), SPAN_SHINGLE_K))
-    s = w.select(
-        "doc_id",
-        F.explode(positions).alias("ipos"),
-        "ws",
-    ).select(
-        "doc_id",
-        F.col("ipos").cast("bigint").alias("pos"),
-        F.xxhash64(shingle).alias("k1"),
-        F.xxhash64(F.lit(1), shingle).alias("k2"),
-    )
+
+    def posts(frame):
+        return (
+            frame.repartition(parallelism, "doc_id")
+            .select("doc_id", words_expr().alias("ws"))
+            .select("doc_id", F.explode(positions).alias("ipos"), "ws")
+            .select(
+                "doc_id",
+                F.col("ipos").cast("bigint").alias("pos"),
+                F.xxhash64(shingle).alias("k1"),
+                F.xxhash64(F.lit(1), shingle).alias("k2"),
+            )
+        )
+
+    s = posts(d)
+    if doc_freq_cap is not None:
+        # capped tier only: the ground-truth tier needs every group, so
+        # the aggregation-buffer screen (exactly lossless under a cap —
+        # see _sampled_boilerplate_screen) applies just here
+        s = _sampled_boilerplate_screen(
+            s,
+            posts(d.sample(fraction=_SCREEN_SAMPLE_FRACTION, seed=_SCREEN_SEED)),
+            ("k1", "k2"),
+            doc_freq_cap,
+        )
     # ONE shuffle of the positional-shingle frame, total. The r6 form ran
     # the df-cap as aggregate + join-back and then a sort-merge SELF-join
     # — with near-unique shingle keys (70.7M rows -> 69M keys at sf30,
@@ -1954,6 +1966,53 @@ _SQL_CONTAINMENT_PAIRS_CAPPED = f"""
 """
 
 
+def _sampled_boilerplate_screen(
+    postings: DataFrame,
+    sampled_postings: DataFrame,
+    key_cols: tuple[str, ...],
+    cap: int,
+) -> DataFrame:
+    """Aggregation-buffer guard for the one-shuffle postings miners.
+
+    The collect_set/collect_list groupBys build a shingle's FULL posting
+    array in one aggregation buffer BEFORE the df-cap filter sees it —
+    fine at every tested lake (sf100 peaked well inside executor
+    memory), but a universal boilerplate shingle in a real 100 TB corpus
+    (df ~ 1e8-1e9) is a multi-GB array in ONE task's buffer: an OOM
+    spike no executor count fixes. Since the result keeps only groups
+    with df <= cap, any key provably over the cap can be dropped BEFORE
+    the aggregation without changing one output row.
+
+    Detection is the salted_join sampled-skew pattern, sharpened to an
+    EXACTLY-lossless rule: ``sampled_postings`` must be built from a
+    seeded DOCUMENT-level sample of the corpus through the same key
+    derivation; a key is flagged when its sampled DISTINCT-doc count
+    exceeds ``cap``. A true df <= cap key has at most cap docs in the
+    whole corpus, so it can never produce more than cap sampled docs —
+    zero false flags, by counting, not probability. A key with
+    df >> cap/fraction is flagged with overwhelming probability
+    (Binomial mean df*fraction), so survivor buffers are bounded at
+    ~cap/fraction entries (~6.4k at the 1% default — a few hundred KB)
+    instead of df. The screen's own cost is tokenizing the sampled
+    fraction plus a map-side-combined count and a Zipf-head-sized
+    broadcast anti-join — it does NOT rescan the full corpus."""
+    hot = (
+        sampled_postings.groupBy(*key_cols)
+        .agg(F.countDistinct("doc_id").alias("_sdf"))
+        .filter(F.col("_sdf") > cap)
+        .select(*[F.col(c).alias(f"_hot_{c}") for c in key_cols])
+    )
+    cond = None
+    for c in key_cols:
+        e = postings[c] == F.col(f"_hot_{c}")
+        cond = e if cond is None else (cond & e)
+    return postings.join(F.broadcast(hot), cond, "left_anti")
+
+
+_SCREEN_SAMPLE_FRACTION = 0.01
+_SCREEN_SEED = 42
+
+
 def _capped_pair_counts(spark: SparkSession, sf_dir: str):
     """Shared df-capped postings mine: one shuffle from raw postings to
     (doc_a, doc_b, n_common) plus the per-doc capped shingle counts.
@@ -1963,19 +2022,29 @@ def _capped_pair_counts(spark: SparkSession, sf_dir: str):
     # postings aggregation instead of a separate 1B-row distinct shuffle
     # before it — the per-(doc,shingle) dedup and the df grouping are the
     # same hash exchange
-    sh = doc_shingles(load_table(spark, "documents", sf_dir), distinct=False)
-    # two independent 64-bit keys (seed-first second hash, same discipline
-    # as the span miner at dedup.py:1693): a single xxhash64 key has
-    # expected merged-shingle pairs ~ N^2/2^65 — O(1..30) at this tier's
-    # own 1e8-1e9-shingle production scale, where no oracle runs — while
-    # the pair is ~2^-128; +8 B/row on the postings exchange buys that
-    g = (
-        sh.select(
+    d = load_table(spark, "documents", sf_dir)
+
+    def posts(frame):
+        # two independent 64-bit keys (seed-first second hash, same
+        # discipline as the span miner at dedup.py:1693): a single
+        # xxhash64 key has expected merged-shingle pairs ~ N^2/2^65 —
+        # O(1..30) at this tier's own 1e8-1e9-shingle production scale,
+        # where no oracle runs — while the pair is ~2^-128; +8 B/row on
+        # the postings exchange buys that
+        return doc_shingles(frame, distinct=False).select(
             F.xxhash64("shingle").alias("h1"),
             F.xxhash64(F.lit(1), "shingle").alias("h2"),
             "doc_id",
         )
-        .groupBy("h1", "h2")
+
+    screened = _sampled_boilerplate_screen(
+        posts(d),
+        posts(d.sample(fraction=_SCREEN_SAMPLE_FRACTION, seed=_SCREEN_SEED)),
+        ("h1", "h2"),
+        NGRAM_DOC_FREQ_CAP,
+    )
+    g = (
+        screened.groupBy("h1", "h2")
         .agg(F.collect_set("doc_id").alias("ds"))
         .filter(F.size("ds") <= NGRAM_DOC_FREQ_CAP)
         .persist()  # feeds both the pair mine and the per-doc counts
