@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from psql_streamer_spark.registry import register
 from psql_streamer_spark.sources.tables import load_table
@@ -157,14 +158,33 @@ def salted_join(
     silently defeat the salt (full replication cost, zero parallelism
     gain), so that is never the fallback. Any big-side salt assignment
     is row-correct (the small side is replicated to every bucket); the
-    spread column only controls how evenly a hot key fans out."""
+    spread column only controls how evenly a hot key fans out.
+
+    The hot set is materialized ONCE (collected to the driver and
+    rebuilt as a literal frame) before either side joins against it.
+    Referencing the sampled frame from both joins would evaluate the
+    sample twice, and seeded sample() is only deterministic given
+    stable input partitioning — under task retry or round-robin lineage
+    the two evaluations could disagree, and a key flagged hot on the
+    big side but not the small side silently loses every match on salts
+    1..buckets-1. The collect is bounded metadata, not data: at most
+    |big| / hot_row_threshold keys can clear the threshold (~60k keys
+    even at 600M rows), the same driver-side-model class as the k-means
+    centroids."""
     frac_floor = max(1, int(hot_row_threshold * sample_fraction))
-    hot = (
+    hot_local = (
         big.sample(fraction=sample_fraction, seed=42)
         .groupBy(big_on)
         .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") >= frac_floor)
         .select(F.col(big_on).alias("_hotkey"))
+        .collect()
+    )
+    hot = big.sparkSession.createDataFrame(
+        hot_local,
+        schema=T.StructType(
+            [T.StructField("_hotkey", big.schema[big_on].dataType, True)]
+        ),
     )
     spread = (
         F.col(salt_by)

@@ -1587,6 +1587,36 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 SPAN_SHINGLE_K = 8
 SPAN_MIN_TOKENS = 20
+
+# Fail-fast ceiling for the uncapped GROUND-TRUTH span miner. Its pair
+# mine groups each shingle's FULL posting list into one aggregation
+# buffer (collect_list below) before any df filter can apply — a
+# boilerplate shingle with df ~ corpus therefore turns the old
+# sort-merge self-join's graceful disk spill into a single-task OOM
+# (r7 advice). The docstrings already declare the uncapped tiers
+# sample-scale verifiers; this guard makes a corpus-scale invocation
+# fail immediately with the production alternative named instead of
+# dying mid-shuffle. The ceiling sits above every scale the tier has
+# actually been measured at (sf10 = 500k docs, isolated, 21.6 s) and
+# below the tiers where it was measured infeasible (sf30 = 1.5M docs);
+# deliberate larger runs can raise it via the env knob.
+GROUND_TRUTH_MAX_DOCS = int(
+    os.environ.get("SPARK_GRAFT_GROUND_TRUTH_MAX_DOCS", "1000000")
+)
+
+
+def _ground_truth_scale_guard(n_docs: int, op: str, production_alt: str) -> None:
+    """Raise with a clear message when a declared ground-truth tier is
+    invoked at corpus scale (> GROUND_TRUTH_MAX_DOCS documents)."""
+    if n_docs > GROUND_TRUTH_MAX_DOCS:
+        raise ValueError(
+            f"{op} is a GROUND-TRUTH verification tier (quadratic in "
+            f"per-shingle doc frequency, unbounded aggregation buffers) "
+            f"and is guarded at {GROUND_TRUTH_MAX_DOCS} documents; this "
+            f"corpus has {n_docs}. Use {production_alt} for production "
+            f"scale, or raise SPARK_GRAFT_GROUND_TRUTH_MAX_DOCS to force "
+            f"a deliberate sample-scale measurement."
+        )
 #: Production boilerplate guard: shingles appearing in more than this many
 #: documents are dropped before the inverted-index join. The self-join is
 #: quadratic in per-shingle doc frequency, and a real corpus's boilerplate
@@ -1650,6 +1680,13 @@ def dedup_exact_substring_spans(
     from pyspark.sql import Window as W
 
     d = load_table(spark, "documents", sf_dir)
+    if doc_freq_cap is None:
+        # metadata-cheap parquet count; see _ground_truth_scale_guard
+        _ground_truth_scale_guard(
+            d.count(),
+            "dedup_exact_substring_spans",
+            "dedup_exact_substring_spans_capped",
+        )
     parallelism = spark.sparkContext.defaultParallelism
     # positional shingles: pos is 1-based to mirror SQL list slicing
     npos = F.size("ws") - SPAN_SHINGLE_K + 1

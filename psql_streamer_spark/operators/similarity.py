@@ -411,14 +411,23 @@ def cosine_margin_candidates(
     # (min cent_id over ALL model rows — a NULL-embedding centroid with
     # the lowest id wins ties) derive from the same k-row collect
     all_rows = cent.select("cent_id", "ce").collect()
+    # Model-frame contract (r7 advice): cent_id must be non-NULL. A
+    # NULL-cent_id centroid with a live embedding could hold the best
+    # cosine, and silently dropping it from the matmul would let the
+    # screen miss the true argmax of the crossJoin+window form it must
+    # mirror. No producer emits one (stride centroids carry vec_id,
+    # trained centroids a cluster index), so fail loudly over the k
+    # collected rows instead of guessing semantics for an id-less cell.
+    if any(r.cent_id is None for r in all_rows):
+        raise ValueError(
+            "cosine_margin_candidates: model frame contains a NULL "
+            "cent_id row; centroid ids must be non-NULL for the margin "
+            "screen to mirror the crossJoin+window argmax."
+        )
     cent_rows = sorted(
-        (r for r in all_rows if r.ce is not None and r.cent_id is not None),
-        key=lambda r: r.cent_id,
+        (r for r in all_rows if r.ce is not None), key=lambda r: r.cent_id
     )
-    # F.min semantics: NULL cent_ids ignored; None only when no row has one
-    fallback_cid = min(
-        (r.cent_id for r in all_rows if r.cent_id is not None), default=None
-    )
+    fallback_cid = min((r.cent_id for r in all_rows), default=None)
     cids = np.array([int(r.cent_id) for r in cent_rows])
     C = np.array([r.ce for r in cent_rows], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True) if len(C) else C
