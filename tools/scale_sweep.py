@@ -16,6 +16,22 @@ and a final summary line
     {"metric": "scale_sweep_total_sec", "value": T, "sf_dir": ...,
      "queries_ok": k, "queries_err": e, "errors": {...}}
 
+Evaluation mode (SPARK_GRAFT_SWEEP_EVAL): **noop is the DEFAULT since
+round 8.** ``count`` lets Catalyst prune any output column the count
+never reads, so a per-row transform or a full-ranking window can
+silently measure as scan+count — that blind spot hid the customer
+ranking ops' window wall through three rounds of artifacts (r5-r7)
+until r7's forced-eval re-measure. ``noop`` writes through Spark's noop
+sink, which evaluates EVERY output column; no future artifact can
+under-measure by pruning. Set ``SPARK_GRAFT_SWEEP_EVAL=count`` as the
+explicit cheap opt-out (cardinality-only screening at a fraction of the
+cost); the artifact records which mode produced it (``eval_mode``).
+
+Exclusions: SPARK_GRAFT_SWEEP_EXCLUDE=name1,name2 skips declared
+sample-scale-only tiers (the uncapped ground-truth miners) and records
+the skipped names in the artifact, so an exclusion is always visible
+rather than silent.
+
 Usage:
     python tools/scale_sweep.py [sf_dir] [query ...]
     SPARK_GRAFT_SWEEP_OUT=SCALE_r05.json python tools/scale_sweep.py .scale/sf1
@@ -44,21 +60,26 @@ def main() -> None:
     warm_expression_paths(spark)
 
     queries = all_queries()
-    names = [n for n in sorted(queries) if not only or n in only]
+    excluded = [
+        n
+        for n in os.environ.get("SPARK_GRAFT_SWEEP_EXCLUDE", "").split(",")
+        if n
+    ]
+    names = [
+        n
+        for n in sorted(queries)
+        if (not only or n in only) and n not in excluded
+    ]
 
     results: dict[str, dict[str, float | int]] = {}
     errors: dict[str, str] = {}
     t_all = time.time()
-    # SPARK_GRAFT_SWEEP_EVAL=noop forces FULL evaluation through Spark's
-    # noop sink. The default count() surfaces result cardinality (the
-    # super-linearity tell for pair miners) but lets the optimizer PRUNE
-    # unreferenced columns — a per-row transform or a full-ranking window
-    # whose outputs count() never reads measures as scan+count (this is
-    # how the customer ranking ops' window wall stayed invisible in the
-    # r5-r7 sweeps). noop mode evaluates every output column; rows are
-    # then reported from a separate count so the artifact keeps its
+    # noop (FULL evaluation through Spark's noop sink) is the DEFAULT
+    # since r8 — see the module docstring for why count() is a blind
+    # spot. count remains the explicit cheap opt-out; in noop mode rows
+    # are reported from a separate count so the artifact keeps its
     # cardinality column (that count is NOT included in sec).
-    eval_mode = os.environ.get("SPARK_GRAFT_SWEEP_EVAL", "count")
+    eval_mode = os.environ.get("SPARK_GRAFT_SWEEP_EVAL", "noop")
     for name in names:
         t0 = time.time()
         try:
@@ -84,6 +105,8 @@ def main() -> None:
         "value": round(time.time() - t_all, 3),
         "unit": "sec",
         "sf_dir": sf_dir,
+        "eval_mode": eval_mode,
+        "excluded": excluded,
         "queries_ok": len(results),
         "queries_err": len(errors),
         "errors": errors,
