@@ -129,6 +129,7 @@ def salted_join(
     salt_by: str | None = None,
     hot_row_threshold: int = 10_000,
     sample_fraction: float = 0.001,
+    max_hot_keys: int = 100_000,
 ) -> DataFrame:
     """Equi-join with HOT-KEY salting: keys the skew detector flags split
     across `buckets` reducers (their `small`-side rows replicated
@@ -167,16 +168,35 @@ def salted_join(
     stable input partitioning — under task retry or round-robin lineage
     the two evaluations could disagree, and a key flagged hot on the
     big side but not the small side silently loses every match on salts
-    1..buckets-1. The collect is bounded metadata, not data: at most
-    |big| / hot_row_threshold keys can clear the threshold (~60k keys
-    even at 600M rows), the same driver-side-model class as the k-means
-    centroids."""
+    1..buckets-1. The collect is bounded metadata, not data, and the
+    bound is enforced twice: (a) the parameter combination must satisfy
+    ``hot_row_threshold * sample_fraction >= 1`` (rejected otherwise —
+    below that, the sampled floor degenerates to 1 and EVERY key seen
+    once in the sample would be flagged hot, up to
+    ``sample_fraction * |big|`` distinct keys, far beyond the
+    |big| / hot_row_threshold keys that can truly clear the threshold);
+    (b) a ``max_hot_keys`` Spark-side TakeOrdered keeps only the
+    hottest keys by sampled count, so the driver never holds more than
+    ``max_hot_keys`` rows regardless of input. Dropping a key from the
+    hot set never affects correctness (see above), only how evenly that
+    key parallelizes."""
     frac_floor = max(1, int(hot_row_threshold * sample_fraction))
+    if hot_row_threshold * sample_fraction < 1:
+        raise ValueError(
+            "salted_join: hot_row_threshold * sample_fraction = "
+            f"{hot_row_threshold * sample_fraction:g} < 1 — the sample "
+            "cannot distinguish the threshold from a singleton, so every "
+            "sampled key would be flagged hot (unbounded driver collect). "
+            "Raise sample_fraction or hot_row_threshold so their product "
+            "is >= 1."
+        )
     hot_local = (
         big.sample(fraction=sample_fraction, seed=42)
         .groupBy(big_on)
         .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") >= frac_floor)
+        .orderBy(F.desc("_c"))
+        .limit(max_hot_keys)
         .select(F.col(big_on).alias("_hotkey"))
         .collect()
     )

@@ -1681,7 +1681,7 @@ def dedup_exact_substring_spans(
 
     d = load_table(spark, "documents", sf_dir)
     if doc_freq_cap is None:
-        # metadata-cheap parquet count; see _ground_truth_scale_guard
+        # cheap zero-column count job; see _ground_truth_scale_guard
         _ground_truth_scale_guard(
             d.count(),
             "dedup_exact_substring_spans",

@@ -30,7 +30,14 @@ cost); the artifact records which mode produced it (``eval_mode``).
 Exclusions: SPARK_GRAFT_SWEEP_EXCLUDE=name1,name2 skips declared
 sample-scale-only tiers (the uncapped ground-truth miners) and records
 the skipped names in the artifact, so an exclusion is always visible
-rather than silent.
+rather than silent. A query named explicitly on the command line always
+runs, exclusion or not (a warning is printed when the two collide).
+
+In noop mode the rows column comes from a separate count job whose time
+is recorded per query as ``rows_sec`` and excluded from both ``sec``
+and ``scale_sweep_total_sec`` (which is the SUM of per-query sec;
+``wall_sec`` carries the full wall time) — so totals stay comparable
+across eval modes and to pre-r9 count-mode artifacts.
 
 Usage:
     python tools/scale_sweep.py [sf_dir] [query ...]
@@ -65,11 +72,22 @@ def main() -> None:
         for n in os.environ.get("SPARK_GRAFT_SWEEP_EXCLUDE", "").split(",")
         if n
     ]
-    names = [
-        n
-        for n in sorted(queries)
-        if (not only or n in only) and n not in excluded
-    ]
+    # Explicit CLI query args take precedence over the env exclusion
+    # list: naming a query on the command line is a direct request to
+    # run it. The exclusion only filters the implicit all-queries case;
+    # overridden exclusions are warned about and recorded.
+    if only:
+        overridden = sorted(only & set(excluded))
+        for n in overridden:
+            print(
+                f"warning: {n} is in SPARK_GRAFT_SWEEP_EXCLUDE but was "
+                "requested explicitly on the command line — running it",
+                file=sys.stderr,
+            )
+        names = [n for n in sorted(queries) if n in only]
+        excluded = []  # nothing implicitly skipped in explicit mode
+    else:
+        names = [n for n in sorted(queries) if n not in excluded]
 
     results: dict[str, dict[str, float | int]] = {}
     errors: dict[str, str] = {}
@@ -80,6 +98,7 @@ def main() -> None:
     # are reported from a separate count so the artifact keeps its
     # cardinality column (that count is NOT included in sec).
     eval_mode = os.environ.get("SPARK_GRAFT_SWEEP_EVAL", "noop")
+    measured_sec = 0.0
     for name in names:
         t0 = time.time()
         try:
@@ -87,14 +106,32 @@ def main() -> None:
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                n = df.count()
+                # The rows column comes from a SEPARATE count job; its
+                # time is recorded as rows_sec and excluded from both
+                # sec and scale_sweep_total_sec so the total stays
+                # comparable to the per-query sum and to count-mode
+                # artifacts. A count failure must not discard the
+                # successfully measured noop time.
+                rec: dict = {"sec": round(dt, 3)}
+                t1 = time.time()
+                try:
+                    rec["rows"] = df.count()
+                    rec["rows_sec"] = round(time.time() - t1, 3)
+                except Exception:  # noqa: BLE001
+                    rec["rows"] = None
+                    rec["rows_err"] = (
+                        traceback.format_exc(limit=3).splitlines()[-1]
+                    )
             else:
                 n = queries[name](spark, sf_dir).count()
                 dt = time.time() - t0
-            results[name] = {"sec": round(dt, 3), "rows": n}
-            print(json.dumps({"query": name, "sec": round(dt, 3), "rows": n}), flush=True)
+                rec = {"sec": round(dt, 3), "rows": n}
+            measured_sec += dt
+            results[name] = rec
+            print(json.dumps({"query": name, **rec}), flush=True)
         except Exception:
             dt = time.time() - t0
+            measured_sec += dt
             errors[name] = traceback.format_exc(limit=3).splitlines()[-1]
             print(
                 json.dumps({"query": name, "sec": round(dt, 3), "error": errors[name]}),
@@ -102,8 +139,11 @@ def main() -> None:
             )
     summary = {
         "metric": "scale_sweep_total_sec",
-        "value": round(time.time() - t_all, 3),
+        # sum of measured per-query sec (noop rows-count jobs excluded),
+        # so the total matches the per-query column and count-mode runs
+        "value": round(measured_sec, 3),
         "unit": "sec",
+        "wall_sec": round(time.time() - t_all, 3),
         "sf_dir": sf_dir,
         "eval_mode": eval_mode,
         "excluded": excluded,
