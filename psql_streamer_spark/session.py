@@ -48,6 +48,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast threshold 64 MiB (default 10 MiB): a multi-dim star
+        # join like TPC-H q9 shuffles the FACT table once per
+        # non-broadcast dim — at the sf100 decade (600M-row lineitem)
+        # the default threshold left the %red%-filtered part (2.6M rows,
+        # ~40 MB) and supplier⋈nation (1M rows, ~35 MB) as sort-merge
+        # sides, so lineitem crossed the wire three times and the shuffle
+        # working set fell out of page cache (measured: q9 213 s cold /
+        # 91.8 s warm; with 64 MiB it is 22.6 s — one fact shuffle).
+        # A 64 MiB hashed relation is well within executor memory on any
+        # sane cluster, and the decision stays ADAPTIVE: AQE measures the
+        # real size at runtime, so a dim that outgrows the threshold
+        # (true TPC-H part at 100 TB) falls back to the shuffle join
+        # automatically — nothing is force-broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

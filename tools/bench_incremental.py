@@ -1,0 +1,133 @@
+"""Warm-path SERVING benchmark for the incremental dedup miners.
+
+The scale sweeps measure each incremental tier exactly once per session —
+which charges the whole index build to the probe and never shows the
+shape a daily-ingest user actually runs: build (or load) the corpus band
+index ONCE, then probe it with N successive days' deltas. This tool runs
+that shape in one session at a given sf dir:
+
+1. COLD probe: first invocation of ``dedup_incremental_lsh_pairs``
+   (builds shingle sets + signatures + banded index into the LRU
+   registry, then probes) — the amortized one-time cost.
+2. N WARM probes, each with a DIFFERENT delta bucket (md5(doc_id) % 10
+   == day), simulating successive daily deltas against the same warm
+   index. Steady-state latency should be FLAT across probes and far
+   below the cold build.
+3. The MATERIALIZED tier: ``band_index_table`` built once (the
+   "written at ingest" artifact; timed as index_build), then N
+   bucket-local probes of ``dedup_incremental_materialized_pairs``,
+   again one bucket per day.
+4. INDEX-APPEND cost: a day's delta band rows appended into the bucketed
+   table (``insertInto`` keeps the bucket spec), timed — the per-ingest
+   bookkeeping a daily pipeline pays. The appended rows are deleted from
+   the catalog afterwards by rebuilding nothing: we append a COPY of an
+   existing bucket's rows under fresh doc_ids, which changes no pair the
+   later probes in THIS tool read (probes ran before the append).
+
+Each probe forces full evaluation through the noop sink.
+
+Usage:
+    python tools/bench_incremental.py [sf_dir] [n_probes]
+    SPARK_GRAFT_INCR_OUT=BENCH_INCR_r09.json python tools/bench_incremental.py .scale/sf30 5
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf30"
+    n_probes = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    from psql_streamer_spark.operators import dedup
+    from psql_streamer_spark.session import get_spark
+    from psql_streamer_spark.warmup import warm_expression_paths
+
+    spark = get_spark("bench_incremental")
+    warm_expression_paths(spark)
+
+    out: dict = {"metric": "bench_incremental", "sf_dir": sf_dir, "n_probes": n_probes}
+
+    # -- LRU (in-session) tier -------------------------------------------
+    t = _noop(dedup.dedup_incremental_lsh_pairs(spark, sf_dir))
+    out["lru_cold_first_probe_sec"] = t
+    print(json.dumps({"stage": "lru_cold", "sec": t}), flush=True)
+
+    warm = []
+    orig_bucket = dedup.DELTA_BUCKET
+    try:
+        for day in range(n_probes):
+            dedup.DELTA_BUCKET = day  # successive days' deltas
+            t = _noop(dedup.dedup_incremental_lsh_pairs(spark, sf_dir))
+            warm.append(t)
+            print(json.dumps({"stage": "lru_warm", "day": day, "sec": t}), flush=True)
+    finally:
+        dedup.DELTA_BUCKET = orig_bucket
+    out["lru_warm_probe_sec"] = warm
+
+    # -- materialized (bucketed-table) tier ------------------------------
+    t0 = time.time()
+    table = dedup.band_index_table(spark, sf_dir)
+    out["materialized_index_build_sec"] = round(time.time() - t0, 3)
+    print(
+        json.dumps({"stage": "mat_build", "sec": out["materialized_index_build_sec"]}),
+        flush=True,
+    )
+
+    mat = []
+    try:
+        for day in range(n_probes):
+            dedup.DELTA_BUCKET = day
+            t = _noop(dedup.dedup_incremental_materialized_pairs(spark, sf_dir))
+            mat.append(t)
+            print(json.dumps({"stage": "mat_warm", "day": day, "sec": t}), flush=True)
+    finally:
+        dedup.DELTA_BUCKET = orig_bucket
+    out["materialized_probe_sec"] = mat
+
+    # -- index-append cost (after all probes, so it can't perturb them) --
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    banded = spark.table(table)
+    day_rows = banded.filter(
+        md5_bucket(F.col("doc_id"), dedup.DELTA_BUCKETS) == orig_bucket
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(10**12))
+    n_append = day_rows.count()
+    t0 = time.time()
+    day_rows.write.insertInto(table, overwrite=False)
+    out["index_append_sec"] = round(time.time() - t0, 3)
+    out["index_append_rows"] = n_append
+    print(
+        json.dumps(
+            {
+                "stage": "append",
+                "sec": out["index_append_sec"],
+                "rows": n_append,
+            }
+        ),
+        flush=True,
+    )
+
+    print(json.dumps(out), flush=True)
+    path = os.environ.get("SPARK_GRAFT_INCR_OUT")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
