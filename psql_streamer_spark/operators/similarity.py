@@ -92,6 +92,16 @@ _SQL_BRUTE_TOPK = f"""
 """
 
 
+# Below this corpus size (plan-statistics bytes of the embeddings scan)
+# the single-window ranking wins: the r9 isolated 3-run pin measured the
+# salted two-phase form ~0.25 s SLOWER than the plain window at sf0.1
+# (20k vectors — each query's candidate sort is trivial, so the second
+# shuffle+window is pure overhead), while at sf30+ (600k+ vectors) the
+# single-phase form is the low-cardinality window wall salting exists to
+# remove (r7 measurement). 48 MiB ~ sf10-sf30 boundary on this schema.
+_SALTED_TOPK_MIN_BYTES = 48 * 1024 * 1024
+
+
 @register("sim_bruteforce_topk", oracle=_SQL_BRUTE_TOPK)
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k: queries broadcast against the full corpus; ties broken
@@ -110,15 +120,37 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # per-query ranking is salted two-phase (functions/ranking.py): the
-    # scored frame spreads over query_id x 64 reducers; only the
-    # |queries| x 64 x k survivor frame sees a query-only window. With
-    # N_QUERIES queries, the single-phase form sorted every candidate on
-    # N_QUERIES threads — the low-cardinality window wall.
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    # Size-gated ranking form, decided from the scan's plan statistics
+    # (parquet footer bytes — no job runs). Small corpus: one window over
+    # query_id; its per-group sorts are trivial and the two-phase form's
+    # extra shuffle is pure overhead (measured +0.25 s at sf0.1, the r9
+    # pin). Large corpus: salted two-phase (functions/ranking.py) — the
+    # scored frame spreads over query_id x 64 reducers and only the
+    # |queries| x 64 x k survivor frame sees a query-only window; the
+    # single-phase form would sort every candidate on N_QUERIES threads,
+    # the low-cardinality window wall (r7 sf30+ measurement). Both forms
+    # return identical rows (the order is total).
+    corpus_bytes = int(
+        str(
+            _vectors(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    )
+    if corpus_bytes < _SALTED_TOPK_MIN_BYTES:
+        w = W.partitionBy("query_id").orderBy(*order)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
     return salted_topk(
         scored,
         ["query_id"],
-        [F.desc("cosine"), F.asc("neighbor_id")],
+        order,
         TOP_K,
         F.col("neighbor_id"),
     ).select("query_id", "neighbor_id", "cosine", "rank")

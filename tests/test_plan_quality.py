@@ -566,7 +566,6 @@ def test_per_query_topk_windows_are_salted(spark, queries):
     # two-phase top-k must rank within (query_id, __salt) cells; only the
     # |queries| x 64 x k survivor frame may see a query-only window
     for name in (
-        "sim_bruteforce_topk",
         "sim_lsh_topk",
         "sim_ivf_topk",
         "text_bm25_topk",
@@ -576,6 +575,32 @@ def test_per_query_topk_windows_are_salted(spark, queries):
         assert any(
             "query_id" in l and "__salt" in l for l in part_lines
         ), (name, part_lines)
+
+
+def test_bruteforce_topk_ranking_form_is_size_gated(spark, queries):
+    # sim_bruteforce_topk picks its ranking form from the corpus scan's
+    # plan statistics (r9 pin: at 20k vectors the two-phase form's extra
+    # shuffle measured ~+0.25 s of pure overhead; at sf30+ the single
+    # window IS the low-cardinality wall). Small corpus -> exactly one
+    # query-only window, no salt cells; large (threshold forced to 0)
+    # -> the salted two-phase shape.
+    from psql_streamer_spark.operators import similarity as sim
+
+    plan = _physical(queries["sim_bruteforce_topk"](spark, SF_DIR))
+    assert "__salt" not in plan
+    part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("query_id" in l for l in part_lines), part_lines
+
+    orig = sim._SALTED_TOPK_MIN_BYTES
+    sim._SALTED_TOPK_MIN_BYTES = 0
+    try:
+        plan = _physical(queries["sim_bruteforce_topk"](spark, SF_DIR))
+        part_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+        assert any(
+            "query_id" in l and "__salt" in l for l in part_lines
+        ), part_lines
+    finally:
+        sim._SALTED_TOPK_MIN_BYTES = orig
 
 
 def test_minmax_broadcast_stats_is_jvm_only_narrow(spark, queries):
