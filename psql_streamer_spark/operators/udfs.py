@@ -266,16 +266,35 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     band is a 5-sigma envelope — rsd equal to the band (1 sigma) actually
     exceeded it on every sf0.1 group. At 100 TB this is the only sane
     distinct-count: the sketch is fixed-size, mergeable, map-side
-    combined; exact COUNT(DISTINCT) shuffles every distinct value."""
+    combined; exact COUNT(DISTINCT) shuffles every distinct value.
+
+    The exact and approximate counts are computed in SEPARATE
+    aggregations joined on the 5-row group frame — never mixed in one
+    agg: Spark's one-distinct rewrite keys the partial state by
+    (group, distinct-col), so a mixed agg carries the ~16 KB rsd=0.01
+    HLL++ buffer once per DISTINCT (event_type, user_id) pair instead
+    of once per group. Measured at sf30 (30M events): 4.8 s exact +
+    1.9 s approx separately, 105 s mixed — a 15x pathology for the same
+    result."""
     e = load_table(spark, "events", sf_dir)
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        (
-            F.abs(
-                F.approx_count_distinct("user_id", 0.01).cast("double")
-                - F.countDistinct("user_id").cast("double")
-            )
-            / F.countDistinct("user_id").cast("double")
-            < F.lit(0.05)
-        ).alias("approx_within_5pct"),
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx_users")
+    )
+    return (
+        exact.join(F.broadcast(approx), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(
+                    F.col("_approx_users").cast("double")
+                    - F.col("exact_users").cast("double")
+                )
+                / F.col("exact_users").cast("double")
+                < F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
