@@ -25,6 +25,8 @@ handling doesn't apply.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -170,23 +172,28 @@ def salted_join(
     big side but not the small side silently loses every match on salts
     1..buckets-1. The collect is bounded metadata, not data, and the
     bound is enforced twice: (a) the parameter combination must satisfy
-    ``hot_row_threshold * sample_fraction >= 1`` (rejected otherwise —
-    below that, the sampled floor degenerates to 1 and EVERY key seen
-    once in the sample would be flagged hot, up to
-    ``sample_fraction * |big|`` distinct keys, far beyond the
-    |big| / hot_row_threshold keys that can truly clear the threshold);
+    ``hot_row_threshold * sample_fraction >= 1`` (rejected otherwise),
+    and the sampled-count floor is ``max(2, ceil(product))`` — the
+    ceil (not int-truncation) plus the hard floor of 2 means a key seen
+    ONCE in the sample can never be flagged hot for any accepted
+    parameters; with truncation, any product in [1, 2) degenerated the
+    floor to 1 and every sampled singleton (up to
+    ``sample_fraction * |big|`` distinct keys) was flagged, far beyond
+    the |big| / hot_row_threshold keys that can truly clear the
+    threshold — each then salting (replicating small-side rows
+    buckets x) for no benefit;
     (b) a ``max_hot_keys`` Spark-side TakeOrdered keeps only the
     hottest keys by sampled count, so the driver never holds more than
     ``max_hot_keys`` rows regardless of input. Dropping a key from the
     hot set never affects correctness (see above), only how evenly that
     key parallelizes."""
-    frac_floor = max(1, int(hot_row_threshold * sample_fraction))
+    frac_floor = max(2, math.ceil(hot_row_threshold * sample_fraction))
     if hot_row_threshold * sample_fraction < 1:
         raise ValueError(
             "salted_join: hot_row_threshold * sample_fraction = "
-            f"{hot_row_threshold * sample_fraction:g} < 1 — the sample "
-            "cannot distinguish the threshold from a singleton, so every "
-            "sampled key would be flagged hot (unbounded driver collect). "
+            f"{hot_row_threshold * sample_fraction:g} < 1 — a truly-hot "
+            "key is expected to appear under once in the sample, so the "
+            "sampled count cannot distinguish the threshold from noise. "
             "Raise sample_fraction or hot_row_threshold so their product "
             "is >= 1."
         )

@@ -283,8 +283,16 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("_approx_users")
     )
+    # Null-safe join key: groupBy keeps a NULL event_type group on both
+    # sides, but a plain equality join would silently drop it — the
+    # split-into-two-aggregations form must preserve the single-agg
+    # semantics for nullable group keys, not just the current testdata.
+    approx = approx.withColumnRenamed("event_type", "_et")
     return (
-        exact.join(F.broadcast(approx), "event_type")
+        exact.join(
+            F.broadcast(approx),
+            exact["event_type"].eqNullSafe(approx["_et"]),
+        )
         .select(
             "event_type",
             "exact_users",

@@ -56,11 +56,17 @@ def get_spark(
         # sides, so lineitem crossed the wire three times and the shuffle
         # working set fell out of page cache (measured: q9 213 s cold /
         # 91.8 s warm; with 64 MiB it is 22.6 s — one fact shuffle).
-        # A 64 MiB hashed relation is well within executor memory on any
-        # sane cluster, and the decision stays ADAPTIVE: AQE measures the
-        # real size at runtime, so a dim that outgrows the threshold
-        # (true TPC-H part at 100 TB) falls back to the shuffle join
-        # automatically — nothing is force-broadcast.
+        # Memory math: the threshold compares COMPRESSED on-disk bytes
+        # (parquet file-size stats), and a planned broadcast is NOT
+        # demoted by AQE at runtime — AQE only promotes shuffle joins
+        # whose measured size turns out small. A 64 MiB parquet dim can
+        # expand ~3-5x as an in-memory hashed relation (~200-320 MB),
+        # which must fit the driver and every executor; that is within
+        # the multi-GB heaps this engine assumes (128 GiB local; any
+        # sane cluster executor), but a dim that outgrows the threshold
+        # on DISK (true TPC-H part at 100 TB) is planned as a shuffle
+        # join from the start — the fallback is the planner's static
+        # size estimate, not a runtime demotion.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -29,6 +29,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -77,8 +78,11 @@ def main() -> None:
         "eval_mode": "noop",
         "runs": runs,
         "per_tier_sec": by,
-        "median_containment": by[tiers[0]][len(by[tiers[0]]) // 2],
-        "median_jaccard": by[tiers[1]][len(by[tiers[1]]) // 2],
+        # statistics.median averages the middle pair for even run counts
+        # (the previous upper-middle-element pick overstated an even
+        # list's median — max-of-2 for the 2-run case).
+        "median_containment": round(statistics.median(by[tiers[0]]), 3),
+        "median_jaccard": round(statistics.median(by[tiers[1]]), 3),
     }
     print(json.dumps(summary), flush=True)
     out = os.environ.get("SPARK_GRAFT_AB_OUT")

@@ -19,10 +19,12 @@ that shape in one session at a given sf dir:
    again one bucket per day.
 4. INDEX-APPEND cost: a day's delta band rows appended into the bucketed
    table (``insertInto`` keeps the bucket spec), timed — the per-ingest
-   bookkeeping a daily pipeline pays. The appended rows are deleted from
-   the catalog afterwards by rebuilding nothing: we append a COPY of an
-   existing bucket's rows under fresh doc_ids, which changes no pair the
-   later probes in THIS tool read (probes ran before the append).
+   bookkeeping a daily pipeline pays. The appended rows are synthetic
+   (a COPY of an existing bucket's rows under shifted doc_ids), so after
+   timing, the table is DROPPED and its warehouse files removed: any
+   later consumer of ``dedup_incremental_materialized_pairs`` in the
+   same session rebuilds a clean index instead of reading the polluted
+   one and emitting phantom pairs.
 
 Each probe forces full evaluation through the noop sink.
 
@@ -111,6 +113,17 @@ def main() -> None:
     day_rows.write.insertInto(table, overwrite=False)
     out["index_append_sec"] = round(time.time() - t0, 3)
     out["index_append_rows"] = n_append
+    # The append polluted the index with synthetic rows; drop the table
+    # (and its files) so a later same-session consumer rebuilds clean
+    # rather than emitting phantom pairs against the shifted doc_ids.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, table)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
     print(
         json.dumps(
             {

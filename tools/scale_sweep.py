@@ -90,7 +90,7 @@ def main() -> None:
         names = [n for n in sorted(queries) if n not in excluded]
 
     results: dict[str, dict[str, float | int]] = {}
-    errors: dict[str, str] = {}
+    errors: dict[str, dict] = {}
     t_all = time.time()
     # noop (FULL evaluation through Spark's noop sink) is the DEFAULT
     # since r8 — see the module docstring for why count() is a blind
@@ -132,9 +132,16 @@ def main() -> None:
         except Exception:
             dt = time.time() - t0
             measured_sec += dt
-            errors[name] = traceback.format_exc(limit=3).splitlines()[-1]
+            # Record the errored query's sec alongside its error so the
+            # invariant "value == sum of per-query sec" holds even on an
+            # errored sweep (the time was spent and is counted in value,
+            # so it must be attributable per-query).
+            errors[name] = {
+                "sec": round(dt, 3),
+                "err": traceback.format_exc(limit=3).splitlines()[-1],
+            }
             print(
-                json.dumps({"query": name, "sec": round(dt, 3), "error": errors[name]}),
+                json.dumps({"query": name, **errors[name]}),
                 flush=True,
             )
     summary = {
