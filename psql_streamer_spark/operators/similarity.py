@@ -74,7 +74,8 @@ _SQL_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k.
 # --------------------------------------------------------------------------
-_SQL_BRUTE_TOPK = f"""
+def _sql_brute_topk(k: int) -> str:
+    return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
                FROM embeddings),
@@ -88,8 +89,11 @@ _SQL_BRUTE_TOPK = f"""
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= {TOP_K}
+    ) WHERE rank <= {k}
 """
+
+
+_SQL_BRUTE_TOPK = _sql_brute_topk(TOP_K)
 
 
 # Below this corpus size (plan-statistics bytes of the embeddings scan)
@@ -106,6 +110,10 @@ _SALTED_TOPK_MIN_BYTES = 48 * 1024 * 1024
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k: queries broadcast against the full corpus; ties broken
     by neighbor_id so ranking is total and cross-engine stable."""
+    return _bruteforce_topk(spark, sf_dir, TOP_K)
+
+
+def _bruteforce_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     q = v.filter(F.col("vec_id") < N_QUERIES)
     c = v
@@ -144,14 +152,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = W.partitionBy("query_id").orderBy(*order)
         return (
             scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
+            .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
     return salted_topk(
         scored,
         ["query_id"],
         order,
-        TOP_K,
+        k,
         F.col("neighbor_id"),
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
@@ -244,7 +252,8 @@ _table_selects = " UNION ALL ".join(
     for t in range(LSH_TABLES)
 )
 
-_SQL_LSH_TOPK = f"""
+def _sql_lsh_topk(k: int) -> str:
+    return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
                FROM embeddings),
@@ -266,8 +275,11 @@ _SQL_LSH_TOPK = f"""
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= {TOP_K}
+    ) WHERE rank <= {k}
 """
+
+
+_SQL_LSH_TOPK = _sql_lsh_topk(TOP_K)
 
 
 @register("sim_lsh_topk", oracle=_SQL_LSH_TOPK)
@@ -276,7 +288,11 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query's bucket members (OR-construction), then exact-scored. The
     bucket equi-join replaces the cross join — this is what survives at
     1000x the corpus. Recall vs sim_bruteforce_topk is the quality metric
-    (see tests)."""
+    (sim_recall_report + tests)."""
+    return _lsh_topk(spark, sf_dir, TOP_K)
+
+
+def _lsh_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     sig = None
     for t in range(LSH_TABLES):
@@ -333,7 +349,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         ["query_id"],
         [F.desc("cosine"), F.asc("neighbor_id")],
-        TOP_K,
+        k,
         F.col("neighbor_id"),
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
@@ -343,7 +359,8 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid ("trained" deterministically); vectors assign to their nearest
 # centroid; queries probe the IVF_PROBES nearest cells.
 # --------------------------------------------------------------------------
-_SQL_IVF_TOPK = f"""
+def _sql_ivf_topk(k: int) -> str:
+    return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
                FROM embeddings),
@@ -381,14 +398,21 @@ _SQL_IVF_TOPK = f"""
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= {TOP_K}
+    ) WHERE rank <= {k}
 """
+
+
+_SQL_IVF_TOPK = _sql_ivf_topk(TOP_K)
 
 
 @register("sim_ivf_topk", oracle=_SQL_IVF_TOPK)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe search: nearest-centroid assignment (broadcast centroids),
     then exact scoring only inside the query's top-P cells."""
+    return _ivf_stride_topk(spark, sf_dir, TOP_K)
+
+
+def _ivf_stride_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     import math
 
     v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
@@ -407,7 +431,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    return _ivf_probe_topk(v, cent)
+    return _ivf_probe_topk(v, cent, k)
 
 
 def cosine_margin_candidates(
@@ -507,7 +531,7 @@ def cosine_margin_candidates(
     )
 
 
-def _ivf_probe_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
+def _ivf_probe_topk(v: DataFrame, cent: DataFrame, k: int = TOP_K) -> DataFrame:
     """Shared IVF probe: cell assignment + probe-cell ranking against a
     (cent_id, ce, cnrm) model frame — always broadcast; the centroid set
     is O(model), never O(data)."""
@@ -571,7 +595,7 @@ def _ivf_probe_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
         scored,
         ["query_id"],
         [F.desc("cosine"), F.asc("neighbor_id")],
-        TOP_K,
+        k,
         F.col("neighbor_id"),
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
@@ -898,5 +922,90 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(
                 F.when(F.col("predicted") == F.col("true_label"), 1)
             ).alias("n_correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Recall report: the QUALITY axis of the approximate tiers. The latency
+# of sim_lsh_topk / sim_ivf_topk is measured by the bench and the scale
+# sweeps; this op measures what those tiers give up — recall@k against
+# the exact brute-force ground truth, per tier, as a first-class query.
+# A real ANN deployment tunes LSH_TABLES/LSH_PLANES and IVF_PROBES on
+# exactly this number.
+# --------------------------------------------------------------------------
+RECALL_K = 10
+
+_SQL_RECALL_REPORT = f"""
+    WITH brute AS ({_sql_brute_topk(RECALL_K)}),
+    lshq AS ({_sql_lsh_topk(RECALL_K)}),
+    ivfq AS ({_sql_ivf_topk(RECALL_K)}),
+    approx AS (
+      SELECT 'lsh' AS tier, query_id, neighbor_id FROM lshq
+      UNION ALL
+      SELECT 'ivf' AS tier, query_id, neighbor_id FROM ivfq
+    ),
+    tiers AS (SELECT 'lsh' AS tier UNION ALL SELECT 'ivf' AS tier),
+    hits AS (
+      SELECT a.tier, COUNT(*) AS n_hits
+      FROM approx a JOIN brute b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY a.tier
+    ),
+    expected AS (SELECT COUNT(*) AS n_expected FROM brute)
+    SELECT t.tier, {RECALL_K} AS k, e.n_expected,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) / e.n_expected AS recall
+    FROM tiers t CROSS JOIN expected e
+    LEFT JOIN hits h ON h.tier = t.tier
+"""
+
+
+@register("sim_recall_report", oracle=_SQL_RECALL_REPORT)
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{RECALL_K} of each untrained approximate tier (LSH, stride
+    IVF) against the exact brute-force top-k over the same queries — one
+    row per tier: (tier, k, n_expected, n_hits, recall). The trained
+    k-means IVF tier is iterative (rows-only driver check) and its recall
+    is asserted separately in tests/test_quality_metrics.py, so it stays
+    out of this hash-checked report.
+
+    Scale design: the ground-truth side is O(Q x N) BY DEFINITION — a
+    recall measurement cannot avoid the exact scan. At corpus scale this
+    op runs on a query SAMPLE (N_QUERIES vectors), which is how recall is
+    audited in production ANN systems: the corpus side stays a single
+    broadcast-query pass (no shuffle of the big side), the approx tiers
+    run their normal bucketed plans, and the report joins three
+    Q*k-row frames — model-sized, never corpus-sized. Measured points:
+    sf0.1 and the inflated sf10 decade (tools/recall_scale.py,
+    SCALE.md)."""
+    brute = _bruteforce_topk(spark, sf_dir, RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = _lsh_topk(spark, sf_dir, RECALL_K).select("query_id", "neighbor_id")
+    ivf = _ivf_stride_topk(spark, sf_dir, RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh.withColumn("tier", F.lit("lsh")).unionByName(
+        ivf.withColumn("tier", F.lit("ivf"))
+    )
+    hits = (
+        approx.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    expected = brute.agg(F.count("*").alias("n_expected"))
+    tiers = spark.createDataFrame([("lsh",), ("ivf",)], "tier string")
+    return (
+        tiers.crossJoin(F.broadcast(expected))
+        .join(F.broadcast(hits), "tier", "left")
+        .select(
+            "tier",
+            F.lit(RECALL_K).alias("k"),
+            "n_expected",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_expected")).alias(
+                "recall"
+            ),
         )
     )

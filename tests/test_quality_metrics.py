@@ -61,6 +61,29 @@ def test_ann_recall_vs_bruteforce(spark, sfdir):
     assert len(exact & ivf) / len(exact) >= 0.3
 
 
+def test_recall_report_floors_at_sf01(spark):
+    """The registered recall report (hash-checked vs DuckDB at sf0.01)
+    must clear documented quality floors at sf0.1: measured recall@10 is
+    LSH 0.49 / stride-IVF 0.36 (RECALL_r10.json; deterministic data and
+    hashes, so these are exact) — floors sit below with margin so the
+    assert catches a knob change that collapses quality, not noise. The
+    inflated sf10 decade point lives in tools/recall_scale.py output
+    (LSH holds ~0.57; stride-IVF decays to 0.20 as sqrt-scaled stride
+    spreads 3 fixed probes over more cells — the documented trade)."""
+    rows = {
+        r.tier: r
+        for r in QUERIES["sim_recall_report"](
+            spark, "/root/testdata/sf0.1"
+        ).collect()
+    }
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r.k == 10 and r.n_expected == 100
+        assert r.recall == r.n_hits / r.n_expected
+    assert rows["lsh"].recall >= 0.35, rows["lsh"]
+    assert rows["ivf"].recall >= 0.20, rows["ivf"]
+
+
 def test_ivf_kmeans_recall_vs_bruteforce(spark, sfdir):
     """Trained-centroid IVF must clear the stride-sampled index's recall
     floor — trained cells are the whole point of wiring k-means in."""
