@@ -122,6 +122,15 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
 
 
+def _hot_floor(hot_row_threshold: int, sample_fraction: float) -> int:
+    """Sampled-count floor for hot-key detection: ceil of the expected
+    sample count of a key exactly at the threshold, hard-floored at 2 so
+    a key seen ONCE in the sample can never be flagged hot — with int()
+    truncation, any product in [1, 2) degenerated the floor to 1 and
+    every sampled singleton was flagged (r9 advice, medium)."""
+    return max(2, math.ceil(hot_row_threshold * sample_fraction))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -187,7 +196,7 @@ def salted_join(
     ``max_hot_keys`` rows regardless of input. Dropping a key from the
     hot set never affects correctness (see above), only how evenly that
     key parallelizes."""
-    frac_floor = max(2, math.ceil(hot_row_threshold * sample_fraction))
+    frac_floor = _hot_floor(hot_row_threshold, sample_fraction)
     if hot_row_threshold * sample_fraction < 1:
         raise ValueError(
             "salted_join: hot_row_threshold * sample_fraction = "

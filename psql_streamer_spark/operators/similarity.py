@@ -292,16 +292,27 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_topk(spark, sf_dir, TOP_K)
 
 
-def _lsh_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """``tables`` (OR-width: more tables = more recall, more candidates)
+    and ``planes`` (bucket granularity: more planes = smaller buckets =
+    fewer candidates, less recall) are the LSH quality/latency knobs —
+    pinned at module defaults for the registered oracle-checked ops,
+    swept by tools/recall_scale.py for the measured quality axis."""
     v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     sig = None
-    for t in range(LSH_TABLES):
+    for t in range(tables):
         part = v.select(
             "vec_id",
             "e",
             "nrm",
             F.lit(t).alias("tbl"),
-            _signature(t, F.col("e")).alias("bucket"),
+            _signature(t, F.col("e"), planes=planes).alias("bucket"),
         )
         sig = part if sig is None else sig.unionByName(part)
     q = sig.filter(F.col("vec_id") < N_QUERIES)
@@ -412,7 +423,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_stride_topk(spark, sf_dir, TOP_K)
 
 
-def _ivf_stride_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def _ivf_stride_topk(
+    spark: SparkSession, sf_dir: str, k: int, nprobe: int = IVF_PROBES
+) -> DataFrame:
     import math
 
     v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
@@ -431,7 +444,7 @@ def _ivf_stride_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    return _ivf_probe_topk(v, cent, k)
+    return _ivf_probe_topk(v, cent, k, nprobe)
 
 
 def cosine_margin_candidates(
@@ -531,10 +544,15 @@ def cosine_margin_candidates(
     )
 
 
-def _ivf_probe_topk(v: DataFrame, cent: DataFrame, k: int = TOP_K) -> DataFrame:
+def _ivf_probe_topk(
+    v: DataFrame, cent: DataFrame, k: int = TOP_K, nprobe: int = IVF_PROBES
+) -> DataFrame:
     """Shared IVF probe: cell assignment + probe-cell ranking against a
     (cent_id, ce, cnrm) model frame — always broadcast; the centroid set
-    is O(model), never O(data)."""
+    is O(model), never O(data). ``nprobe`` is the recall/latency knob
+    (cells probed per query): the registered ops pin it at IVF_PROBES so
+    their oracles replay it; tools/recall_scale.py sweeps it to measure
+    the quality axis."""
     sim_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     # corpus assignment: lossless BLAS margin screen + exact fold rerank
     # over the (almost always single-row) candidate set — replaces the
@@ -565,7 +583,7 @@ def _ivf_probe_topk(v: DataFrame, cent: DataFrame, k: int = TOP_K) -> DataFrame:
                 W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
             ),
         )
-        .filter(F.col("rn") <= IVF_PROBES)
+        .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), "cent_id")
     )
     q = v.select(

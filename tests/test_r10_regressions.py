@@ -1,0 +1,92 @@
+"""Round-10 regression pins for the r9-advice semantic fixes: the
+hot-key sampled-count floor (ceil + hard floor of 2, not int truncation)
+and the null-safe group-key join in the split HLL aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hot_floor_never_one_for_accepted_params():
+    """For every accepted (threshold, fraction) pair — product >= 1 — the
+    sampled-count floor must be >= 2, so a singleton sample count can
+    never flag a key hot. With int() truncation, any product in [1, 2)
+    (e.g. threshold=10_000, fraction=0.00015 -> 1.5) degenerated the
+    floor to 1 and up to sample_fraction * |big| cold singletons were
+    salted, replicating small-side rows buckets x for no benefit."""
+    from psql_streamer_spark.operators.asof import _hot_floor
+
+    # the [1, 2) degeneracy band the truncation bug lived in
+    assert _hot_floor(10_000, 0.00015) == 2  # product 1.5
+    assert _hot_floor(150, 0.01) == 2  # product 1.5
+    assert _hot_floor(100, 0.01) == 2  # product exactly 1
+    assert _hot_floor(199, 0.01) == 2  # product 1.99
+    # above the band: ceil, not truncate (2.5 -> 3, not 2)
+    assert _hot_floor(250, 0.01) == 3
+    assert _hot_floor(10_000, 0.01) == 100
+    for thr, frac in [(10_000, 0.00015), (150, 0.01), (101, 0.01)]:
+        assert _hot_floor(thr, frac) >= 2
+
+
+def test_salted_join_singletons_not_flagged_hot_in_degenerate_band(spark):
+    """End-to-end: with product = 1.5 (inside the old degeneracy band)
+    and an all-cold corpus of singleton keys, the salted join must leave
+    the small side UNREPLICATED — output parity with the plain join and
+    every row on salt 0 (observable as output row count == plain count;
+    pre-fix, sampled singletons were flagged hot and matched across
+    buckets only via replication, same count but a buckets-x bigger
+    small side; the floor unit test above pins the mechanism, this pins
+    the join stays correct at the boundary params)."""
+    from psql_streamer_spark.operators.asof import salted_join
+
+    big = spark.range(2_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    small = spark.range(2_000).select(
+        F.col("id").alias("sk"), (F.col("id") * 10).alias("attr")
+    )
+    out = salted_join(
+        big,
+        small,
+        big_on="k",
+        small_on="sk",
+        buckets=8,
+        salt_by="payload",
+        hot_row_threshold=150,
+        sample_fraction=0.01,  # product 1.5: the [1,2) band
+    )
+    plain = big.join(small, F.col("k") == F.col("sk"))
+    assert out.count() == plain.count() == 2_000
+
+
+def test_salted_join_still_rejects_product_below_one(spark):
+    from psql_streamer_spark.operators.asof import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(10).select(F.col("id").alias("sk"))
+    with pytest.raises(ValueError, match=">= 1"):
+        salted_join(
+            big, small, big_on="k", small_on="sk",
+            hot_row_threshold=10, sample_fraction=0.01,
+        ).count()
+
+
+def test_agg_approx_distinct_users_keeps_null_group(spark, tmp_path):
+    """groupBy keeps a NULL event_type group; the split-into-two-
+    aggregations form joins exact and approx counts — a plain equality
+    join key silently dropped the NULL group (r9 advice). The eqNullSafe
+    join must emit it with correct counts."""
+    from psql_streamer_spark.operators.udfs import agg_approx_distinct_users
+
+    rows = [(i, "click" if i % 3 else None) for i in range(300)]
+    spark.createDataFrame(rows, "user_id long, event_type string").write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r.event_type: r for r in agg_approx_distinct_users(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"click", None}
+    assert got[None].exact_users == 100  # ids 0, 3, 6, ... 297
+    assert got["click"].exact_users == 200
+    assert got[None].approx_within_5pct and got["click"].approx_within_5pct

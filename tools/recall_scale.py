@@ -40,6 +40,8 @@ def main() -> None:
         sim_recall_report,
     )
 
+    from psql_streamer_spark.operators.similarity import _ivf_stride_topk, _lsh_topk
+
     points = []
     for sf_dir in dirs:
         t0 = time.time()
@@ -74,6 +76,44 @@ def main() -> None:
             round(len(exact5 & km) / len(exact5), 4) if exact5 else None
         )
         rec["kmeans_sec"] = round(time.time() - t0, 3)
+
+        # Knob sweep (last dir only — the inflated decade point, where
+        # the knobs matter): recall@k and latency per knob setting, so
+        # nprobe and the LSH OR-width have a measured quality/cost curve
+        # rather than a single default reading.
+        if sf_dir == dirs[-1] and exact:
+            knobs = []
+            for nprobe in (3, 6, 10):
+                t0 = time.time()
+                got = {
+                    (r.query_id, r.neighbor_id)
+                    for r in _ivf_stride_topk(
+                        spark, sf_dir, RECALL_K, nprobe=nprobe
+                    ).collect()
+                }
+                knobs.append(
+                    {
+                        "knob": f"ivf_nprobe={nprobe}",
+                        "recall": round(len(exact & got) / len(exact), 4),
+                        "sec": round(time.time() - t0, 3),
+                    }
+                )
+            for tables in (4, 8):
+                t0 = time.time()
+                got = {
+                    (r.query_id, r.neighbor_id)
+                    for r in _lsh_topk(
+                        spark, sf_dir, RECALL_K, tables=tables
+                    ).collect()
+                }
+                knobs.append(
+                    {
+                        "knob": f"lsh_tables={tables}",
+                        "recall": round(len(exact & got) / len(exact), 4),
+                        "sec": round(time.time() - t0, 3),
+                    }
+                )
+            rec["knob_sweep"] = knobs
         points.append(rec)
         print(json.dumps(rec), flush=True)
 
