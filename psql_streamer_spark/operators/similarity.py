@@ -1022,8 +1022,10 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(RECALL_K).alias("k"),
             "n_expected",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) / F.col("n_expected")).alias(
-                "recall"
-            ),
+            # try_divide: NULL on an empty corpus (n_expected = 0),
+            # matching DuckDB's NULL-on-/0 — ANSI `/` would throw
+            F.try_divide(
+                F.coalesce("n_hits", F.lit(0)), F.col("n_expected")
+            ).alias("recall"),
         )
     )
