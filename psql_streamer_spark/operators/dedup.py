@@ -530,37 +530,65 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The signature frame feeds the 4-band union AND both sides of the
     # self-join — 8 plan references; unpersisted, Spark recomputes the
     # full shingle-explode + md5 + 32-bit-vote aggregate each time
-    # (measured 37 s at sf1 vs ~8 s for one signature pass). Persist and
-    # register in the bounded index cache like the other miners.
-    sig = _simhash(spark, sf_dir).persist()
-    banded = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+    # (measured 37 s at sf1 vs ~8 s for one signature pass). Both the
+    # signature AND the verified pair set go through the bounded
+    # materialized-index registry like the other miners (r10: the pair
+    # frame was previously a lazily-persisted lineage, and composing it
+    # into a larger single-action plan that ALSO contains the exact-
+    # Jaccard ground-truth tree silently dropped the distinct's shuffle —
+    # Spark's exchange/stage reuse falsely unified canonically-colliding
+    # stages from the shared shingle lineage, so the pair-level
+    # HashAggregate ran partial-only and band-duplicate pairs survived
+    # (56 rows instead of 20 at sf0.01; reproduced, and gone with
+    # spark.sql.exchange.reuse=false). Eager materialization makes every
+    # consumer read the computed InMemoryRelation instead of re-planning
+    # the raw lineage — correct in any composition, and the build-once/
+    # probe-many shape this index wants anyway. Pinned in
+    # tests/test_r10_regressions.py::test_simhash_pairs_stable_under_composition.)
+    def _build_sig() -> DataFrame:
+        s = _simhash(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sig = INDEX_CACHE.get_or_build(spark, "dedup_simhash_sig", sf_dir, _build_sig)
+
+    def _build_pairs() -> DataFrame:
+        banded = None
+        for b in range(4):
+            part = sig.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("byte"),
+            )
+            banded = part if banded is None else banded.unionByName(part)
+        a = banded.alias("a")
+        b_ = banded.alias("b")
+        hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        result = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.byte") == F.col("b.byte"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .distinct()
+            .persist()
         )
-        banded = part if banded is None else banded.unionByName(part)
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    result = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+        result.count()
+        return result
+
+    return INDEX_CACHE.get_or_build(
+        spark, "dedup_simhash_pairs", sf_dir, _build_pairs
     )
-    return persist_for(sig, result)
 
 
 # --------------------------------------------------------------------------
@@ -636,41 +664,60 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines). Reference anchor: the reference's dedup story is
     event-UUID exactness (event/event.go:24-34); this implements SURVEY
     §2.8's fuzzy-dedup row at production width."""
-    sig = _simhash64(spark, sf_dir).persist()
-    banded = None
-    for band in range(4):
-        half = F.col("sh_lo") if band < 2 else F.col("sh_hi")
-        part = sig.select(
-            "doc_id",
-            "sh_lo",
-            "sh_hi",
-            F.lit(band).alias("band"),
-            F.shiftright(half, 16 * (band % 2)).bitwiseAND(F.lit(65535)).alias(
-                "key16"
-            ),
+    # Index frames materialize eagerly through the registry — same r10
+    # fix as the 32-bit tier: the lazily-persisted pair lineage, composed
+    # cold into a plan that also carries the shared shingle lineage,
+    # tripped Spark's exchange/stage reuse into dropping the distinct's
+    # shuffle (31 composed vs 14 standalone at sf0.01, reproduced).
+    # Eager build = every consumer reads the computed frame.
+    def _build_sig64() -> DataFrame:
+        s = _simhash64(spark, sf_dir).persist()
+        s.count()
+        return s
+
+    sig = INDEX_CACHE.get_or_build(spark, "dedup_simhash64_sig", sf_dir, _build_sig64)
+
+    def _build_pairs64() -> DataFrame:
+        banded = None
+        for band in range(4):
+            half = F.col("sh_lo") if band < 2 else F.col("sh_hi")
+            part = sig.select(
+                "doc_id",
+                "sh_lo",
+                "sh_hi",
+                F.lit(band).alias("band"),
+                F.shiftright(half, 16 * (band % 2)).bitwiseAND(F.lit(65535)).alias(
+                    "key16"
+                ),
+            )
+            banded = part if banded is None else banded.unionByName(part)
+        a = banded.alias("a")
+        b_ = banded.alias("b")
+        hamming = F.bit_count(
+            F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
+        ) + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+        result = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key16") == F.col("b.key16"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .distinct()
+            .persist()
         )
-        banded = part if banded is None else banded.unionByName(part)
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
-    ) + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
-    result = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key16") == F.col("b.key16"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
+        result.count()
+        return result
+
+    return INDEX_CACHE.get_or_build(
+        spark, "dedup_simhash64_pairs", sf_dir, _build_pairs64
     )
-    return persist_for(sig, result)
 
 
 # --------------------------------------------------------------------------
@@ -2450,3 +2497,89 @@ def dedup_incremental_materialized_pairs(
     bucket-local join, verify exact Jaccard on candidates only."""
     cand = materialized_band_candidates(spark, sf_dir)
     return _jaccard_pairs(spark, sf_dir, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# Dedup quality report: the measured quality axis of the approximate
+# near-dup tiers, mirroring sim_recall_report on the ANN side. Ground
+# truth is the exact n-gram Jaccard miner (threshold 0.8); the tiers
+# under audit are the MinHash-LSH production miner (whose exact-Jaccard
+# verify makes precision 1.0 BY CONSTRUCTION — the report proves it and
+# measures what banding loses) and the 32-bit SimHash tier (hamming<=3
+# approximates Jaccard, so BOTH recall and precision are non-trivial).
+# Ground-truth-dependent by definition (the truth side is the quadratic
+# declared-sample-scale miner), so like the other ground-truth tiers it
+# is a sample-scale verifier: exclude it beside them in corpus-scale
+# sweeps.
+# ---------------------------------------------------------------------------
+_SQL_DEDUP_QUALITY = f"""
+    WITH truthq AS ({_SQL_JACCARD_PAIRS}),
+    lshq AS ({_SQL_MINHASH_LSH}),
+    shq AS ({_SQL_SIMHASH_PAIRS}),
+    approx AS (
+      SELECT 'minhash_lsh' AS tier, doc_a, doc_b FROM lshq
+      UNION ALL
+      SELECT 'simhash' AS tier, doc_a, doc_b FROM shq
+    ),
+    tiers AS (SELECT 'minhash_lsh' AS tier UNION ALL SELECT 'simhash' AS tier),
+    np AS (SELECT tier, COUNT(*) AS n_pairs FROM approx GROUP BY tier),
+    hits AS (
+      SELECT a.tier, COUNT(*) AS n_hits
+      FROM approx a JOIN truthq t
+        ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b
+      GROUP BY a.tier
+    ),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truthq)
+    SELECT t.tier, nt.n_truth,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(hits.n_hits, 0) AS n_hits,
+           COALESCE(hits.n_hits, 0) / nt.n_truth AS recall,
+           COALESCE(hits.n_hits, 0) / COALESCE(np.n_pairs, 0) AS precision
+    FROM tiers t CROSS JOIN nt
+    LEFT JOIN np ON np.tier = t.tier
+    LEFT JOIN hits ON hits.tier = t.tier
+"""
+
+
+@register("dedup_quality_report", oracle=_SQL_DEDUP_QUALITY)
+def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision of the approximate near-dup tiers vs the
+    exact-Jaccard ground truth, one row per tier: (tier, n_truth,
+    n_pairs, n_hits, recall, precision). Divisions are try_divide —
+    NULL on an empty truth/pair set, matching DuckDB's /0.
+
+    Expected shape (asserted in tests/test_quality_metrics.py):
+    minhash_lsh precision = 1.0 exactly (its candidates are verified
+    with the same exact Jaccard the truth tier computes) with recall
+    set by the 4x4 banding (~0.88 at j>=0.8 per the S-curve); simhash
+    trades both ways (hamming<=3 is neither necessary nor sufficient
+    for Jaccard>=0.8)."""
+    truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    approx = lsh.withColumn("tier", F.lit("minhash_lsh")).unionByName(
+        sh.withColumn("tier", F.lit("simhash"))
+    )
+    np_ = approx.groupBy("tier").agg(F.count("*").alias("n_pairs"))
+    hits = (
+        approx.join(truth, ["doc_a", "doc_b"])
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    tiers = spark.createDataFrame([("minhash_lsh",), ("simhash",)], "tier string")
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    n_pairs = F.coalesce("n_pairs", F.lit(0))
+    return (
+        tiers.crossJoin(F.broadcast(nt))
+        .join(F.broadcast(np_), "tier", "left")
+        .join(F.broadcast(hits), "tier", "left")
+        .select(
+            "tier",
+            "n_truth",
+            n_pairs.alias("n_pairs"),
+            n_hits.alias("n_hits"),
+            F.try_divide(n_hits, F.col("n_truth")).alias("recall"),
+            F.try_divide(n_hits, n_pairs).alias("precision"),
+        )
+    )

@@ -90,3 +90,74 @@ def test_agg_approx_distinct_users_keeps_null_group(spark, tmp_path):
     assert got[None].exact_users == 100  # ids 0, 3, 6, ... 297
     assert got["click"].exact_users == 200
     assert got[None].approx_within_5pct and got["click"].approx_within_5pct
+
+
+def test_simhash_pairs_stable_under_composition(spark):
+    """r10 find: composing the (previously lazily-persisted) simhash pair
+    lineage into ONE cold action together with the exact-Jaccard ground-
+    truth tree and a left join made Spark's exchange/stage reuse falsely
+    unify canonically-colliding stages from the shared shingle lineage —
+    the pair-level distinct ran partial-only and band-duplicate pairs
+    survived (56 instead of 20 at sf0.01; gone with
+    spark.sql.exchange.reuse=false). The fix materializes the simhash
+    index eagerly (INDEX_CACHE), so every consumer reads the computed
+    frame. This test rebuilds from a cleared cache and asserts the
+    composed single-action count equals the standalone count."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.caching import INDEX_CACHE
+    from psql_streamer_spark.operators.dedup import (
+        dedup_ngram_jaccard_pairs,
+        dedup_minhash_lsh_pairs,
+        dedup_simhash_pairs,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    INDEX_CACHE.clear()
+    standalone = dedup_simhash_pairs(spark, SF_MEDIUM).count()
+
+    INDEX_CACHE.clear()  # force the composed plan to build cold
+    sh = dedup_simhash_pairs(spark, SF_MEDIUM).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh_pairs(spark, SF_MEDIUM).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard_pairs(spark, SF_MEDIUM).select("doc_a", "doc_b")
+    approx = lsh.withColumn("tier", F.lit("m")).unionByName(
+        sh.withColumn("tier", F.lit("p"))
+    )
+    np_ = approx.groupBy("tier").agg(F.count("*").alias("n_pairs"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    tiers = spark.createDataFrame([("m",), ("p",)], "tier string")
+    composed = {
+        r.tier: r.n_pairs
+        for r in tiers.crossJoin(nt).join(np_, "tier", "left").collect()
+    }
+    assert composed["p"] == standalone, (composed, standalone)
+
+
+def test_simhash64_pairs_stable_under_composition(spark):
+    """Same hazard, production-width tier: pre-fix the composed cold plan
+    read 31 pairs vs 14 standalone at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.caching import INDEX_CACHE
+    from psql_streamer_spark.operators.dedup import (
+        dedup_ngram_jaccard_pairs,
+        dedup_simhash64_pairs,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    INDEX_CACHE.clear()
+    standalone = dedup_simhash64_pairs(spark, SF_MEDIUM).count()
+
+    INDEX_CACHE.clear()
+    sh = dedup_simhash64_pairs(spark, SF_MEDIUM).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard_pairs(spark, SF_MEDIUM).select("doc_a", "doc_b")
+    np_ = sh.withColumn("tier", F.lit("p")).groupBy("tier").agg(
+        F.count("*").alias("n_pairs")
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    tiers = spark.createDataFrame([("p",)], "tier string")
+    composed = {
+        r.tier: r.n_pairs
+        for r in tiers.crossJoin(nt).join(np_, "tier", "left").collect()
+    }
+    assert composed["p"] == standalone, (composed, standalone)
