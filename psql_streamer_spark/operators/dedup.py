@@ -245,7 +245,7 @@ def _jaccard_pairs(
     return result if caller_owns_shingles else persist_for(sh, result)
 
 
-@register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD_PAIRS)
+@register("dedup_ngram_jaccard_pairs", oracle=_SQL_JACCARD_PAIRS, sample_scale=True)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUND-TRUTH tier: exact pairwise Jaccard via the full
     inverted-index self-join — O(sum df^2) candidates, quadratic in any
@@ -510,7 +510,7 @@ _SQL_SIMHASH_PAIRS = f"""
 """
 
 
-@register("dedup_simhash_pairs", oracle=_SQL_SIMHASH_PAIRS)
+@register("dedup_simhash_pairs", oracle=_SQL_SIMHASH_PAIRS, sample_scale=True)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= 3, blocked on any
     shared signature byte (a pair within distance 3 must agree on at least
@@ -751,7 +751,7 @@ _SQL_COSINE_PAIRS = f"""
 _COSINE_SCREEN_SLACK = 1e-6
 
 
-@register("dedup_embedding_cosine_pairs", oracle=_SQL_COSINE_PAIRS)
+@register("dedup_embedding_cosine_pairs", oracle=_SQL_COSINE_PAIRS, sample_scale=True)
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine (ground truth): BLAS-screened candidates,
     exact-fold rescored. Output is bit-identical to the naive theta
@@ -900,7 +900,7 @@ def _blocked_cosine_candidates(
     )
 
 
-@register("dedup_embedding_cosine_pairs_blocked", oracle=_SQL_COSINE_PAIRS_IDS)
+@register("dedup_embedding_cosine_pairs_blocked", oracle=_SQL_COSINE_PAIRS_IDS, sample_scale=True)
 def dedup_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine via distributed block matmul, pair identity only
     (see banner above)."""
@@ -1713,7 +1713,7 @@ def _sql_exact_substring_spans(cap: int | None) -> str:
 _SQL_EXACT_SUBSTRING_SPANS = _sql_exact_substring_spans(None)
 
 
-@register("dedup_exact_substring_spans", oracle=_SQL_EXACT_SUBSTRING_SPANS)
+@register("dedup_exact_substring_spans", oracle=_SQL_EXACT_SUBSTRING_SPANS, sample_scale=True)
 def dedup_exact_substring_spans(
     spark: SparkSession, sf_dir: str, doc_freq_cap: int | None = None
 ) -> DataFrame:
@@ -1986,7 +1986,7 @@ _SQL_CONTAINMENT_PAIRS = f"""
 """
 
 
-@register("dedup_ngram_containment_pairs", oracle=_SQL_CONTAINMENT_PAIRS)
+@register("dedup_ngram_containment_pairs", oracle=_SQL_CONTAINMENT_PAIRS, sample_scale=True)
 def dedup_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUND-TRUTH tier: exact containment over the full inverted-index
     self-join. Candidate volume is sum over shingles of df^2 — quadratic
@@ -2541,7 +2541,7 @@ _SQL_DEDUP_QUALITY = f"""
 """
 
 
-@register("dedup_quality_report", oracle=_SQL_DEDUP_QUALITY)
+@register("dedup_quality_report", oracle=_SQL_DEDUP_QUALITY, sample_scale=True)
 def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall AND precision of the approximate near-dup tiers vs the
     exact-Jaccard ground truth, one row per tier: (tier, n_truth,

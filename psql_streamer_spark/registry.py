@@ -25,6 +25,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Declared ground-truth / sample-scale tiers: quadratic-by-definition
+# verifiers (all-pairs mines, exact-substring ground truth, quality
+# reports that EMBED a ground-truth mine). They are correct and
+# oracle-checked at sample scale; corpus-scale sweeps exclude them BY
+# DEFAULT (tools/scale_sweep.py reads this set when no explicit
+# exclusion list is given), with the exclusion recorded in-artifact —
+# declared once at the registration site instead of re-typed per sweep.
+SAMPLE_SCALE: set[str] = set()
 
 # Modules that register queries on import.
 _OPERATOR_MODULES = (
@@ -47,8 +55,12 @@ _OPERATOR_MODULES = (
 )
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+def register(
+    name: str, oracle: str | None = None, sample_scale: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL).
+    ``sample_scale=True`` declares a ground-truth tier that corpus-scale
+    sweeps exclude by default (see SAMPLE_SCALE)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -56,9 +68,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if sample_scale:
+            SAMPLE_SCALE.add(name)
         return fn
 
     return deco
+
+
+def sample_scale_queries() -> set[str]:
+    load_all()
+    return set(SAMPLE_SCALE)
 
 
 def load_all() -> None:

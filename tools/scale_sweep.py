@@ -67,11 +67,20 @@ def main() -> None:
     warm_expression_paths(spark)
 
     queries = all_queries()
-    excluded = [
-        n
-        for n in os.environ.get("SPARK_GRAFT_SWEEP_EXCLUDE", "").split(",")
-        if n
-    ]
+    env_excl = os.environ.get("SPARK_GRAFT_SWEEP_EXCLUDE")
+    if env_excl is None:
+        # Default: the registry's declared sample-scale tiers (quadratic
+        # ground-truth mines + the quality reports that embed one) —
+        # declared once at the @register site, so a new ground-truth tier
+        # can never silently enter a corpus-scale sweep because a human
+        # forgot to re-type the env list. SPARK_GRAFT_SWEEP_EXCLUDE
+        # (even set empty) overrides explicitly; exclusions are recorded
+        # in-artifact either way.
+        from psql_streamer_spark.registry import sample_scale_queries
+
+        excluded = sorted(sample_scale_queries())
+    else:
+        excluded = [n for n in env_excl.split(",") if n]
     # Explicit CLI query args take precedence over the env exclusion
     # list: naming a query on the command line is a direct request to
     # run it. The exclusion only filters the implicit all-queries case;
