@@ -2516,12 +2516,16 @@ _SQL_DEDUP_QUALITY = f"""
     WITH truthq AS ({_SQL_JACCARD_PAIRS}),
     lshq AS ({_SQL_MINHASH_LSH}),
     shq AS ({_SQL_SIMHASH_PAIRS}),
+    sh64q AS ({_SQL_SIMHASH64_PAIRS}),
     approx AS (
       SELECT 'minhash_lsh' AS tier, doc_a, doc_b FROM lshq
       UNION ALL
       SELECT 'simhash' AS tier, doc_a, doc_b FROM shq
+      UNION ALL
+      SELECT 'simhash64' AS tier, doc_a, doc_b FROM sh64q
     ),
-    tiers AS (SELECT 'minhash_lsh' AS tier UNION ALL SELECT 'simhash' AS tier),
+    tiers AS (SELECT 'minhash_lsh' AS tier UNION ALL SELECT 'simhash' AS tier
+              UNION ALL SELECT 'simhash64' AS tier),
     np AS (SELECT tier, COUNT(*) AS n_pairs FROM approx GROUP BY tier),
     hits AS (
       SELECT a.tier, COUNT(*) AS n_hits
@@ -2551,14 +2555,19 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expected shape (asserted in tests/test_quality_metrics.py):
     minhash_lsh precision = 1.0 exactly (its candidates are verified
     with the same exact Jaccard the truth tier computes) with recall
-    set by the 4x4 banding (~0.88 at j>=0.8 per the S-curve); simhash
-    trades both ways (hamming<=3 is neither necessary nor sufficient
-    for Jaccard>=0.8)."""
+    set by the 4x4 banding (~0.88 at j>=0.8 per the S-curve); the
+    simhash tiers trade both ways (hamming<=3 is neither necessary nor
+    sufficient for Jaccard>=0.8) — the 64-bit production tier's
+    hamming<=3 is a much stricter relative bound than the 32-bit
+    tier's, so it reads lower recall / higher-or-equal precision."""
     truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    approx = lsh.withColumn("tier", F.lit("minhash_lsh")).unionByName(
-        sh.withColumn("tier", F.lit("simhash"))
+    sh64 = dedup_simhash64_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    approx = (
+        lsh.withColumn("tier", F.lit("minhash_lsh"))
+        .unionByName(sh.withColumn("tier", F.lit("simhash")))
+        .unionByName(sh64.withColumn("tier", F.lit("simhash64")))
     )
     np_ = approx.groupBy("tier").agg(F.count("*").alias("n_pairs"))
     hits = (
@@ -2567,7 +2576,9 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hits"))
     )
     nt = truth.agg(F.count("*").alias("n_truth"))
-    tiers = spark.createDataFrame([("minhash_lsh",), ("simhash",)], "tier string")
+    tiers = spark.createDataFrame(
+        [("minhash_lsh",), ("simhash",), ("simhash64",)], "tier string"
+    )
     n_hits = F.coalesce("n_hits", F.lit(0))
     n_pairs = F.coalesce("n_pairs", F.lit(0))
     return (

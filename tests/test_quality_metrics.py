@@ -593,18 +593,22 @@ def test_dedup_quality_report_floors_at_sf01(spark):
     sf0.01) must clear documented floors at sf0.1 — measured exact
     values: minhash_lsh recall 1.0 / precision 1.0 (its exact-Jaccard
     verify makes precision 1.0 BY CONSTRUCTION; the report proves it),
-    simhash recall 0.8398 / precision 0.9188. Floors sit below with
-    margin so a banding-knob change that collapses quality fails here."""
+    simhash recall 0.8398 / precision 0.9188, simhash64 recall 0.4570 /
+    precision 1.0000 (hamming<=3 over 64 bits is a much stricter
+    relative bound — high purity, lower coverage). Floors sit below
+    with margin so a banding-knob change that collapses quality fails
+    here."""
     rows = {
         r.tier: r
         for r in QUERIES["dedup_quality_report"](
             spark, "/root/testdata/sf0.1"
         ).collect()
     }
-    assert set(rows) == {"minhash_lsh", "simhash"}
-    mh, sh = rows["minhash_lsh"], rows["simhash"]
+    assert set(rows) == {"minhash_lsh", "simhash", "simhash64"}
+    mh, sh, sh64 = rows["minhash_lsh"], rows["simhash"], rows["simhash64"]
     assert mh.precision == 1.0  # exact, by construction — not a floor
     assert mh.recall >= 0.9
     assert sh.recall >= 0.7 and sh.precision >= 0.85
+    assert sh64.recall >= 0.35 and sh64.precision >= 0.95
     for r in rows.values():
         assert r.n_hits <= r.n_truth and r.n_hits <= r.n_pairs
