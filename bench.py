@@ -67,11 +67,19 @@ def main() -> None:
     from psql_streamer_spark.session import get_spark
 
     env_before = _env_snapshot()
-    cpus = os.cpu_count() or 1
-    # 1-min load above half the core count at start means the measured
-    # times share the machine with other work — flag the run as contended
-    # so a judge can classify the artifact without re-running it
-    contended = env_before.get("loadavg_1m", 0.0) > cpus / 2
+    # A local[32] run wants every core for each sub-second query's stage
+    # tail, so background load perturbs warm-best numbers far below the
+    # old cpus/2 threshold: BENCH_r10 started at loadavg 5.94,
+    # self-reported contended:false, and read three headline queries
+    # 20-50% above their isolated re-runs. The r11 pin calibration
+    # (tools/pin_query.py, BENCH_NOTES "Round 11"): loadavg 2-3 at start
+    # inflates readings ~10% (inside the established +/-15% noise
+    # bound), loadavg >= ~4.5 inflates specific queries 20-50% (outside
+    # it). Documented threshold: 1-min load >= 4.0 at start =>
+    # contended, i.e. "deltas beyond the noise bound are plausibly
+    # load, adjudicate before believing them". Raw loadavg stays in
+    # env_before/env_after for finer-grained classification.
+    contended = env_before.get("loadavg_1m", 0.0) >= 4.0
 
     spark = get_spark("bench")
     queries = all_queries()

@@ -62,7 +62,18 @@ class MaterializedIndexCache:
     safe no-op). Invalidation on dataset mutation is out of scope — the
     engine's sources are immutable snapshots (TESTDATA parquet)."""
 
-    def __init__(self, max_entries: int = 8) -> None:
+    def __init__(self, max_entries: int = 16) -> None:
+        # 16, not 8: dedup_quality_report alone holds 8 live entries
+        # (shingle_sets, minhash_sig/cand/verified, simhash{,64}_sig/
+        # pairs); at 8, any 9th index in the same session (the
+        # incremental miner's band index, a second sf_dir) evicted and
+        # unpersisted a frame the report still referenced — correctness
+        # survived via lineage recompute, but the build-once/probe-many
+        # materialization guarantee silently degraded (r10 advice).
+        # 16 fits one full quality-report pass + the incremental miner +
+        # a second dataset's hot indexes. Each entry is a sampled/
+        # signature-sized frame (MEMORY_AND_DISK), so the bound is about
+        # predictable storage, not memory safety.
         import threading
         from collections import OrderedDict
 

@@ -131,6 +131,43 @@ def _hot_floor(hot_row_threshold: int, sample_fraction: float) -> int:
     return max(2, math.ceil(hot_row_threshold * sample_fraction))
 
 
+def _detect_hot_keys(
+    big: DataFrame,
+    big_on: str,
+    hot_row_threshold: int,
+    sample_fraction: float,
+    max_hot_keys: int,
+) -> list:
+    """Seeded-sample hot-key detection: returns the driver-side row list
+    of keys whose sampled count clears the floor (bounded by
+    ``max_hot_keys``). Split out of ``salted_join`` so tests can assert
+    the DETECTOR's output directly — e.g. that an all-singleton corpus
+    at boundary params yields an empty hot set (no replication), which
+    output-count parity alone cannot observe (replication preserves the
+    joined count)."""
+    frac_floor = _hot_floor(hot_row_threshold, sample_fraction)
+    if hot_row_threshold * sample_fraction < 1:
+        raise ValueError(
+            "salted_join: hot_row_threshold * sample_fraction = "
+            f"{hot_row_threshold * sample_fraction:g} < 1 — a truly-hot "
+            "key is expected to appear under once in the sample, so the "
+            "sampled count cannot distinguish the threshold from noise. "
+            "Raise sample_fraction or hot_row_threshold so their product "
+            "is >= 1 (>= 2 for reliable detection of keys exactly AT the "
+            "threshold — see the sensitivity note in salted_join)."
+        )
+    return (
+        big.sample(fraction=sample_fraction, seed=42)
+        .groupBy(big_on)
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= frac_floor)
+        .orderBy(F.desc("_c"))
+        .limit(max_hot_keys)
+        .select(F.col(big_on).alias("_hotkey"))
+        .collect()
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -185,7 +222,15 @@ def salted_join(
     and the sampled-count floor is ``max(2, ceil(product))`` — the
     ceil (not int-truncation) plus the hard floor of 2 means a key seen
     ONCE in the sample can never be flagged hot for any accepted
-    parameters; with truncation, any product in [1, 2) degenerated the
+    parameters. The flip side of that hard floor (r10 advice, low): when
+    the product is in [1, 2), a key EXACTLY at ``hot_row_threshold``
+    lands below the floor in expectation (~1 sampled row vs floor 2), so
+    detection sensitivity starts at roughly ``(2 / product) x`` the
+    threshold — the guard's product >= 1 keeps the sample statistically
+    meaningful, but reliable detection of keys merely AT the threshold
+    needs product >= 2. Missing a near-threshold key is a perf-only
+    miss (that key simply doesn't parallelize), never a correctness
+    one. With truncation, any product in [1, 2) degenerated the
     floor to 1 and every sampled singleton (up to
     ``sample_fraction * |big|`` distinct keys) was flagged, far beyond
     the |big| / hot_row_threshold keys that can truly clear the
@@ -196,25 +241,8 @@ def salted_join(
     ``max_hot_keys`` rows regardless of input. Dropping a key from the
     hot set never affects correctness (see above), only how evenly that
     key parallelizes."""
-    frac_floor = _hot_floor(hot_row_threshold, sample_fraction)
-    if hot_row_threshold * sample_fraction < 1:
-        raise ValueError(
-            "salted_join: hot_row_threshold * sample_fraction = "
-            f"{hot_row_threshold * sample_fraction:g} < 1 — a truly-hot "
-            "key is expected to appear under once in the sample, so the "
-            "sampled count cannot distinguish the threshold from noise. "
-            "Raise sample_fraction or hot_row_threshold so their product "
-            "is >= 1."
-        )
-    hot_local = (
-        big.sample(fraction=sample_fraction, seed=42)
-        .groupBy(big_on)
-        .agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= frac_floor)
-        .orderBy(F.desc("_c"))
-        .limit(max_hot_keys)
-        .select(F.col(big_on).alias("_hotkey"))
-        .collect()
+    hot_local = _detect_hot_keys(
+        big, big_on, hot_row_threshold, sample_fraction, max_hot_keys
     )
     hot = big.sparkSession.createDataFrame(
         hot_local,

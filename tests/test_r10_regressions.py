@@ -32,13 +32,16 @@ def test_hot_floor_never_one_for_accepted_params():
 def test_salted_join_singletons_not_flagged_hot_in_degenerate_band(spark):
     """End-to-end: with product = 1.5 (inside the old degeneracy band)
     and an all-cold corpus of singleton keys, the salted join must leave
-    the small side UNREPLICATED — output parity with the plain join and
-    every row on salt 0 (observable as output row count == plain count;
-    pre-fix, sampled singletons were flagged hot and matched across
-    buckets only via replication, same count but a buckets-x bigger
-    small side; the floor unit test above pins the mechanism, this pins
-    the join stays correct at the boundary params)."""
-    from psql_streamer_spark.operators.asof import salted_join
+    the small side UNREPLICATED. Count parity alone cannot observe that
+    (replication preserved the joined count pre-fix too — r10 advice),
+    so this asserts the DETECTOR's collected hot set is empty for the
+    singleton corpus at the boundary params — an empty hot set is
+    exactly "no replication" (only flagged keys' small-side rows fan
+    out) — then keeps the end-to-end parity check."""
+    from psql_streamer_spark.operators.asof import (
+        _detect_hot_keys,
+        salted_join,
+    )
 
     big = spark.range(2_000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
@@ -46,6 +49,14 @@ def test_salted_join_singletons_not_flagged_hot_in_degenerate_band(spark):
     small = spark.range(2_000).select(
         F.col("id").alias("sk"), (F.col("id") * 10).alias("attr")
     )
+    # the mechanism pin: no singleton key may be flagged hot, so the
+    # collected hot set — the ONLY thing that triggers replication —
+    # must be empty (pre-fix it held every sampled key, ~1% of 2000)
+    hot = _detect_hot_keys(
+        big, "k", hot_row_threshold=150, sample_fraction=0.01,
+        max_hot_keys=100_000,
+    )
+    assert hot == []
     out = salted_join(
         big,
         small,
