@@ -630,22 +630,46 @@ def dedup_simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash64(spark, sf_dir)
 
 
-_SQL_SIMHASH64_PAIRS = f"""
+def _sql_simhash64_pairs(bands: int, max_hamming: int) -> str:
+    """DuckDB oracle for the parametrized 64-bit simhash banding: `bands`
+    equal-width windows over the two 32-bit halves, pair class = hamming
+    <= max_hamming. Generated (not hand-written per knob) so the Spark
+    builder and the oracle share one banding definition."""
+    per_half = bands // 2
+    width = 32 // per_half
+    mask = (1 << width) - 1
+    rows = []
+    for b in range(bands):
+        half = "sh_lo" if b < per_half else "sh_hi"
+        shift = width * (b % per_half)
+        if b == 0:
+            rows.append(
+                f"SELECT doc_id, sh_lo, sh_hi, 0 AS band, "
+                f"({half} >> {shift}) & {mask} AS bkey FROM sig"
+            )
+        else:
+            rows.append(
+                f"UNION ALL SELECT doc_id, sh_lo, sh_hi, {b}, "
+                f"({half} >> {shift}) & {mask} FROM sig"
+            )
+    banded = "\n      ".join(rows)
+    return f"""
     WITH sig AS ({_SQL_SIMHASH64_SIG}),
     banded AS (
-      SELECT doc_id, sh_lo, sh_hi, 0 AS band, (sh_lo >> 0) & 65535 AS key16 FROM sig
-      UNION ALL SELECT doc_id, sh_lo, sh_hi, 1, (sh_lo >> 16) & 65535 FROM sig
-      UNION ALL SELECT doc_id, sh_lo, sh_hi, 2, (sh_hi >> 0) & 65535 FROM sig
-      UNION ALL SELECT doc_id, sh_lo, sh_hi, 3, (sh_hi >> 16) & 65535 FROM sig
+      {banded}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sh_lo, b.sh_lo))
              + bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
     FROM banded a JOIN banded b
-      ON a.band = b.band AND a.key16 = b.key16 AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh_lo, b.sh_lo))
-            + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+            + bit_count(xor(a.sh_hi, b.sh_hi)) <= {max_hamming}
 """
+
+
+_SQL_SIMHASH64_PAIRS = _sql_simhash64_pairs(bands=4, max_hamming=3)
+_SQL_SIMHASH64_PAIRS_WIDE = _sql_simhash64_pairs(bands=8, max_hamming=7)
 
 
 @register("dedup_simhash64_pairs", oracle=_SQL_SIMHASH64_PAIRS)
@@ -670,6 +694,47 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tripped Spark's exchange/stage reuse into dropping the distinct's
     # shuffle (31 composed vs 14 standalone at sf0.01, reproduced).
     # Eager build = every consumer reads the computed frame.
+    return simhash64_banded_pairs(spark, sf_dir, bands=4, max_hamming=3)
+
+
+def simhash64_banded_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Parametrized 64-bit simhash near-dup miner: `bands` equal-width
+    signature windows (over the two 32-bit halves, so `bands` must be an
+    even divisor pair — 4 => 16-bit keys, 8 => 8-bit keys), candidate =
+    any shared window, pair = hamming <= `max_hamming` (default
+    `bands - 1`, the widest class pigeonhole-complete under this
+    banding: a pair within distance bands-1 cannot differ in every
+    band).
+
+    The banding knob trades candidate volume for recall, exactly like
+    the ANN tier's LSH OR-width (r10: tables 4->8 = recall 0.57->0.87
+    at +68% cost): 4x16 gives 65,536 buckets/band — O(N^2/65536)
+    candidates — but its hamming<=3-of-64 class demands 95.3% bit
+    agreement, far stricter than Jaccard>=0.8 implies, so it reads
+    recall 0.457 vs the exact-Jaccard truth (precision 1.000,
+    QUALITY_r11). 8x8 gives 256 buckets/band — 256x the candidate
+    density — and its hamming<=7 class (89% agreement) recovers the
+    recall the narrow class forfeits (measured in QUALITY_r11 and
+    floor-pinned in tests/test_quality_metrics.py). Pick by corpus
+    size: the wide tier's O(N^2/256) candidate volume is the quadratic
+    class (sample_scale), the 4x16 tier sub-sweeps flat to sf100; when
+    recall ~1.0 at j>=0.8 is the requirement, MinHash-LSH (measured
+    recall 1.000 / precision 1.000) is the production answer and
+    simhash's draw is the 8-byte signature + popcount verify, not
+    quality."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    per_half = bands // 2
+    if bands % 2 or 32 % per_half:
+        raise ValueError(f"bands must split two 32-bit halves evenly, got {bands}")
+    width = 32 // per_half
+    mask = (1 << width) - 1
+
     def _build_sig64() -> DataFrame:
         s = _simhash64(spark, sf_dir).persist()
         s.count()
@@ -679,16 +744,16 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build_pairs64() -> DataFrame:
         banded = None
-        for band in range(4):
-            half = F.col("sh_lo") if band < 2 else F.col("sh_hi")
+        for band in range(bands):
+            half = F.col("sh_lo") if band < per_half else F.col("sh_hi")
             part = sig.select(
                 "doc_id",
                 "sh_lo",
                 "sh_hi",
                 F.lit(band).alias("band"),
-                F.shiftright(half, 16 * (band % 2)).bitwiseAND(F.lit(65535)).alias(
-                    "key16"
-                ),
+                F.shiftright(half, width * (band % per_half))
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
             )
             banded = part if banded is None else banded.unionByName(part)
         a = banded.alias("a")
@@ -700,7 +765,7 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             a.join(
                 b_,
                 (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key16") == F.col("b.key16"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .select(
@@ -708,7 +773,7 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
                 hamming.alias("hamming"),
             )
-            .filter(F.col("hamming") <= 3)
+            .filter(F.col("hamming") <= max_hamming)
             .distinct()
             .persist()
         )
@@ -716,8 +781,28 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
 
     return INDEX_CACHE.get_or_build(
-        spark, "dedup_simhash64_pairs", sf_dir, _build_pairs64
+        spark,
+        f"dedup_simhash64_pairs_b{bands}h{max_hamming}",
+        sf_dir,
+        _build_pairs64,
     )
+
+
+@register(
+    "dedup_simhash64_pairs_wide",
+    oracle=_SQL_SIMHASH64_PAIRS_WIDE,
+    sample_scale=True,
+)
+def dedup_simhash64_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall knob of the 64-bit simhash tier turned up: 8 bands x
+    8 bits, pair class hamming <= 7 (r10 verdict task 2). 256
+    buckets/band makes candidate volume O(N^2/256) — the quadratic
+    class, hence sample_scale — in exchange for the recall the 4x16
+    tier's 95.3%-agreement class forfeits (0.457 -> measured in
+    QUALITY_r11, floors in tests/test_quality_metrics.py). See
+    simhash64_banded_pairs for the full trade and when MinHash-LSH is
+    the better pick."""
+    return simhash64_banded_pairs(spark, sf_dir, bands=8, max_hamming=7)
 
 
 # --------------------------------------------------------------------------
@@ -2517,15 +2602,19 @@ _SQL_DEDUP_QUALITY = f"""
     lshq AS ({_SQL_MINHASH_LSH}),
     shq AS ({_SQL_SIMHASH_PAIRS}),
     sh64q AS ({_SQL_SIMHASH64_PAIRS}),
+    sh64wq AS ({_SQL_SIMHASH64_PAIRS_WIDE}),
     approx AS (
       SELECT 'minhash_lsh' AS tier, doc_a, doc_b FROM lshq
       UNION ALL
       SELECT 'simhash' AS tier, doc_a, doc_b FROM shq
       UNION ALL
       SELECT 'simhash64' AS tier, doc_a, doc_b FROM sh64q
+      UNION ALL
+      SELECT 'simhash64_wide' AS tier, doc_a, doc_b FROM sh64wq
     ),
     tiers AS (SELECT 'minhash_lsh' AS tier UNION ALL SELECT 'simhash' AS tier
-              UNION ALL SELECT 'simhash64' AS tier),
+              UNION ALL SELECT 'simhash64' AS tier
+              UNION ALL SELECT 'simhash64_wide' AS tier),
     np AS (SELECT tier, COUNT(*) AS n_pairs FROM approx GROUP BY tier),
     hits AS (
       SELECT a.tier, COUNT(*) AS n_hits
@@ -2559,15 +2648,19 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash tiers trade both ways (hamming<=3 is neither necessary nor
     sufficient for Jaccard>=0.8) — the 64-bit production tier's
     hamming<=3 is a much stricter relative bound than the 32-bit
-    tier's, so it reads lower recall / higher-or-equal precision."""
+    tier's, so it reads lower recall / higher-or-equal precision, and
+    the wide (8x8, hamming<=7) knob point recovers recall at 256x the
+    candidate density (the measured trade, QUALITY_r11)."""
     truth = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh64 = dedup_simhash64_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh64w = dedup_simhash64_pairs_wide(spark, sf_dir).select("doc_a", "doc_b")
     approx = (
         lsh.withColumn("tier", F.lit("minhash_lsh"))
         .unionByName(sh.withColumn("tier", F.lit("simhash")))
         .unionByName(sh64.withColumn("tier", F.lit("simhash64")))
+        .unionByName(sh64w.withColumn("tier", F.lit("simhash64_wide")))
     )
     np_ = approx.groupBy("tier").agg(F.count("*").alias("n_pairs"))
     hits = (
@@ -2577,7 +2670,8 @@ def dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = truth.agg(F.count("*").alias("n_truth"))
     tiers = spark.createDataFrame(
-        [("minhash_lsh",), ("simhash",), ("simhash64",)], "tier string"
+        [("minhash_lsh",), ("simhash",), ("simhash64",), ("simhash64_wide",)],
+        "tier string",
     )
     n_hits = F.coalesce("n_hits", F.lit(0))
     n_pairs = F.coalesce("n_pairs", F.lit(0))

@@ -42,6 +42,21 @@ LSH_TABLES = 4
 LSH_PLANES = 4
 IVF_CENTROID_STRIDE = 50  # vec_id % 50 == 0 -> "trained" centroid set
 IVF_PROBES = 3
+# Corpus-scaled probe default (r10 verdict task 5): stride cells carry no
+# trained structure, so a FIXED probe count decays recall as the cell
+# count grows ~sqrt(N) (measured 0.36 -> 0.20 across the sf0.1 -> sf10
+# decade). Constant recall for untrained cells needs a constant FRACTION
+# of cells probed; the design point is sf0.1's 3-of-40 cells (7.5%,
+# recall 0.36), expressed as the exact rational 3/40 so Spark and the
+# DuckDB oracle compute the identical integer ceil (float 0.075 rounds
+# differently at exact multiples). Measured at sf10 (446 cells ->
+# nprobe 34): recall 0.49 — decade flat-or-better — at probe cost
+# nprobe * N/cells ~ 7.5% of the corpus per query, the honest linear
+# fraction untrained IVF fundamentally pays; the TRAINED k-means tier
+# (tight cells, recall 0.80-0.96 at 3 probes) is what buys sublinear
+# probing at scale.
+IVF_PROBE_FRAC_NUM = 3
+IVF_PROBE_FRAC_DEN = 40
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +394,9 @@ def _sql_ivf_topk(k: int) -> str:
                  CAST(CEIL(SQRT((SELECT COUNT(*) FROM v))) AS BIGINT)) AS st),
     cent AS (SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm FROM v
              WHERE vec_id % (SELECT st FROM stride) = 0),
+    npq AS (SELECT GREATEST({IVF_PROBES},
+              ({IVF_PROBE_FRAC_NUM} * (SELECT COUNT(*) FROM cent)
+                 + {IVF_PROBE_FRAC_DEN} - 1) // {IVF_PROBE_FRAC_DEN}) AS np),
     assign AS (
       SELECT vec_id, e, nrm, cent_id FROM (
         SELECT v.vec_id, v.e, v.nrm, cent.cent_id,
@@ -396,7 +414,7 @@ def _sql_ivf_topk(k: int) -> str:
                  cent.cent_id ASC) AS rn
         FROM v, cent
         WHERE v.vec_id < {N_QUERIES}
-      ) WHERE rn <= {IVF_PROBES}
+      ) WHERE rn <= (SELECT np FROM npq)
     ),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -424,7 +442,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_stride_topk(
-    spark: SparkSession, sf_dir: str, k: int, nprobe: int = IVF_PROBES
+    spark: SparkSession, sf_dir: str, k: int, nprobe: int | None = None
 ) -> DataFrame:
     import math
 
@@ -444,6 +462,17 @@ def _ivf_stride_topk(
             F.col("nrm").alias("cnrm"),
         )
     )
+    if nprobe is None:
+        # corpus-scaled default: constant 3/40 fraction of cells probed
+        # (see IVF_PROBE_FRAC_* banner); integer ceil, identical to the
+        # oracle SQL's (num*cells + den-1) // den. cent.count() is a
+        # model-sized job (the centroid set is O(sqrt N)).
+        cells = cent.count()
+        nprobe = max(
+            IVF_PROBES,
+            (IVF_PROBE_FRAC_NUM * cells + IVF_PROBE_FRAC_DEN - 1)
+            // IVF_PROBE_FRAC_DEN,
+        )
     return _ivf_probe_topk(v, cent, k, nprobe)
 
 

@@ -68,8 +68,11 @@ def test_recall_report_floors_at_sf01(spark):
     hashes, so these are exact) — floors sit below with margin so the
     assert catches a knob change that collapses quality, not noise. The
     inflated sf10 decade point lives in tools/recall_scale.py output
-    (LSH holds ~0.57; stride-IVF decays to 0.20 as sqrt-scaled stride
-    spreads 3 fixed probes over more cells — the documented trade)."""
+    (LSH holds ~0.57; stride-IVF under the r11 corpus-scaled nprobe —
+    constant 3/40 cell fraction, 34 probes at 447 cells — reads 0.49,
+    decade flat-or-better vs the fixed-3-probe decay to 0.20 that
+    RECALL_r10 measured). At sf0.1 the scaled default resolves to the
+    same 3 probes, so these floors are unchanged by the knob."""
     rows = {
         r.tier: r
         for r in QUERIES["sim_recall_report"](
@@ -595,20 +598,27 @@ def test_dedup_quality_report_floors_at_sf01(spark):
     verify makes precision 1.0 BY CONSTRUCTION; the report proves it),
     simhash recall 0.8398 / precision 0.9188, simhash64 recall 0.4570 /
     precision 1.0000 (hamming<=3 over 64 bits is a much stricter
-    relative bound — high purity, lower coverage). Floors sit below
-    with margin so a banding-knob change that collapses quality fails
-    here."""
+    relative bound — high purity, lower coverage), simhash64_wide
+    (the r11 recall knob: 8x8 banding, hamming<=7) recall 0.8828 /
+    precision 1.0000 — the wide class recovers the recall the narrow
+    one forfeits while keeping perfect purity on this corpus, at 256x
+    the candidate density (QUALITY_r11). Floors sit below with margin
+    so a banding-knob change that collapses quality fails here."""
     rows = {
         r.tier: r
         for r in QUERIES["dedup_quality_report"](
             spark, "/root/testdata/sf0.1"
         ).collect()
     }
-    assert set(rows) == {"minhash_lsh", "simhash", "simhash64"}
+    assert set(rows) == {"minhash_lsh", "simhash", "simhash64", "simhash64_wide"}
     mh, sh, sh64 = rows["minhash_lsh"], rows["simhash"], rows["simhash64"]
+    sh64w = rows["simhash64_wide"]
     assert mh.precision == 1.0  # exact, by construction — not a floor
     assert mh.recall >= 0.9
     assert sh.recall >= 0.7 and sh.precision >= 0.85
     assert sh64.recall >= 0.35 and sh64.precision >= 0.95
+    assert sh64w.recall >= 0.8 and sh64w.precision >= 0.95
+    # the knob's whole point: wide recall must strictly beat narrow
+    assert sh64w.recall > sh64.recall
     for r in rows.values():
         assert r.n_hits <= r.n_truth and r.n_hits <= r.n_pairs

@@ -12,16 +12,28 @@ The trained k-means tier is iterative (no SQL oracle); its recall is
 asserted in tests/test_quality_metrics.py and reported here via the same
 set-intersection computed driver-side (both frames are Q*k rows).
 
+Knob sweep (last dir only — the inflated decade point where the knobs
+matter): each knob point runs in its OWN subprocess with a fresh
+SparkSession (r10 verdict task 3 — the r10 in-session sweep's latency
+column was warm-up-contaminated: more probes read FASTER because they
+ran later). The child warms the session uniformly (expression paths +
+the exact brute-force pass, which both computes the recall ground truth
+and warms the embedding scan), then times the tier cold + warm-best —
+so the latency column compares knob settings, not session ages.
+
 Usage:
     python tools/recall_scale.py [sf_dir ...]
     # default: /root/testdata/sf0.1 /root/repo/.scale/sf10
-    SPARK_GRAFT_RECALL_OUT=RECALL_r10.json python tools/recall_scale.py
+    SPARK_GRAFT_RECALL_OUT=RECALL_r11.json python tools/recall_scale.py
+    # child mode (spawned by the sweep, one knob per process):
+    python tools/recall_scale.py --knob ivf_nprobe=6 /root/repo/.scale/sf10
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,8 +41,76 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from psql_streamer_spark.session import get_spark  # noqa: E402
 
+KNOBS = ("ivf_nprobe=3", "ivf_nprobe=6", "ivf_nprobe=10", "ivf_nprobe=scaled",
+         "lsh_tables=4", "lsh_tables=8")
+
+
+def _tier_fn(knob: str):
+    from psql_streamer_spark.operators.similarity import (
+        RECALL_K,
+        _ivf_stride_topk,
+        _lsh_topk,
+    )
+
+    name, _, val = knob.partition("=")
+    if name == "ivf_nprobe":
+        nprobe = None if val == "scaled" else int(val)
+        return lambda spark, sf_dir: _ivf_stride_topk(
+            spark, sf_dir, RECALL_K, nprobe=nprobe
+        )
+    if name == "lsh_tables":
+        return lambda spark, sf_dir: _lsh_topk(
+            spark, sf_dir, RECALL_K, tables=int(val)
+        )
+    raise SystemExit(f"unknown knob {knob!r}")
+
+
+def knob_point(knob: str, sf_dir: str) -> None:
+    """Child mode: one knob setting, one fresh session, one JSON line."""
+    from psql_streamer_spark.operators.similarity import (
+        RECALL_K,
+        _bruteforce_topk,
+    )
+    from psql_streamer_spark.warmup import warm_expression_paths
+
+    spark = get_spark("recall_knob")
+    warm_expression_paths(spark)
+    # ground truth first: gives recall AND warms the embedding scan the
+    # same way for every knob's subsequent timing
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in _bruteforce_topk(spark, sf_dir, RECALL_K).collect()
+    }
+    fn = _tier_fn(knob)
+    rec = {"knob": knob, "sf_dir": sf_dir}
+    try:
+        rec["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    samples = []
+    for i in range(3):
+        t0 = time.time()
+        got = {
+            (r.query_id, r.neighbor_id) for r in fn(spark, sf_dir).collect()
+        }
+        dt = time.time() - t0
+        if i == 0:
+            rec["cold_sec"] = round(dt, 3)
+            rec["recall"] = (
+                round(len(exact & got) / len(exact), 4) if exact else None
+            )
+        else:
+            samples.append(dt)
+    rec["sec"] = round(min(samples or [rec["cold_sec"]]), 3)
+    print(json.dumps(rec), flush=True)
+
 
 def main() -> None:
+    if "--knob" in sys.argv:
+        i = sys.argv.index("--knob")
+        knob_point(sys.argv[i + 1], sys.argv[i + 2])
+        return
+
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/repo/.scale/sf10"]
     spark = get_spark("recall_scale")
     from psql_streamer_spark.operators.similarity import (
@@ -40,10 +120,8 @@ def main() -> None:
         sim_recall_report,
     )
 
-    from psql_streamer_spark.operators.similarity import _ivf_stride_topk, _lsh_topk
-
     points = []
-    for sf_dir in dirs:
+    for i, sf_dir in enumerate(dirs):
         t0 = time.time()
         rows = sim_recall_report(spark, sf_dir).collect()
         report_sec = round(time.time() - t0, 3)
@@ -77,42 +155,19 @@ def main() -> None:
         )
         rec["kmeans_sec"] = round(time.time() - t0, 3)
 
-        # Knob sweep (last dir only — the inflated decade point, where
-        # the knobs matter): recall@k and latency per knob setting, so
-        # nprobe and the LSH OR-width have a measured quality/cost curve
-        # rather than a single default reading.
-        if sf_dir == dirs[-1] and exact:
+        # knob sweep on the LAST dir by loop index (not path string
+        # equality — a repeated/differently-spelled argument used to run
+        # the sweep on the wrong pass, r10 advice), one fresh subprocess
+        # per knob point for latency isolation
+        if i == len(dirs) - 1 and exact:
             knobs = []
-            for nprobe in (3, 6, 10):
-                t0 = time.time()
-                got = {
-                    (r.query_id, r.neighbor_id)
-                    for r in _ivf_stride_topk(
-                        spark, sf_dir, RECALL_K, nprobe=nprobe
-                    ).collect()
-                }
-                knobs.append(
-                    {
-                        "knob": f"ivf_nprobe={nprobe}",
-                        "recall": round(len(exact & got) / len(exact), 4),
-                        "sec": round(time.time() - t0, 3),
-                    }
+            for knob in KNOBS:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--knob", knob, sf_dir],
+                    capture_output=True, text=True, check=True,
                 )
-            for tables in (4, 8):
-                t0 = time.time()
-                got = {
-                    (r.query_id, r.neighbor_id)
-                    for r in _lsh_topk(
-                        spark, sf_dir, RECALL_K, tables=tables
-                    ).collect()
-                }
-                knobs.append(
-                    {
-                        "knob": f"lsh_tables={tables}",
-                        "recall": round(len(exact & got) / len(exact), 4),
-                        "sec": round(time.time() - t0, 3),
-                    }
-                )
+                knobs.append(json.loads(out.stdout.strip().splitlines()[-1]))
             rec["knob_sweep"] = knobs
         points.append(rec)
         print(json.dumps(rec), flush=True)
