@@ -526,7 +526,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 64 bits and band 4 x 16 (65,536 buckets/band, same guarantee) —
     REGISTERED below as dedup_simhash64_pairs (r6), measured flat
     through 30x (12.7 s at sf3 vs this op's 56.6 s). This 32-bit form
-    stays as the compact tier for small corpora."""
+    stays as the compact tier for small corpora — and "small" is now
+    MEASURED, not guessed: at 5k docs precision reads 0.919, at 50k it
+    collapses to 0.532 (QUALITY_r11 — half the emitted pairs are 32-bit
+    hamming collisions that are not Jaccard near-dups), while the
+    64-bit tiers hold precision 0.999-1.0 at the same corpus. The
+    quality cliff, not the candidate volume, is what retires this tier
+    first as the corpus grows."""
     # The signature frame feeds the 4-band union AND both sides of the
     # self-join — 8 plan references; unpersisted, Spark recomputes the
     # full shingle-explode + md5 + 32-bit-vote aggregate each time
