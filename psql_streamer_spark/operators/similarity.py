@@ -262,17 +262,19 @@ def _signature(
     return acc
 
 
-_table_selects = " UNION ALL ".join(
-    f"SELECT vec_id, e, nrm, {t} AS tbl, {_signature_sql(t, 'e')} AS bucket FROM v"
-    for t in range(LSH_TABLES)
-)
+def _table_selects(tables: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, e, nrm, {t} AS tbl, {_signature_sql(t, 'e')} AS bucket FROM v"
+        for t in range(tables)
+    )
 
-def _sql_lsh_topk(k: int) -> str:
+
+def _sql_lsh_topk(k: int, tables: int = LSH_TABLES) -> str:
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                       {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
                FROM embeddings),
-    sig AS ({_table_selects}),
+    sig AS ({_table_selects(tables)}),
     q AS (SELECT * FROM sig WHERE vec_id < {N_QUERIES}),
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -305,6 +307,28 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000x the corpus. Recall vs sim_bruteforce_topk is the quality metric
     (sim_recall_report + tests)."""
     return _lsh_topk(spark, sf_dir, TOP_K)
+
+
+#: OR-width of the wide (recall) LSH tier. The r10/r11 knob sweeps
+#: measured tables 4 -> 8 at sf10: recall@10 0.57 -> 0.87 for +93%
+#: isolated warm latency (RECALL_r11.json knob_sweep) — the OR-width is
+#: the one LSH knob whose quality gain is corpus-size-free (per-table
+#: miss prob is independent, 1-(1-p)^L), so the wide tier is the right
+#: default when candidate volume, not wall-clock, is the binding budget.
+LSH_TABLES_WIDE = 8
+
+_SQL_LSH_TOPK_WIDE = _sql_lsh_topk(TOP_K, tables=LSH_TABLES_WIDE)
+
+
+@register("sim_lsh_topk_wide", oracle=_SQL_LSH_TOPK_WIDE)
+def sim_lsh_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_lsh_topk with the OR-width knob turned up (8 tables — the
+    measured 0.87-recall@10 point at sf10 vs the 4-table default's
+    0.57, RECALL_r11). Registered first-class, mirroring the dedup
+    side's dedup_simhash64_pairs_wide: both quality knobs the r10/r11
+    sweeps measured are callable operators with DuckDB oracles, not
+    tool-only settings."""
+    return _lsh_topk(spark, sf_dir, TOP_K, tables=LSH_TABLES_WIDE)
 
 
 def _lsh_topk(
@@ -986,13 +1010,17 @@ RECALL_K = 10
 _SQL_RECALL_REPORT = f"""
     WITH brute AS ({_sql_brute_topk(RECALL_K)}),
     lshq AS ({_sql_lsh_topk(RECALL_K)}),
+    lshwq AS ({_sql_lsh_topk(RECALL_K, tables=LSH_TABLES_WIDE)}),
     ivfq AS ({_sql_ivf_topk(RECALL_K)}),
     approx AS (
       SELECT 'lsh' AS tier, query_id, neighbor_id FROM lshq
       UNION ALL
+      SELECT 'lsh_wide' AS tier, query_id, neighbor_id FROM lshwq
+      UNION ALL
       SELECT 'ivf' AS tier, query_id, neighbor_id FROM ivfq
     ),
-    tiers AS (SELECT 'lsh' AS tier UNION ALL SELECT 'ivf' AS tier),
+    tiers AS (SELECT 'lsh' AS tier UNION ALL SELECT 'lsh_wide' AS tier
+              UNION ALL SELECT 'ivf' AS tier),
     hits AS (
       SELECT a.tier, COUNT(*) AS n_hits
       FROM approx a JOIN brute b
@@ -1010,9 +1038,12 @@ _SQL_RECALL_REPORT = f"""
 
 @register("sim_recall_report", oracle=_SQL_RECALL_REPORT)
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@{RECALL_K} of each untrained approximate tier (LSH, stride
-    IVF) against the exact brute-force top-k over the same queries — one
-    row per tier: (tier, k, n_expected, n_hits, recall). The trained
+    """recall@{RECALL_K} of each untrained approximate tier (LSH at both
+    OR-widths, stride IVF) against the exact brute-force top-k over the
+    same queries — one row per tier: (tier, k, n_expected, n_hits,
+    recall). Measured at sf0.1: lsh 0.49, lsh_wide 0.68, ivf 0.36
+    (floors in tests/test_quality_metrics.py); at sf10: 0.57 / 0.87 /
+    0.49 (RECALL_r11.json). The trained
     k-means IVF tier is iterative (rows-only driver check) and its recall
     is asserted separately in tests/test_quality_metrics.py, so it stays
     out of this hash-checked report.
@@ -1030,11 +1061,16 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     lsh = _lsh_topk(spark, sf_dir, RECALL_K).select("query_id", "neighbor_id")
+    lshw = _lsh_topk(spark, sf_dir, RECALL_K, tables=LSH_TABLES_WIDE).select(
+        "query_id", "neighbor_id"
+    )
     ivf = _ivf_stride_topk(spark, sf_dir, RECALL_K).select(
         "query_id", "neighbor_id"
     )
-    approx = lsh.withColumn("tier", F.lit("lsh")).unionByName(
-        ivf.withColumn("tier", F.lit("ivf"))
+    approx = (
+        lsh.withColumn("tier", F.lit("lsh"))
+        .unionByName(lshw.withColumn("tier", F.lit("lsh_wide")))
+        .unionByName(ivf.withColumn("tier", F.lit("ivf")))
     )
     hits = (
         approx.join(brute, ["query_id", "neighbor_id"])
@@ -1042,7 +1078,9 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hits"))
     )
     expected = brute.agg(F.count("*").alias("n_expected"))
-    tiers = spark.createDataFrame([("lsh",), ("ivf",)], "tier string")
+    tiers = spark.createDataFrame(
+        [("lsh",), ("lsh_wide",), ("ivf",)], "tier string"
+    )
     return (
         tiers.crossJoin(F.broadcast(expected))
         .join(F.broadcast(hits), "tier", "left")

@@ -63,6 +63,7 @@ TIERS = [
     ("dedup_embedding_lsh_pairs", _VEC, *_BRUTE),
     ("sim_bruteforce_topk", _TOPK, *_COS),
     ("sim_lsh_topk", _TOPK, *_COS),
+    ("sim_lsh_topk_wide", _TOPK, *_COS),
     ("sim_ivf_topk", _TOPK, *_COS),
     ("sim_ivf_kmeans_topk", _TOPK, *_COS),
 ]

@@ -79,12 +79,16 @@ def test_recall_report_floors_at_sf01(spark):
             spark, "/root/testdata/sf0.1"
         ).collect()
     }
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "lsh_wide", "ivf"}
     for r in rows.values():
         assert r.k == 10 and r.n_expected == 100
         assert r.recall == r.n_hits / r.n_expected
     assert rows["lsh"].recall >= 0.35, rows["lsh"]
     assert rows["ivf"].recall >= 0.20, rows["ivf"]
+    # the wide OR-width tier (8 tables, measured 0.68 at sf0.1 / 0.87
+    # at sf10) must strictly beat the 4-table default — that's its job
+    assert rows["lsh_wide"].recall >= 0.55, rows["lsh_wide"]
+    assert rows["lsh_wide"].recall > rows["lsh"].recall
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark, sfdir):
