@@ -373,3 +373,85 @@ def evt_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") - F.lag("n").over(w)).alias("wow_delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned lake layout + partition pruning — the most basic 100 TB
+# lever there is: a fact table laid out as dt=YYYY-MM-DD directories means
+# a time-range query plans PartitionFilters and never opens files outside
+# the range. The bucketed band index (operators/dedup.py) demonstrates
+# co-located JOINS; this demonstrates pruned SCANS. The reference has no
+# lake layer (its sink is Kafka; pg/*.go), so this is §2.8 extended-engine
+# scope like the rest of the events surface.
+# --------------------------------------------------------------------------
+#: Inclusive 3-day slice of the 30-day synthetic corpus. Literal (not
+#: computed from data) so both engines plan it as a constant — exactly
+#: how a production daily job parameterizes its window.
+EVT_PRUNE_START = "2024-01-10"
+EVT_PRUNE_END = "2024-01-12"
+
+
+def events_date_partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table ONCE per session as a date-partitioned
+    table (``event_date=YYYY-MM-DD/`` directories) and return its name —
+    the ingest-side half of partition pruning, same write-once lifecycle
+    and stale-dir handling as dedup.band_index_table. 30 partitions at
+    any SF (the synthetic corpus spans 30 days); on a real lake this is
+    the daily-append layout, and the partition count grows with DAYS,
+    never with rows/day — which is why pruning survives any corpus
+    width."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"events_by_date_{tag}"
+    if not spark.catalog.tableExists(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        e = load_table(spark, "events", sf_dir).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        e.write.partitionBy("event_date").mode("overwrite").saveAsTable(table)
+    return table
+
+
+@register(
+    "evt_pruned_date_range",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS event_day, event_type,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{EVT_PRUNE_START}'
+                               AND DATE '{EVT_PRUNE_END}'
+    GROUP BY 1, 2
+    """,
+)
+def evt_pruned_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup over a 3-day range read from the
+    date-partitioned table: the range predicate is a PARTITION filter,
+    so the scan opens only the 3 matching date directories of 30 —
+    plan-guarded in tests/test_plan_quality.py both ways (PartitionFilters
+    in the scan node AND inputFiles() confined to the 3 directories).
+    The oracle replays the same rollup against the RAW events parquet,
+    proving layout + pruning change nothing but the bytes read. At 100 TB
+    (= years of days), this is the difference between a 3-day job and a
+    full-lake scan."""
+    t = spark.table(events_date_partitioned_table(spark, sf_dir))
+    return (
+        t.filter(
+            (F.col("event_date") >= F.lit(EVT_PRUNE_START).cast("date"))
+            & (F.col("event_date") <= F.lit(EVT_PRUNE_END).cast("date"))
+        )
+        .groupBy(
+            # emit the partition value as a midnight timestamp: DuckDB's
+            # pandas bridge renders DATE as datetime64 anyway, so a
+            # timestamp on both sides hash-compares cleanly (UTC session)
+            F.col("event_date").cast("timestamp").alias("event_day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )

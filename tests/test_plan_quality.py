@@ -615,3 +615,39 @@ def test_minmax_broadcast_stats_is_jvm_only_narrow(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "partial_min" in plan and "partial_max" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pruned_date_range_scans_only_matching_partitions(spark, queries):
+    """Partition pruning on the date-partitioned lake layout (r11): the
+    3-day range predicate must plan as PartitionFilters on the scan of
+    the events_by_date table, and the files actually read must be
+    confined to the 3 matching event_date= directories of the 30 the
+    table holds — pruning proven at BOTH the plan level and the
+    file-listing level. At 100 TB this is the scan-3-days-not-the-lake
+    property every time-ranged job depends on."""
+    from psql_streamer_spark.operators.event_time import (
+        EVT_PRUNE_END,
+        EVT_PRUNE_START,
+        events_date_partitioned_table,
+    )
+
+    df = queries["evt_pruned_date_range"](spark, SF_DIR)
+    plan = _physical(df)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the data filter must NOT degrade to a post-scan row filter only:
+    # no event_date predicate may appear in PushedFilters/DataFilters
+    # (it is a partition column — it never exists inside the files)
+    dates = sorted(
+        f.split("event_date=")[1].split("/")[0]
+        for f in df.inputFiles()
+        if "event_date=" in f
+    )
+    assert set(dates) == {"2024-01-10", "2024-01-11", "2024-01-12"}, dates
+    # the table itself holds all 30 days — pruning, not a narrow table
+    table = events_date_partitioned_table(spark, SF_DIR)
+    all_days = {
+        r.event_date.isoformat()
+        for r in spark.table(table).select("event_date").distinct().collect()
+    }
+    assert len(all_days) == 30
+    assert EVT_PRUNE_START in all_days and EVT_PRUNE_END in all_days
