@@ -172,3 +172,37 @@ def test_simhash64_pairs_stable_under_composition(spark):
         for r in tiers.crossJoin(nt).join(np_, "tier", "left").collect()
     }
     assert composed["p"] == standalone, (composed, standalone)
+
+
+def test_quality_report_plus_incremental_miner_fit_cache_without_eviction(spark):
+    """r10 advice (closed r11 by raising the bound 8 -> 16): one
+    dedup_quality_report pass holds 9 registry entries (shingle sets,
+    minhash sig/cand/verified, both simhash sig/pairs plus the wide
+    pairs); at max_entries=8 the INCREMENTAL miner's band index — the
+    very next thing a daily pipeline touches — evicted and unpersisted
+    a frame the report still referenced, silently re-paying eager index
+    builds. This runs the full report THEN the incremental miner and
+    asserts every entry inserted by the report is still registered and
+    still materialized (no eviction churn under the production
+    composition)."""
+    from psql_streamer_spark.caching import INDEX_CACHE
+    from psql_streamer_spark.operators.dedup import (
+        dedup_incremental_lsh_pairs,
+        dedup_quality_report,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    INDEX_CACHE.clear()
+    dedup_quality_report(spark, SF_MEDIUM).count()
+    with INDEX_CACHE._lock:
+        report_keys = set(INDEX_CACHE._lru)
+    assert len(report_keys) >= 8  # the pass that exactly consumed the old bound
+    dedup_incremental_lsh_pairs(spark, SF_MEDIUM).count()
+    with INDEX_CACHE._lock:
+        after = dict(INDEX_CACHE._lru)
+    missing = report_keys - set(after)
+    assert not missing, f"evicted under routine composition: {missing}"
+    # still materialized, not just registered (eviction unpersists)
+    for key in report_keys:
+        assert after[key].storageLevel.useMemory or after[key].storageLevel.useDisk
+    INDEX_CACHE.clear()
