@@ -651,3 +651,51 @@ def test_pruned_date_range_scans_only_matching_partitions(spark, queries):
     }
     assert len(all_days) == 30
     assert EVT_PRUNE_START in all_days and EVT_PRUNE_END in all_days
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """Row-level runtime filtering, the shuffle-join companion to
+    partition pruning: with a selective filter on one join side, Spark
+    builds a Bloom filter from that side and injects might_contain onto
+    the OTHER side's scan, so fact rows that cannot match die before the
+    shuffle. The session enables the optimizer rule
+    (runtime.bloomFilter.enabled is true by default); its
+    application-side threshold is 10 GiB — sized for exactly the
+    100 TB fact scans this engine targets — so a local[32] sf0.01 probe
+    must lower it to OBSERVE the injection. This guard proves the
+    engine's join plans are runtime-filterable (no structural blocker:
+    creation side under threshold, equi-key visible through the
+    projections) and pins result parity with the unfiltered plan."""
+    from psql_streamer_spark.sources.tables import load_table
+
+    app_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_app = spark.conf.get(app_key)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def _join():
+        o = (
+            load_table(spark, "orders", SF_DIR)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        l = load_table(spark, "lineitem", SF_DIR).select(
+            "l_orderkey", "l_quantity"
+        )
+        return l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    baseline = _join().count()
+    spark.conf.set(app_key, "0")
+    # broadcast off: the rule targets shuffle joins (a broadcast join
+    # already ships the small side everywhere — nothing to prune with)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = _join()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert j.count() == baseline  # the filter prunes, never drops
+    finally:
+        spark.conf.set(app_key, prev_app)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
