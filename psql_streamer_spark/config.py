@@ -144,7 +144,9 @@ _SINK_FACTORY: dict[str, Callable[[str, dict], Sink]] = {
     "stub_log": lambda name, conf: MemorySink(name),
     "stub_discard": lambda name, conf: NoopSink(name),
     # engine extensions: durable sinks (not in the reference)
-    "parquet": lambda name, conf: ParquetSink(conf["path"], name),
+    "parquet": lambda name, conf: ParquetSink(
+        conf["path"], name, partition_cols=conf.get("partitionBy")
+    ),
     "parquet_epoch": lambda name, conf: EpochParquetSink(conf["path"], name),
     "snapshot": lambda name, conf: SnapshotSink(
         conf["path"], conf.get("keyField", "a"), name

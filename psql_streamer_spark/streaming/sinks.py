@@ -70,14 +70,34 @@ class MemorySink(NoopSink):
 class ParquetSink:
     """Durable file sink (append). At-least-once under epoch retry — same
     delivery contract the reference documents (README.md:58); downstream
-    dedup by uuid (F5) reconciles replays."""
+    dedup by uuid (F5) reconciles replays.
 
-    def __init__(self, path: str, name: str = "parquet"):
+    ``partition_cols``: land each micro-batch partitioned by these
+    envelope columns (``table`` for the per-table CDC lake layout; a
+    derived date column for the daily layout of
+    operators/event_time.py) — the ingest-side half of partition
+    pruning: the stream appends into ``col=value/`` directories, so
+    batch analytics over the same files get PartitionFilters for free.
+    At 100 TB the stream only appends to the current directories while
+    queries prune to their slice — the append and the scan never touch
+    the same bytes. TOML spelling: ``partitionBy = ["table"]`` on a
+    parquet sink (config._SINK_FACTORY)."""
+
+    def __init__(
+        self,
+        path: str,
+        name: str = "parquet",
+        partition_cols: list[str] | None = None,
+    ):
         self.name = name
         self.path = path
+        self.partition_cols = list(partition_cols or [])
 
     def write(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(self.path)
+        w = batch_df.write.mode("append")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(self.path)
 
 
 class EpochParquetSink:

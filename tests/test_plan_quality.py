@@ -699,3 +699,50 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     finally:
         spark.conf.set(app_key, prev_app)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_partitioned_lake_daily_append_lifecycle(spark, tmp_path):
+    """The daily-append lifecycle the date layout exists for: append one
+    new day's partition and (a) existing range reads are untouched (same
+    3 directories), (b) the new day is readable as its own directory —
+    appends and scans never touch the same bytes, which is what makes
+    the layout safe for concurrent ingest + analytics at 100 TB."""
+    from psql_streamer_spark.sources.tables import load_table
+
+    e = load_table(spark, "events", SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_lake")
+    e.write.partitionBy("event_date").parquet(path)
+
+    # day-31 delta: day 1 shifted +30 days with fresh event ids — the
+    # shape of tomorrow's ingest batch
+    delta = (
+        e.filter(F.col("event_date") == F.lit("2024-01-01").cast("date"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        .withColumn("event_date", F.to_date("ts"))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    n_delta = delta.count()
+    assert n_delta > 0
+    delta.write.mode("append").partitionBy("event_date").parquet(path)
+
+    t = spark.read.parquet(path)
+    assert t.select("event_date").distinct().count() == 31
+    # the appended day lands in exactly one new directory
+    assert (
+        spark.read.parquet(f"{path}/event_date=2024-01-31").count() == n_delta
+    )
+    # a pre-existing range query sees exactly what it saw before the
+    # append (pruned plan, identical rows)
+    rng = t.filter(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
+    )
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    expected = e.filter(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
+    ).count()
+    assert rng.count() == expected

@@ -709,3 +709,45 @@ def test_engine_stop_ordering_and_drain(spark, dirs):
         json.loads(r.value)["UUID"] for r in sink.rows + sink2.rows
     }
     assert len(uuids) == n_files * 3, "events lost across stop/restart"
+
+
+def test_parquet_sink_partitioned_lake_layout(spark, dirs):
+    """r11: the streaming ingest half of partition pruning. A parquet
+    sink with partition_cols=["table"] lands each micro-batch into
+    table=<name>/ directories (the per-table CDC lake layout; TOML
+    partitionBy). A batch read of one table then (a) prunes to that
+    directory at the file-listing level and (b) plans the predicate as
+    PartitionFilters — so the lake written BY the stream is the same
+    prunable layout operators/event_time.py builds for batch."""
+    src, ckpt, tmp = dirs
+    out = tmp / "lake"
+    _write_batch(
+        src,
+        "b1.json",
+        [_event(i, table="users") for i in range(4)]
+        + [_event(i, table="orders") for i in range(4, 10)],
+    )
+    CdcPipeline(
+        spark,
+        str(src),
+        ckpt,
+        sinks=[ParquetSink(str(out), partition_cols=["table"])],
+        topic_mapping={"users": "t.users", "orders": "t.orders"},
+    ).run_to_completion()
+
+    lake = spark.read.parquet(str(out))
+    assert lake.count() == 10
+    users = lake.filter(F.col("table") == "users")
+    assert users.count() == 4
+    # the directory layout IS the partitioning: one dir per table, and
+    # the per-table slice is readable directly (what a per-table
+    # downstream job does)
+    assert spark.read.parquet(str(out / "table=users")).count() == 4
+    assert spark.read.parquet(str(out / "table=orders")).count() == 6
+    # and the filtered read plans the predicate as a PARTITION filter
+    # (path-read inputFiles() lists the unpruned FileIndex, so the plan
+    # node is the observable here; the catalog-table variant of this
+    # assertion — file-listing level — is the evt_pruned_date_range
+    # guard in test_plan_quality.py)
+    plan = users._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "table" in plan
