@@ -176,10 +176,35 @@ def compact_parquet(
     strands data at `<path>.__old__` — which the next invocation detects
     and restores before proceeding. Run from maintenance with readers
     quiesced (the table-format OPTIMIZE has the same requirement for
-    non-snapshot readers)."""
+    non-snapshot readers).
+
+    PARTITIONED layouts (``col=value/`` directories — what ParquetSink
+    writes under partition_cols and events_date_partitioned_table
+    builds) are compacted PER LEAF DIRECTORY, recursively: each leaf is
+    a plain parquet dir whose partition values live in the dirname, so
+    per-leaf rewrite preserves the layout (and pruning) exactly, bounds
+    each rewrite to one partition's bytes, and shrinks the non-atomic
+    swap window to a single partition — the same unit the table-format
+    OPTIMIZE compacts. (Pre-r11 this function read the partitioned root
+    whole and rewrote WITHOUT partitionBy — flattening the layout: the
+    partition column materialized into the files, every ``col=value``
+    path-read downstream broke, and PartitionFilters pruning was lost.
+    The streaming-lake composition made that a real path; regression
+    pinned in tests/test_io_and_ticker.py.)"""
     import math
     import os
     import shutil
+
+    part_dirs = [
+        d
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if part_dirs:
+        return sum(
+            compact_parquet(spark, os.path.join(path, d), target_file_mb)
+            for d in sorted(part_dirs)
+        )
 
     old = path.rstrip("/") + ".__old__"
     tmp = path.rstrip("/") + ".__compact__"

@@ -155,3 +155,47 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(out + ".__old__")
     assert not os.path.exists(out + ".__compact__")
     shutil.rmtree(out)
+
+
+def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
+    """r11 regression: compacting a PARTITIONED dataset (the layout the
+    streaming ParquetSink now writes under partition_cols) must compact
+    each col=value leaf in place — pre-fix the root-level rewrite
+    flattened the layout (partition column materialized into the files,
+    per-partition path reads broke, pruning lost). Pin: dirs survive,
+    rows identical, per-leaf file count drops to 1, a partition filter
+    still plans as PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "lake")
+    # 3 partitions x 4 append epochs = 4 small files per leaf
+    for epoch in range(4):
+        spark.range(30).select(
+            (F.col("id") + epoch * 100).alias("v"),
+            (F.col("id") % 3).cast("string").alias("day"),
+        ).repartition(1).write.mode("append").partitionBy("day").parquet(out)
+
+    import os
+
+    def leaf_files(day):
+        d = os.path.join(out, f"day={day}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert all(len(leaf_files(d)) == 4 for d in "012")
+    before = sorted(r.v for r in spark.read.parquet(out).collect())
+
+    n = compact_parquet(spark, out, target_file_mb=128)
+    assert n == 3  # one compacted file per leaf
+    assert {"day=0", "day=1", "day=2"} <= set(os.listdir(out))
+    assert all(len(leaf_files(d)) == 1 for d in "012")
+    after_df = spark.read.parquet(out)
+    assert sorted(r.v for r in after_df.collect()) == before
+    plan = (
+        after_df.filter(F.col("day") == "1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
