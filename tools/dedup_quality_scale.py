@@ -15,7 +15,8 @@ isolation rationale as tools/recall_scale.py's knob sweep).
 
 Usage:
     python tools/dedup_quality_scale.py [sf_dir ...]
-    # default: /root/testdata/sf0.1 /root/repo/.scale/sf1
+    # default: sf0.1 -> sf1 -> sf3 (5k / 50k / 150k docs — the
+    # QUALITY_r11.json decade-and-a-half)
     SPARK_GRAFT_QUALITY_OUT=QUALITY_r11.json python tools/dedup_quality_scale.py
     # child mode: one point
     python tools/dedup_quality_scale.py --point /root/repo/.scale/sf1
@@ -97,7 +98,11 @@ def main() -> None:
     if "--point" in sys.argv:
         point(sys.argv[sys.argv.index("--point") + 1])
         return
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/repo/.scale/sf1"]
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/root/repo/.scale/sf1",
+        "/root/repo/.scale/sf3",
+    ]
     points = []
     for sf_dir in dirs:
         out = subprocess.run(
