@@ -88,7 +88,8 @@ def _generate_events(spark, path: str, n: int, events_per_file: int) -> int:
 
 
 def _run_config(
-    spark, work: str, name: str, n: int, events_per_file: int, files_per_trigger: int
+    spark, work: str, name: str, n: int, events_per_file: int,
+    files_per_trigger: int, sink_factory=None,
 ) -> dict:
     from psql_streamer_spark.streaming.pipeline import CdcPipeline
     from psql_streamer_spark.streaming.sinks import EpochParquetSink
@@ -113,7 +114,7 @@ def _run_config(
         spark,
         source_path=src,
         checkpoint_dir=ckpt,
-        sinks=[EpochParquetSink(out)],
+        sinks=[sink_factory(out) if sink_factory else EpochParquetSink(out)],
         topic_mapping=dict(TOPIC_MAPPING),
         topic_fallback="topic_other",
         max_files_per_trigger=files_per_trigger,
@@ -243,11 +244,14 @@ def _run_neardup_config(
 
 def main() -> None:
     from psql_streamer_spark.session import get_spark
+    from psql_streamer_spark.streaming.sinks import ParquetSink
     from psql_streamer_spark.warmup import warm_expression_paths
 
     env_before = _env_snapshot()
     cpus = os.cpu_count() or 1
-    contended = env_before.get("loadavg_1m", 0.0) > cpus / 2
+    # same calibrated threshold as bench.py (r11): loadavg >= 4 at start
+    # means deltas beyond the noise band are plausibly load
+    contended = env_before.get("loadavg_1m", 0.0) >= 4.0
 
     spark = get_spark("bench_stream")
     warm_expression_paths(spark)
@@ -262,6 +266,18 @@ def main() -> None:
             # deployment-shaped micro-batches over 1M events
             "bulk_drain_1m": _run_config(
                 spark, work, "bulk_drain_1m", 1_000_000, 15_625, 8
+            ),
+            # same drain, landing the r11 per-table LAKE layout
+            # (ParquetSink partition_cols=["table"]): measures what the
+            # partitioned ingest path costs vs the flat epoch sink —
+            # each epoch writes one file set per table directory, so the
+            # delta is file-creation overhead, the small-files toll that
+            # compact_parquet's per-leaf compaction exists to pay down
+            "bulk_drain_lake": _run_config(
+                spark, work, "bulk_drain_lake", 1_000_000, 15_625, 8,
+                sink_factory=lambda out: ParquetSink(
+                    out, partition_cols=["table"]
+                ),
             ),
             # ingest-time near-dup alerting: every arriving doc signed,
             # banded, probed against the materialized corpus band index,
