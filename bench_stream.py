@@ -267,12 +267,24 @@ def main() -> None:
             "bulk_drain_1m": _run_config(
                 spark, work, "bulk_drain_1m", 1_000_000, 15_625, 8
             ),
+            # flat ParquetSink CONTROL (r12 advice): same sink class and
+            # delivery semantics (append, at-least-once) as the lake
+            # config below, no partition_cols — the lake toll is
+            # bulk_drain_flat vs bulk_drain_lake, isolating partitioning.
+            # (bulk_drain_1m uses EpochParquetSink — per-epoch overwrite
+            # dirs, effectively-once — a different sink class; comparing
+            # lake against IT confounded sink class with layout.)
+            "bulk_drain_flat": _run_config(
+                spark, work, "bulk_drain_flat", 1_000_000, 15_625, 8,
+                sink_factory=lambda out: ParquetSink(out),
+            ),
             # same drain, landing the r11 per-table LAKE layout
             # (ParquetSink partition_cols=["table"]): measures what the
-            # partitioned ingest path costs vs the flat epoch sink —
-            # each epoch writes one file set per table directory, so the
-            # delta is file-creation overhead, the small-files toll that
-            # compact_parquet's per-leaf compaction exists to pay down
+            # partitioned ingest path costs vs the flat ParquetSink
+            # control above — each epoch writes one file set per table
+            # directory, so the delta is file-creation overhead, the
+            # small-files toll that compact_parquet's per-leaf
+            # compaction exists to pay down
             "bulk_drain_lake": _run_config(
                 spark, work, "bulk_drain_lake", 1_000_000, 15_625, 8,
                 sink_factory=lambda out: ParquetSink(

@@ -736,7 +736,7 @@ def simhash64_banded_pairs(
     if max_hamming is None:
         max_hamming = bands - 1
     per_half = bands // 2
-    if bands % 2 or 32 % per_half:
+    if bands < 2 or bands % 2 or 32 % per_half:
         raise ValueError(f"bands must split two 32-bit halves evenly, got {bands}")
     width = 32 // per_half
     mask = (1 << width) - 1

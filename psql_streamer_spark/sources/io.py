@@ -195,25 +195,52 @@ def compact_parquet(
     import os
     import shutil
 
+    old = path.rstrip("/") + ".__old__"
+    tmp = path.rstrip("/") + ".__compact__"
+    # Root-level crash recovery FIRST — before the partitioned-layout probe.
+    # A partitioned root restored from `<path>.__old__` must be re-seen as
+    # partitioned; probing before restoring would find no `col=value` dirs
+    # and fall through to the flat rewrite, flattening the layout.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (old, tmp):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    def _is_swap_artifact(name: str) -> bool:
+        return name.endswith(".__old__") or name.endswith(".__compact__")
+
+    # Per-leaf crash recovery: a crash between a leaf's two renames leaves
+    # `col=v.__old__` (the data) and possibly a completed `col=v.__compact__`
+    # stray. Both contain '=' — left alone they'd be recursed as partition
+    # leaves, compacting the real data in place under the bogus partition
+    # value "v.__old__" and turning the stray into a duplicate partition.
+    # Restore `X.__old__` -> `X` when `X` is missing; remove remaining strays.
+    for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
+        if not _is_swap_artifact(name):
+            continue
+        full = os.path.join(path, name)
+        if not os.path.isdir(full):
+            continue
+        if name.endswith(".__old__"):
+            restored = os.path.join(path, name[: -len(".__old__")])
+            if not os.path.exists(restored):
+                os.rename(full, restored)
+                continue
+        shutil.rmtree(full)
+
     part_dirs = [
         d
         for d in (os.listdir(path) if os.path.isdir(path) else [])
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        if "=" in d
+        and not _is_swap_artifact(d)
+        and os.path.isdir(os.path.join(path, d))
     ]
     if part_dirs:
         return sum(
             compact_parquet(spark, os.path.join(path, d), target_file_mb)
             for d in sorted(part_dirs)
         )
-
-    old = path.rstrip("/") + ".__old__"
-    tmp = path.rstrip("/") + ".__compact__"
-    # crash recovery: a previous run may have died between the renames
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    for stale in (old, tmp):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
 
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))

@@ -199,3 +199,76 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_compact_parquet_recovers_crashed_leaf_swap_in_partitioned_layout(
+    spark, tmp_path
+):
+    """r12 (ADVICE): a crash between a LEAF's two renames leaves
+    `day=1.__old__` (the data) and possibly a completed `day=1.__compact__`
+    stray — both contain '=' and pre-fix were recursed as partition leaves:
+    the real data got compacted in place under bogus partition value
+    '1.__old__' and the stray became a duplicate partition. The next
+    invocation must restore the leaf, drop the stray, and compact normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "lake")
+    for epoch in range(3):
+        spark.range(30).select(
+            (F.col("id") + epoch * 100).alias("v"),
+            (F.col("id") % 3).cast("string").alias("day"),
+        ).repartition(1).write.mode("append").partitionBy("day").parquet(out)
+    before = sorted(r.v for r in spark.read.parquet(out).collect())
+
+    # simulate the dead run's crash window on leaf day=1: data renamed away,
+    # plus a COMPLETED __compact__ stray (would duplicate the partition)
+    leaf = os.path.join(out, "day=1")
+    os.rename(leaf, leaf + ".__old__")
+    spark.read.parquet(leaf + ".__old__").repartition(1).write.parquet(
+        leaf + ".__compact__"
+    )
+    assert not os.path.exists(leaf)
+
+    n = compact_parquet(spark, out, target_file_mb=128)
+    assert n == 3  # one compacted file per REAL leaf — no .__old__ leaf
+    assert sorted(d for d in os.listdir(out) if d.startswith("day=")) == [
+        "day=0",
+        "day=1",
+        "day=2",
+    ]
+    after_df = spark.read.parquet(out)
+    assert sorted(r.v for r in after_df.collect()) == before
+
+
+def test_compact_parquet_recovers_crashed_root_swap_of_partitioned_layout(
+    spark, tmp_path
+):
+    """r12 (ADVICE): restoring a PARTITIONED root from `<path>.__old__` must
+    happen before the layout probe — pre-fix part_dirs was computed first,
+    found nothing, and the restored root fell through to the flat rewrite,
+    re-introducing the layout-flattening bug."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "lake")
+    for epoch in range(2):
+        spark.range(30).select(
+            (F.col("id") + epoch * 100).alias("v"),
+            (F.col("id") % 3).cast("string").alias("day"),
+        ).repartition(1).write.mode("append").partitionBy("day").parquet(out)
+    before = sorted(r.v for r in spark.read.parquet(out).collect())
+    os.rename(out, out + ".__old__")
+
+    n = compact_parquet(spark, out, target_file_mb=128)
+    assert n == 3  # per-leaf compaction, NOT one flat file
+    assert {"day=0", "day=1", "day=2"} <= set(os.listdir(out))
+    after_df = spark.read.parquet(out)
+    assert sorted(r.v for r in after_df.collect()) == before
+    assert "day" in after_df.columns  # layout (partition column) survived

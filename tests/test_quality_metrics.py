@@ -573,6 +573,20 @@ def test_simhash64_band_pigeonhole_and_half_range(spark, sfdir):
         assert any(x == y for x, y in zip(bands(la, ha), bands(lb, hb)))
 
 
+def test_simhash64_banded_pairs_rejects_invalid_bands(spark, sfdir):
+    """r12 (ADVICE): bands=0 must raise the descriptive ValueError, not a
+    ZeroDivisionError — `bands % 2` is falsy for 0, so short-circuit
+    evaluation used to reach `32 % per_half` with per_half=0. Odd and
+    non-divisor band counts keep raising too."""
+    import pytest
+
+    from psql_streamer_spark.operators.dedup import simhash64_banded_pairs
+
+    for bad in (0, -2, 3, 6):
+        with pytest.raises(ValueError, match="bands must split"):
+            simhash64_banded_pairs(spark, sfdir, bands=bad)
+
+
 def test_exact_substring_cap_drops_boilerplate_keeps_organic(spark, tmp_path):
     """The df-cap tier must kill the quadratic boilerplate blow-up (30
     identical docs -> C(30,2)=435 span rows uncapped) while organic
