@@ -44,12 +44,17 @@ def _env_snapshot() -> dict:
         pass
     return snap
 
-# Representative slice of SURVEY.md §2: relational core, window/sessionize,
-# CDC hot path, dedup scale path, vector search, text quality.
+# Representative slice of SURVEY.md §2: relational core, lake layout,
+# window/sessionize, CDC hot path, dedup scale path, vector search, text
+# quality.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    # fact-side partition pruning (r12): cold pays the write-once
+    # ship-month table build (ingest leg), warm is the pruned 3-of-83-
+    # directories read — the lake discipline measured every round
+    "q6_pruned_shipdate_range",
     "topk_customers_by_revenue",
     "window_running_order_total",
     "evt_session_windows_30m",

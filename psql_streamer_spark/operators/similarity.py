@@ -466,7 +466,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_stride_topk(
-    spark: SparkSession, sf_dir: str, k: int, nprobe: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    nprobe: int | None = None,
+    counters: dict | None = None,
 ) -> DataFrame:
     import math
 
@@ -497,7 +501,7 @@ def _ivf_stride_topk(
             (IVF_PROBE_FRAC_NUM * cells + IVF_PROBE_FRAC_DEN - 1)
             // IVF_PROBE_FRAC_DEN,
         )
-    return _ivf_probe_topk(v, cent, k, nprobe)
+    return _ivf_probe_topk(v, cent, k, nprobe, counters=counters)
 
 
 def cosine_margin_candidates(
@@ -598,14 +602,23 @@ def cosine_margin_candidates(
 
 
 def _ivf_probe_topk(
-    v: DataFrame, cent: DataFrame, k: int = TOP_K, nprobe: int = IVF_PROBES
+    v: DataFrame,
+    cent: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_PROBES,
+    counters: dict | None = None,
 ) -> DataFrame:
     """Shared IVF probe: cell assignment + probe-cell ranking against a
     (cent_id, ce, cnrm) model frame — always broadcast; the centroid set
     is O(model), never O(data). ``nprobe`` is the recall/latency knob
     (cells probed per query): the registered ops pin it at IVF_PROBES so
     their oracles replay it; tools/recall_scale.py sweeps it to measure
-    the quality axis."""
+    the quality axis. ``counters`` (measurement-only, r12): when given,
+    records the pre-top-k candidate volume (scored rows = sum of probed
+    cell sizes over queries) and the resolved nprobe — the diagnostic
+    that says whether probe cost at a scale point is candidate-bound or
+    fixed-overhead-bound. Filling it runs ONE extra count action; never
+    pass it on a latency-measured call."""
     sim_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
     # corpus assignment: lossless BLAS margin screen + exact fold rerank
     # over the (almost always single-row) candidate set — replaces the
@@ -657,6 +670,9 @@ def _ivf_probe_topk(
             ),
         )
     )
+    if counters is not None:
+        counters["nprobe"] = nprobe
+        counters["candidates"] = scored.count()
     # per-query ranking is salted two-phase (functions/ranking.py): the
     # scored frame spreads over query_id x 64 reducers; only the
     # |queries| x 64 x k survivor frame sees a query-only window. With

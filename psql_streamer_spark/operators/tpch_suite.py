@@ -82,6 +82,123 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q6 over a PARTITIONED fact layout (r12): lineitem laid out as
+# l_shipmonth=YYYY-MM directories, the fact-table half of lake discipline.
+# evt_pruned_date_range (operators/event_time.py) proved pruned scans on
+# the CDC events lake; this applies the same mechanism to the table that
+# dominates a 100 TB TPC-H-shaped scan — q1/q6-class date predicates on a
+# flat lineitem prune via row-group stats only, while this layout makes
+# them PartitionFilters that never open files outside the range.
+# --------------------------------------------------------------------------
+#: Inclusive ship-month window (zero-padded yyyy-MM compares correctly as
+#: a string range). Literal, like EVT_PRUNE_START/END: month membership is
+#: EXACTLY l_shipdate in [1996-01-01, 1996-04-01) — the partition predicate
+#: fully replaces the timestamp range, so the pruned scan needs no data
+#: filter at all.
+Q6_PRUNE_START_MONTH = "1996-01"
+Q6_PRUNE_END_MONTH = "1996-03"
+
+#: Intra-month write salt: bounds files-per-leaf (a leaf is written by at
+#: most this many tasks) while keeping a pruned small-range read wide
+#: enough to use local[32] — see lineitem_shipmonth_partitioned_table.
+LAKE_LEAF_SALT = 8
+
+
+def lineitem_shipmonth_partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem ONCE per session as a ship-month partitioned table
+    (``l_shipmonth=YYYY-MM/`` directories) and return its name — same
+    write-once lifecycle and stale-dir handling as
+    events_date_partitioned_table. The synthetic corpus spans 83 months,
+    so the partition count grows with MONTHS, never rows/month — the
+    daily/monthly-append layout a real lake runs.
+
+    The write repartitions by (month, salt): month alone bounds files
+    per leaf but collapses each month to ONE writer task and ONE file —
+    measured at sf10 (LAKE_r12), that made the pruned read SLOWER than
+    the full scan cold (3 splits vs 32 threads) despite reading 2.9% of
+    the bytes. An 8-way intra-month salt keeps files-per-leaf bounded
+    (<= LAKE_LEAF_SALT vs the unsalted 32-per-task-per-leaf blowup)
+    while giving a pruned month range enough splits to use the machine.
+    At 100 TB a month exceeds maxPartitionBytes thousands of times over,
+    so splits come free either way — the salt is the small-SF/local
+    parallelism knob, and the leaf layout and pruning are unchanged by
+    it."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"lineitem_by_shipmonth_{tag}"
+    if not spark.catalog.tableExists(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        l = load_table(spark, "lineitem", sf_dir).withColumn(
+            "l_shipmonth", F.date_format("l_shipdate", "yyyy-MM")
+        )
+        # explicit partition count: AQE coalesces an implicit-N
+        # repartition of a small shuffle down to ONE partition (observed
+        # at sf0.01), re-collapsing the write to one file per leaf
+        n_write = max(LAKE_LEAF_SALT, spark.sparkContext.defaultParallelism)
+        (
+            l.repartition(
+                n_write,
+                F.col("l_shipmonth"),
+                F.pmod(F.col("l_orderkey"), F.lit(LAKE_LEAF_SALT)),
+            )
+            .write.partitionBy("l_shipmonth")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    return table
+
+
+@register(
+    "q6_pruned_shipdate_range",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           COUNT(*) AS n_items,
+           {qty} AS sum_qty,
+           {rev} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1
+    """.format(
+        qty=sql_dsum("l_quantity"),
+        rev=sql_dsum("l_extendedprice * l_discount"),
+    ),
+)
+def q6_pruned_shipdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month q6-class revenue rollup over a 3-month range read from
+    the ship-month partitioned lineitem: the range predicate is purely a
+    PARTITION filter (month membership == the timestamp range, so there
+    is no data filter), the scan opens only the 3 matching month
+    directories of 83 — plan-guarded both ways in
+    tests/test_plan_quality.py (PartitionFilters in the scan node AND
+    inputFiles() confined to the 3 directories). The oracle replays the
+    same rollup against the RAW lineitem parquet, proving layout +
+    pruning change nothing but the bytes read. At 100 TB the lineitem
+    scan IS the job: this is the difference between reading 3 months
+    and reading the decade."""
+    t = spark.table(lineitem_shipmonth_partitioned_table(spark, sf_dir))
+    return (
+        t.filter(
+            (F.col("l_shipmonth") >= Q6_PRUNE_START_MONTH)
+            & (F.col("l_shipmonth") <= Q6_PRUNE_END_MONTH)
+        )
+        .groupBy(F.col("l_shipmonth").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q4: correlated EXISTS with a non-equi component. Spark form: left-semi
 # join on the equi key with the extra predicate riding along (the shuffle
 # carries only the key; the non-equi part evaluates post-match).
@@ -114,6 +231,81 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4-class rollup over a PARTITIONED orders layout (r12): the second fact
+# table gets the same ship-month treatment as lineitem above — orders as
+# o_ordermonth=YYYY-MM directories (80 months in the synthetic corpus).
+# Together the two pruned variants cover both halves of a date-ranged
+# order/lineitem join job at 100 TB: each side's scan opens only the
+# in-range month directories.
+# --------------------------------------------------------------------------
+def orders_ordermonth_partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders ONCE per session as an order-month partitioned table
+    (``o_ordermonth=YYYY-MM/``) and return its name — same write-once
+    lifecycle, stale-dir handling, and repartition-by-month write
+    discipline as lineitem_shipmonth_partitioned_table."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"orders_by_ordermonth_{tag}"
+    if not spark.catalog.tableExists(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        o = load_table(spark, "orders", sf_dir).withColumn(
+            "o_ordermonth", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        n_write = max(LAKE_LEAF_SALT, spark.sparkContext.defaultParallelism)
+        (
+            o.repartition(
+                n_write,
+                F.col("o_ordermonth"),
+                F.pmod(F.col("o_orderkey"), F.lit(LAKE_LEAF_SALT)),
+            )
+            .write.partitionBy("o_ordermonth")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    return table
+
+
+@register(
+    "q4_pruned_orderdate_range",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count,
+           {tot} AS sum_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY o_orderpriority
+    """.format(tot=sql_dsum("o_totalprice")),
+)
+def q4_pruned_orderdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order counts + total price over the q4 3-month window
+    read from the order-month partitioned orders table: the range is
+    purely a PARTITION predicate (month membership == the timestamp
+    range), 3 of 80 directories opened — plan-guarded alongside the
+    lineitem variant in tests/test_plan_quality.py. The oracle replays
+    the rollup against the RAW orders parquet."""
+    t = spark.table(orders_ordermonth_partitioned_table(spark, sf_dir))
+    return (
+        t.filter(
+            (F.col("o_ordermonth") >= Q6_PRUNE_START_MONTH)
+            & (F.col("o_ordermonth") <= Q6_PRUNE_END_MONTH)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice").alias("sum_totalprice"),
+        )
     )
 
 

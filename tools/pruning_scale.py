@@ -1,21 +1,31 @@
-"""Measured partition-pruning speedup at an inflated scale point.
+"""Measured partition-pruning speedup + lake-maintenance cost at scale.
 
-The r11 date-partitioned lake layout (operators/event_time.py) is
-plan-guarded (PartitionFilters, 3 of 30 directories); this tool measures
-what the plan shape BUYS: the same 3-day rollup computed (a) from the
-raw single-directory parquet — full scan, predicate evaluated per row —
-vs (b) from the date-partitioned copy — 27 of 30 directories never
-opened. Also records the one-time partitioned-write cost (the ingest
-side pays it once; every time-ranged query amortizes it).
+Three sections (r11 grew the first; r12 adds the other two):
 
-Expectation at any SF: pruned cold ~ (days-in-range / days-total) of the
-full-scan cold, because the dominant cost is the parquet scan itself.
-Run at .scale/sf10 (10M events) the effect is page-cache-visible; at
-100 TB it is the difference between a job and a lake scan.
+1. ``events``: the r11 date-partitioned CDC lake — the same 3-day rollup
+   computed (a) from the raw single-directory parquet (full scan, the
+   filter is to_date(ts), a function of the column, so row-group stats
+   can't help) vs (b) from the date-partitioned copy (27 of 30
+   directories never opened). Records the one-time partitioned-write
+   cost, wall-clock both ways, and the bytes ratio — the 100 TB metric.
+2. ``lineitem_shipmonth``: the SAME mechanism on the TPC-H fact side —
+   lineitem as l_shipmonth=YYYY-MM directories (83 months), the q6
+   3-month rollup pruned to 3 directories. At 100 TB the lineitem scan
+   IS the job; this measures what q6_pruned_shipdate_range's plan guard
+   proves structurally. (Unlike events, the raw filter is on a plain
+   column, so the raw scan CAN skip row groups via min/max stats — the
+   measured raw cost already includes that, making the pruning delta the
+   honest increment over stats-only skipping.)
+3. ``compaction_events``: the maintenance leg — accumulate a fragmented
+   lake (N micro-batch appends -> N file sets per date leaf, the layout
+   a 1 s-trigger streaming sink actually produces), then compact_parquet
+   per leaf: files before/after, compaction wall-time, pruned-read
+   cold wall before/after, and row parity across the swap.
 
 Usage:
     python tools/pruning_scale.py [sf_dir]       # default .scale/sf10
-    SPARK_GRAFT_LAKE_OUT=LAKE_r11.json python tools/pruning_scale.py
+    SPARK_GRAFT_LAKE_OUT=LAKE_r12.json python tools/pruning_scale.py
+    SPARK_GRAFT_LAKE_SECTIONS=events,lineitem,compaction  (default all)
 """
 
 from __future__ import annotations
@@ -32,34 +42,62 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
+def _loadavg() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
 
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def _count_files(path: str) -> int:
+    return sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    )
+
+
+def _timed(rec: dict, tag_: str, build) -> None:
+    samples = []
+    for i in range(3):
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        if i == 0:
+            rec[f"{tag_}_cold_sec"] = round(dt, 3)
+        else:
+            samples.append(dt)
+    rec[f"{tag_}_warm_sec"] = round(min(samples), 3)
+
+
+def _parity(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def measure_events(spark, sf_dir: str, lake_root: str) -> dict:
     from psql_streamer_spark.functions.numeric import dsum
     from psql_streamer_spark.operators.event_time import (
         EVT_PRUNE_END,
         EVT_PRUNE_START,
     )
-    from psql_streamer_spark.session import get_spark
     from psql_streamer_spark.sources.tables import load_table
-    from psql_streamer_spark.warmup import warm_expression_paths
 
-    spark = get_spark("pruning_scale")
-    warm_expression_paths(spark)
-
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    lake = f"/root/repo/.scale/lake_{tag}"
-    rec: dict = {"sf_dir": sf_dir, "range": [EVT_PRUNE_START, EVT_PRUNE_END]}
-    try:
-        rec["loadavg_1m"] = round(os.getloadavg()[0], 2)
-    except OSError:
-        pass
+    lake = os.path.join(lake_root, "events_by_date")
+    rec: dict = {
+        "range": [EVT_PRUNE_START, EVT_PRUNE_END],
+        "loadavg_1m": _loadavg(),
+    }
 
     e = load_table(spark, "events", sf_dir)
     rec["n_events"] = e.count()
 
-    # one-time ingest cost: write the date-partitioned copy (fresh each
-    # run — this tool measures, it doesn't cache)
     if os.path.exists(lake):
         shutil.rmtree(lake)
     t0 = time.time()
@@ -78,54 +116,18 @@ def main() -> None:
             .agg(F.count("*").alias("n"), dsum("value").alias("v"))
         )
 
-    def timed(tag_: str, build) -> None:
-        samples = []
-        for i in range(3):
-            t0 = time.time()
-            build().write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            if i == 0:
-                rec[f"{tag_}_cold_sec"] = round(dt, 3)
-            else:
-                samples.append(dt)
-        rec[f"{tag_}_warm_sec"] = round(min(samples), 3)
-
-    # (a) full scan of the raw single-directory parquet
-    timed("full_scan", lambda: rollup(load_table(spark, "events", sf_dir),
-                                      F.to_date("ts")))
-    # (b) pruned scan of the partitioned copy
+    _timed(rec, "full_scan", lambda: rollup(
+        load_table(spark, "events", sf_dir), F.to_date("ts")))
     part = spark.read.parquet(lake)
-    timed("pruned", lambda: rollup(part, F.col("event_date")))
+    _timed(rec, "pruned", lambda: rollup(part, F.col("event_date")))
 
-    # parity: both forms compute the identical rollup
     a = rollup(load_table(spark, "events", sf_dir), F.to_date("ts"))
     b = rollup(part, F.col("event_date"))
     rec["rows"] = a.count()
-    rec["parity"] = (
-        rec["rows"] == b.count()
-        and a.exceptAll(b).isEmpty()
-        and b.exceptAll(a).isEmpty()
-    )
+    rec["parity"] = rec["rows"] == b.count() and _parity(a, b)
     rec["pruned_vs_full_cold"] = round(
         rec["pruned_cold_sec"] / rec["full_scan_cold_sec"], 3
     )
-
-    # Bytes are the 100 TB metric, wall-clock is the local[32] one: at
-    # this SF the whole table is ~200 MB so both scans are
-    # scheduling-bound and the wall-clock ratio understates the win.
-    # The filter is on to_date(ts) — a FUNCTION of the column — so the
-    # raw scan cannot use parquet row-group stats (no pushdown; it must
-    # read every row group of ts/event_type/value), while the pruned
-    # scan opens only the in-range directories. Account both from the
-    # filesystem.
-    def _du(path: str) -> int:
-        total = 0
-        for root, _, files in os.walk(path):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(root, fn))
-        return total
-
     rec["full_scan_bytes"] = _du(os.path.join(sf_dir, "events.parquet"))
     rec["pruned_bytes"] = sum(
         _du(os.path.join(lake, d))
@@ -136,7 +138,220 @@ def main() -> None:
     rec["pruned_vs_full_bytes"] = round(
         rec["pruned_bytes"] / rec["full_scan_bytes"], 4
     )
-    shutil.rmtree(lake)  # measurement artifact, not an index to keep
+    shutil.rmtree(lake)
+    return rec
+
+
+def measure_lineitem(spark, sf_dir: str, lake_root: str) -> dict:
+    from psql_streamer_spark.functions.numeric import dsum
+    from psql_streamer_spark.operators.tpch_suite import (
+        Q6_PRUNE_END_MONTH,
+        Q6_PRUNE_START_MONTH,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+
+    lake = os.path.join(lake_root, "lineitem_by_shipmonth")
+    rec: dict = {
+        "range": [Q6_PRUNE_START_MONTH, Q6_PRUNE_END_MONTH],
+        "loadavg_1m": _loadavg(),
+    }
+
+    l = load_table(spark, "lineitem", sf_dir)
+    rec["n_rows"] = l.count()
+
+    # one-time ingest: (month, salt) repartition, same write discipline
+    # as lineitem_shipmonth_partitioned_table — files per leaf bounded at
+    # LAKE_LEAF_SALT, pruned reads keep enough splits to parallelize
+    from psql_streamer_spark.operators.tpch_suite import LAKE_LEAF_SALT
+
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    t0 = time.time()
+    (
+        l.withColumn("l_shipmonth", F.date_format("l_shipdate", "yyyy-MM"))
+        .repartition(
+            max(LAKE_LEAF_SALT, spark.sparkContext.defaultParallelism),
+            F.col("l_shipmonth"),
+            F.pmod(F.col("l_orderkey"), F.lit(LAKE_LEAF_SALT)),
+        )
+        .write.partitionBy("l_shipmonth")
+        .parquet(lake)
+    )
+    rec["partitioned_write_sec"] = round(time.time() - t0, 3)
+    rec["n_partitions"] = sum(
+        1 for d in os.listdir(lake) if d.startswith("l_shipmonth=")
+    )
+
+    # q6-class rollup: raw form filters the timestamp column (row-group
+    # stats CAN skip here — included in the measured raw cost), pruned
+    # form filters only the partition column (no data filter at all)
+    def rollup_raw():
+        return (
+            load_table(spark, "lineitem", sf_dir)
+            .filter(
+                (F.col("l_shipdate")
+                 >= F.lit(f"{Q6_PRUNE_START_MONTH}-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate")
+                   < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+            .agg(
+                F.count("*").alias("n"),
+                dsum("l_quantity").alias("q"),
+                dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("r"),
+            )
+        )
+
+    part = spark.read.parquet(lake)
+
+    def rollup_pruned():
+        return (
+            part.filter(
+                (F.col("l_shipmonth") >= Q6_PRUNE_START_MONTH)
+                & (F.col("l_shipmonth") <= Q6_PRUNE_END_MONTH)
+            )
+            .groupBy(F.col("l_shipmonth").alias("m"))
+            .agg(
+                F.count("*").alias("n"),
+                dsum("l_quantity").alias("q"),
+                dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("r"),
+            )
+        )
+
+    _timed(rec, "full_scan", rollup_raw)
+    _timed(rec, "pruned", rollup_pruned)
+
+    a, b = rollup_raw(), rollup_pruned()
+    rec["rows"] = a.count()
+    rec["parity"] = rec["rows"] == b.count() and _parity(a, b)
+    rec["pruned_vs_full_cold"] = round(
+        rec["pruned_cold_sec"] / rec["full_scan_cold_sec"], 3
+    )
+    rec["full_scan_bytes"] = _du(os.path.join(sf_dir, "lineitem.parquet"))
+    rec["pruned_bytes"] = sum(
+        _du(os.path.join(lake, d))
+        for d in os.listdir(lake)
+        if d.startswith("l_shipmonth=")
+        and Q6_PRUNE_START_MONTH <= d.split("=")[1] <= Q6_PRUNE_END_MONTH
+    )
+    rec["pruned_vs_full_bytes"] = round(
+        rec["pruned_bytes"] / rec["full_scan_bytes"], 4
+    )
+    shutil.rmtree(lake)
+    return rec
+
+
+def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> dict:
+    """The maintenance leg: fragment the events lake the way a streaming
+    sink does (``epochs`` appends, each WITHOUT repartition, so every
+    append lands one file set per task per touched leaf), then pay it
+    down with compact_parquet's per-leaf compaction. Reads before/after
+    share the same page-cache state (both follow writes of the same
+    data), so the delta isolates file-count overhead, not IO."""
+    from psql_streamer_spark.functions.numeric import dsum
+    from psql_streamer_spark.operators.event_time import (
+        EVT_PRUNE_END,
+        EVT_PRUNE_START,
+    )
+    from psql_streamer_spark.sources.io import compact_parquet
+    from psql_streamer_spark.sources.tables import load_table
+
+    lake = os.path.join(lake_root, "events_fragmented")
+    rec: dict = {"epochs": epochs, "loadavg_1m": _loadavg()}
+
+    if os.path.exists(lake):
+        shutil.rmtree(lake)
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    e.persist()
+    rec["n_events"] = e.count()
+    t0 = time.time()
+    for i in range(epochs):
+        (
+            e.filter(F.pmod(F.col("event_id"), F.lit(epochs)) == i)
+            .write.partitionBy("event_date")
+            .mode("append")
+            .parquet(lake)
+        )
+    rec["fragmented_write_sec"] = round(time.time() - t0, 3)
+    e.unpersist()
+    rec["files_before"] = _count_files(lake)
+
+    def rollup(df):
+        return (
+            df.filter(
+                (F.col("event_date") >= F.lit(EVT_PRUNE_START).cast("date"))
+                & (F.col("event_date") <= F.lit(EVT_PRUNE_END).cast("date"))
+            )
+            .groupBy("event_date", "event_type")
+            .agg(F.count("*").alias("n"), dsum("value").alias("v"))
+        )
+
+    _timed(rec, "pruned_fragmented", lambda: rollup(spark.read.parquet(lake)))
+    rows_before = rollup(spark.read.parquet(lake)).count()
+    # ground truth for post-compaction parity comes from the RAW events
+    # table, not the fragmented lake: the pre-compaction lake plan cannot
+    # be re-executed after the swap (its files are gone)
+    truth = rollup(
+        load_table(spark, "events", sf_dir).withColumn(
+            "event_date", F.to_date("ts")
+        )
+    )
+
+    t0 = time.time()
+    rec["compacted_file_target"] = compact_parquet(spark, lake, target_file_mb=128)
+    rec["compaction_sec"] = round(time.time() - t0, 3)
+    rec["files_after"] = _count_files(lake)
+
+    _timed(rec, "pruned_compacted", lambda: rollup(spark.read.parquet(lake)))
+    after = rollup(spark.read.parquet(lake))
+    rec["rows"] = rows_before
+    rec["parity"] = (
+        rows_before == after.count() == truth.count() and _parity(truth, after)
+    )
+    rec["pruned_compacted_vs_fragmented_cold"] = round(
+        rec["pruned_compacted_cold_sec"] / rec["pruned_fragmented_cold_sec"], 3
+    )
+    shutil.rmtree(lake)
+    return rec
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
+    sections = os.environ.get(
+        "SPARK_GRAFT_LAKE_SECTIONS", "events,lineitem,compaction"
+    ).split(",")
+
+    from psql_streamer_spark.session import get_spark
+    from psql_streamer_spark.warmup import warm_expression_paths
+
+    spark = get_spark("pruning_scale")
+    warm_expression_paths(spark)
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    lake_root = f"/root/repo/.scale/lake_{tag}"
+    os.makedirs(lake_root, exist_ok=True)
+    rec: dict = {"sf_dir": sf_dir, "loadavg_1m_start": _loadavg()}
+    try:
+        # print each section as it lands so a late crash loses nothing
+        if "events" in sections:
+            rec["events"] = measure_events(spark, sf_dir, lake_root)
+            print(json.dumps({"events": rec["events"]}), flush=True)
+        if "lineitem" in sections:
+            rec["lineitem_shipmonth"] = measure_lineitem(spark, sf_dir, lake_root)
+            print(
+                json.dumps({"lineitem_shipmonth": rec["lineitem_shipmonth"]}),
+                flush=True,
+            )
+        if "compaction" in sections:
+            rec["compaction_events"] = measure_compaction(spark, sf_dir, lake_root)
+            print(
+                json.dumps({"compaction_events": rec["compaction_events"]}),
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(lake_root, ignore_errors=True)
 
     out = os.environ.get("SPARK_GRAFT_LAKE_OUT")
     if out:
