@@ -309,6 +309,52 @@ def q4_pruned_orderdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q3_pruned_fact_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {rev} AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_shipdate  >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate  <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """.format(rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+)
+def q3_pruned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The job-shaped composition of the two pruned layouts: a q3-class
+    revenue join where BOTH fact scans are partition-pruned before the
+    join shuffle — orders to its 3 o_ordermonth directories (of 80),
+    lineitem to 6 l_shipmonth directories (of 83; lineitems of a Q1
+    order can ship into Q2, so the ship window extends a quarter past
+    the order window — at 100 TB this asymmetric-window pruning is how
+    an order/lineitem join job avoids scanning either decade). Both
+    range predicates are purely partition filters; the join shuffles
+    only the pruned slices on l_orderkey/o_orderkey and AQE picks the
+    strategy. Plan-guarded in tests/test_plan_quality.py: PartitionFilters
+    on BOTH scan nodes, inputFiles confined to 3 + 6 directories. The
+    oracle replays the identical join against the RAW parquet tables."""
+    o = spark.table(orders_ordermonth_partitioned_table(spark, sf_dir)).filter(
+        (F.col("o_ordermonth") >= "1996-01") & (F.col("o_ordermonth") <= "1996-03")
+    )
+    l = spark.table(lineitem_shipmonth_partitioned_table(spark, sf_dir)).filter(
+        (F.col("l_shipmonth") >= "1996-01") & (F.col("l_shipmonth") <= "1996-06")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Q2: min-cost supplier. The supply relation is derived from lineitem
 # (no partsupp in the lake): per (part, supplier) the minimum observed

@@ -732,6 +732,34 @@ def test_pruned_ordermonth_range_scans_only_matching_partitions(spark, queries):
     assert n_months == 80, n_months
 
 
+def test_pruned_fact_join_prunes_both_scans(spark, queries):
+    """r12: the composed job shape — a q3-class order/lineitem revenue
+    join where BOTH fact scans must partition-prune before the join
+    shuffle: orders to its 3 o_ordermonth directories, lineitem to its 6
+    l_shipmonth directories (asymmetric windows — lineitems of a Q1
+    order ship into Q2). At 100 TB this is the difference between
+    joining two month-slices and shuffling two decades."""
+    df = queries["q3_pruned_fact_join"](spark, SF_DIR)
+    plan = _physical(df)
+    assert plan.count("PartitionFilters: [isnotnull") >= 2, plan[:3000]
+    o_months = sorted(
+        {
+            f.split("o_ordermonth=")[1].split("/")[0]
+            for f in df.inputFiles()
+            if "o_ordermonth=" in f
+        }
+    )
+    l_months = sorted(
+        {
+            f.split("l_shipmonth=")[1].split("/")[0]
+            for f in df.inputFiles()
+            if "l_shipmonth=" in f
+        }
+    )
+    assert o_months == ["1996-01", "1996-02", "1996-03"], o_months
+    assert l_months == [f"1996-0{i}" for i in range(1, 7)], l_months
+
+
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     """Row-level runtime filtering, the shuffle-join companion to
     partition pruning: with a selective filter on one join side, Spark

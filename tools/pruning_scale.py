@@ -241,6 +241,103 @@ def measure_lineitem(spark, sf_dir: str, lake_root: str) -> dict:
     return rec
 
 
+def measure_join(spark, sf_dir: str, lake_root: str) -> dict:
+    """The composed job shape (q3_pruned_fact_join): an order/lineitem
+    revenue join with BOTH fact scans partition-pruned (orders 3/80
+    months, lineitem 6/83) vs the identical join over the raw parquet
+    with the equivalent timestamp ranges. Bytes are the sum over both
+    sides — the two-decade-shuffle vs two-slice-shuffle comparison."""
+    from psql_streamer_spark.functions.numeric import dsum
+    from psql_streamer_spark.operators.tpch_suite import LAKE_LEAF_SALT
+    from psql_streamer_spark.sources.tables import load_table
+
+    l_lake = os.path.join(lake_root, "join_lineitem_by_shipmonth")
+    o_lake = os.path.join(lake_root, "join_orders_by_ordermonth")
+    rec: dict = {
+        "o_range": ["1996-01", "1996-03"],
+        "l_range": ["1996-01", "1996-06"],
+        "loadavg_1m": _loadavg(),
+    }
+
+    n_write = max(LAKE_LEAF_SALT, spark.sparkContext.defaultParallelism)
+    t0 = time.time()
+    for lake, tbl, ts_col, key, part in (
+        (l_lake, "lineitem", "l_shipdate", "l_orderkey", "l_shipmonth"),
+        (o_lake, "orders", "o_orderdate", "o_orderkey", "o_ordermonth"),
+    ):
+        if os.path.exists(lake):
+            shutil.rmtree(lake)
+        (
+            load_table(spark, tbl, sf_dir)
+            .withColumn(part, F.date_format(ts_col, "yyyy-MM"))
+            .repartition(
+                n_write, F.col(part), F.pmod(F.col(key), F.lit(LAKE_LEAF_SALT))
+            )
+            .write.partitionBy(part)
+            .parquet(lake)
+        )
+    rec["partitioned_write_sec"] = round(time.time() - t0, 3)
+
+    def agg(joined):
+        return joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+        )
+
+    def join_raw():
+        o = load_table(spark, "orders", sf_dir).filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        l = load_table(spark, "lineitem", sf_dir).filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        return agg(l.join(o, l.l_orderkey == o.o_orderkey))
+
+    lp = spark.read.parquet(l_lake)
+    op = spark.read.parquet(o_lake)
+
+    def join_pruned():
+        o = op.filter(
+            (F.col("o_ordermonth") >= "1996-01")
+            & (F.col("o_ordermonth") <= "1996-03")
+        )
+        l = lp.filter(
+            (F.col("l_shipmonth") >= "1996-01")
+            & (F.col("l_shipmonth") <= "1996-06")
+        )
+        return agg(l.join(o, l.l_orderkey == o.o_orderkey))
+
+    _timed(rec, "raw_join", join_raw)
+    _timed(rec, "pruned_join", join_pruned)
+
+    a, b = join_raw(), join_pruned()
+    rec["rows"] = a.count()
+    rec["parity"] = rec["rows"] == b.count() and _parity(a, b)
+    rec["pruned_vs_raw_cold"] = round(
+        rec["pruned_join_cold_sec"] / rec["raw_join_cold_sec"], 3
+    )
+    rec["raw_bytes"] = _du(os.path.join(sf_dir, "lineitem.parquet")) + _du(
+        os.path.join(sf_dir, "orders.parquet")
+    )
+    rec["pruned_bytes"] = sum(
+        _du(os.path.join(l_lake, d))
+        for d in os.listdir(l_lake)
+        if d.startswith("l_shipmonth=")
+        and "1996-01" <= d.split("=")[1] <= "1996-06"
+    ) + sum(
+        _du(os.path.join(o_lake, d))
+        for d in os.listdir(o_lake)
+        if d.startswith("o_ordermonth=")
+        and "1996-01" <= d.split("=")[1] <= "1996-03"
+    )
+    rec["pruned_vs_raw_bytes"] = round(rec["pruned_bytes"] / rec["raw_bytes"], 4)
+    shutil.rmtree(l_lake)
+    shutil.rmtree(o_lake)
+    return rec
+
+
 def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> dict:
     """The maintenance leg: fragment the events lake the way a streaming
     sink does (``epochs`` appends, each WITHOUT repartition, so every
@@ -320,7 +417,7 @@ def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
     sections = os.environ.get(
-        "SPARK_GRAFT_LAKE_SECTIONS", "events,lineitem,compaction"
+        "SPARK_GRAFT_LAKE_SECTIONS", "events,lineitem,join,compaction"
     ).split(",")
 
     from psql_streamer_spark.session import get_spark
@@ -342,6 +439,12 @@ def main() -> None:
             rec["lineitem_shipmonth"] = measure_lineitem(spark, sf_dir, lake_root)
             print(
                 json.dumps({"lineitem_shipmonth": rec["lineitem_shipmonth"]}),
+                flush=True,
+            )
+        if "join" in sections:
+            rec["pruned_fact_join"] = measure_join(spark, sf_dir, lake_root)
+            print(
+                json.dumps({"pruned_fact_join": rec["pruned_fact_join"]}),
                 flush=True,
             )
         if "compaction" in sections:
