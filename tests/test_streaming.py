@@ -751,3 +751,63 @@ def test_parquet_sink_partitioned_lake_layout(spark, dirs):
     # guard in test_plan_quality.py)
     plan = users._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "table" in plan
+
+
+def test_streaming_lake_lifecycle_ingest_compact_pruned_read(spark, dirs):
+    """r12: the full lake lifecycle in one composition — the path that
+    exposed the r11 layout-flattening bug and the r12 crash-recovery
+    holes, now exercised end-to-end on the fixed code. Multi-epoch
+    streamed ingest accumulates several file sets per table leaf;
+    per-leaf compact_parquet pays the small-files toll down to one file
+    per leaf; the compacted lake must keep the layout (dirs, per-table
+    path reads, PartitionFilters) and every row/value."""
+    import os
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    src, ckpt, tmp = dirs
+    out = tmp / "lake"
+    # 3 micro-batches (maxFilesPerTrigger=1), each touching both tables
+    for b in range(3):
+        _write_batch(
+            src,
+            f"b{b}.json",
+            [_event(b * 10 + i, table="users") for i in range(2)]
+            + [_event(b * 10 + i, table="orders") for i in range(2, 5)],
+        )
+    CdcPipeline(
+        spark,
+        str(src),
+        ckpt,
+        sinks=[ParquetSink(str(out), partition_cols=["table"])],
+        topic_mapping={"users": "t.users", "orders": "t.orders"},
+        max_files_per_trigger=1,
+    ).run_to_completion()
+
+    def leaf_files(table):
+        d = out / f"table={table}"
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    # ingest leg: one file set per epoch per touched leaf
+    assert len(leaf_files("users")) >= 3 and len(leaf_files("orders")) >= 3
+    before = sorted(
+        (r.table, r.uuid) for r in spark.read.parquet(str(out)).collect()
+    )
+    assert len(before) == 15
+
+    # maintenance leg: per-leaf compaction -> one file per leaf
+    n = compact_parquet(spark, str(out), target_file_mb=128)
+    assert n == 2
+    assert len(leaf_files("users")) == 1 and len(leaf_files("orders")) == 1
+
+    # read leg: layout, rows, per-table path reads, and pruning survive
+    lake = spark.read.parquet(str(out))
+    assert sorted((r.table, r.uuid) for r in lake.collect()) == before
+    assert spark.read.parquet(str(out / "table=users")).count() == 6
+    plan = (
+        lake.filter(F.col("table") == "orders")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "table" in plan
