@@ -244,6 +244,78 @@ def test_compact_parquet_recovers_crashed_leaf_swap_in_partitioned_layout(
     assert sorted(r.v for r in after_df.collect()) == before
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "states",
+    [
+        # one leaf per crash point of the swap sequence
+        # (write tmp -> rename path->old -> rename tmp->path -> rm old):
+        # a = crashed after tmp write (X + X.__compact__)
+        # b = crashed between renames (X.__old__ + X.__compact__, X gone)
+        # c = crashed before old cleanup (X=compacted + X.__old__=original)
+        ("a", "b", "c"),
+        ("b", "b", "b"),
+        ("a", "intact", "b"),
+        ("c", "a", "intact"),
+        ("intact", "c", "b"),
+    ],
+)
+def test_compact_parquet_recovers_any_leaf_crash_state(spark, tmp_path, states):
+    """r12 hardening of the ADVICE crash-recovery fix: whatever mix of
+    per-leaf crash states a dead compaction run left behind — a stale
+    completed tmp beside live data, a leaf stranded at __old__, or both
+    dirs present after the second rename — ONE compact_parquet call must
+    restore/clean every leaf, keep the exact data multiset, and leave no
+    swap artifacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "lake")
+    for epoch in range(2):
+        spark.range(30).select(
+            (F.col("id") + epoch * 100).alias("v"),
+            (F.col("id") % 3).cast("string").alias("day"),
+        ).repartition(1).write.mode("append").partitionBy("day").parquet(out)
+    truth = sorted(r.v for r in spark.read.parquet(out).collect())
+
+    for day, state in enumerate(states):
+        leaf = os.path.join(out, f"day={day}")
+        if state == "intact":
+            continue
+        # the dead run's completed compacted copy of this leaf
+        spark.read.parquet(leaf).repartition(1).write.parquet(
+            leaf + ".__compact__"
+        )
+        if state == "b":
+            os.rename(leaf, leaf + ".__old__")
+        elif state == "c":
+            os.rename(leaf, leaf + ".__old__")
+            os.rename(leaf + ".__compact__", leaf)
+
+    n = compact_parquet(spark, out, target_file_mb=128)
+    assert n == 3
+    assert sorted(r.v for r in spark.read.parquet(out).collect()) == truth
+    leftovers = [
+        os.path.join(dp, d)
+        for dp, ds, _ in os.walk(out)
+        for d in ds
+        if d.endswith(".__old__") or d.endswith(".__compact__")
+    ]
+    assert not leftovers, leftovers
+    for day in range(3):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, f"day={day}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (day, files)
+
+
 def test_compact_parquet_recovers_crashed_root_swap_of_partitioned_layout(
     spark, tmp_path
 ):
