@@ -760,6 +760,30 @@ def test_pruned_fact_join_prunes_both_scans(spark, queries):
     assert l_months == [f"1996-0{i}" for i in range(1, 7)], l_months
 
 
+def test_clustered_lookup_pushes_filter_and_sorts_within_files(spark, queries):
+    """r12: the clustering axis. The partkey equality must push down to
+    the clustered table's scan (PushedFilters — that is what row-group
+    stat skipping keys off), and the mechanism itself must hold: inside
+    any leaf file, l_partkey is NON-DECREASING (sortWithinPartitions
+    ordered the rows), which is what narrows row-group min/max ranges.
+    At sf0.01 each file is a single row group so skipping itself is a
+    scale effect — measured at sf10 in LAKE_r12 — but sortedness and
+    pushdown are the local invariants that make it happen."""
+    import pyarrow.parquet as pq
+
+    df = queries["lake_clustered_partkey_lookup"](spark, SF_DIR)
+    plan = _physical(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(l_partkey,42)" in plan, plan[:2500]
+
+    files = [f.replace("file:", "") for f in df.inputFiles()]
+    assert files
+    # spot-check sortedness in a handful of leaf files
+    for f in sorted(files)[:5]:
+        col = pq.read_table(f, columns=["l_partkey"])["l_partkey"].to_pylist()
+        assert col == sorted(col), f
+
+
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     """Row-level runtime filtering, the shuffle-join companion to
     partition pruning: with a selective filter on one join side, Spark

@@ -338,6 +338,128 @@ def measure_join(spark, sf_dir: str, lake_root: str) -> dict:
     return rec
 
 
+def measure_clustered(spark, sf_dir: str, lake_root: str) -> dict:
+    """The clustering axis (lake_clustered_partkey_lookup): a point
+    lookup on l_partkey over two month-partitioned copies of lineitem —
+    the CLUSTERED layout (repartitionByRange(month, partkey) + sort:
+    each file covers a narrow contiguous key slice) vs the standard
+    salted pruned-table layout (every file spans the full key domain).
+    The stat-skip fraction is computed from the parquet footers
+    directly, at both granularities: the share of FILES and of ROW
+    GROUPS whose [min,max] straddles the key — what the pushed-down
+    predicate must actually read. (First-attempt record: sorting INSIDE
+    salted files does nothing locally — a ~2 MB file is one row group
+    spanning the whole domain, fraction 0.86 vs 0.82; range-splitting
+    narrows the FILE, which survives any row-group geometry.)"""
+    from psql_streamer_spark.functions.numeric import dsum
+    from psql_streamer_spark.operators.tpch_suite import (
+        CLUSTER_LOOKUP_PARTKEY,
+        CLUSTER_SPLITS_PER_MONTH,
+        LAKE_LEAF_SALT,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+
+    import pyarrow.parquet as pq
+
+    key = CLUSTER_LOOKUP_PARTKEY
+    rec: dict = {"partkey": key, "loadavg_1m": _loadavg()}
+    clustered = os.path.join(lake_root, "lineitem_clustered")
+    unsorted_ = os.path.join(lake_root, "lineitem_unsorted")
+
+    l = load_table(spark, "lineitem", sf_dir).withColumn(
+        "l_shipmonth", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    n_months = l.select("l_shipmonth").distinct().count()
+    n_range = max(
+        CLUSTER_SPLITS_PER_MONTH * n_months,
+        spark.sparkContext.defaultParallelism,
+    )
+    n_salt = max(LAKE_LEAF_SALT, spark.sparkContext.defaultParallelism)
+    t0 = time.time()
+    for lake, frame in (
+        (
+            clustered,
+            l.repartitionByRange(
+                n_range, F.col("l_shipmonth"), F.col("l_partkey")
+            ).sortWithinPartitions("l_shipmonth", "l_partkey"),
+        ),
+        (
+            unsorted_,
+            l.repartition(
+                n_salt,
+                F.col("l_shipmonth"),
+                F.pmod(F.col("l_orderkey"), F.lit(LAKE_LEAF_SALT)),
+            ),
+        ),
+    ):
+        if os.path.exists(lake):
+            shutil.rmtree(lake)
+        frame.write.partitionBy("l_shipmonth").parquet(lake)
+    rec["write_both_sec"] = round(time.time() - t0, 3)
+
+    def straddle_fraction(lake: str) -> dict:
+        rgs = rg_hits = files = file_hits = 0
+        for dp, _, fs in os.walk(lake):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dp, fn)).metadata
+                if md.num_row_groups == 0:
+                    continue
+                names = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)
+                }
+                ci = names["l_partkey"]
+                files += 1
+                f_hit = False
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    rgs += 1
+                    if st is None or (st.min <= key <= st.max):
+                        rg_hits += 1
+                        f_hit = True
+                file_hits += f_hit
+        return {
+            "files": files,
+            "files_straddling_key": file_hits,
+            "file_read_fraction": round(file_hits / files, 4) if files else None,
+            "row_groups": rgs,
+            "row_groups_straddling_key": rg_hits,
+            "rg_read_fraction": round(rg_hits / rgs, 4) if rgs else None,
+        }
+
+    for tag_, lake in (("clustered", clustered), ("unsorted", unsorted_)):
+        for k2, v2 in straddle_fraction(lake).items():
+            rec[f"{tag_}_{k2}"] = v2
+
+    def lookup(lake):
+        def build():
+            return (
+                spark.read.parquet(lake)
+                .filter(F.col("l_partkey") == key)
+                .groupBy("l_partkey")
+                .agg(
+                    F.count("*").alias("n"),
+                    dsum("l_quantity").alias("q"),
+                )
+            )
+
+        return build
+
+    _timed(rec, "clustered_lookup", lookup(clustered))
+    _timed(rec, "unsorted_lookup", lookup(unsorted_))
+    a, b = lookup(clustered)(), lookup(unsorted_)()
+    rec["rows"] = a.count()
+    rec["parity"] = rec["rows"] == b.count() and _parity(a, b)
+    rec["clustered_vs_unsorted_cold"] = round(
+        rec["clustered_lookup_cold_sec"] / rec["unsorted_lookup_cold_sec"], 3
+    )
+    shutil.rmtree(clustered)
+    shutil.rmtree(unsorted_)
+    return rec
+
+
 def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> dict:
     """The maintenance leg: fragment the events lake the way a streaming
     sink does (``epochs`` appends, each WITHOUT repartition, so every
@@ -417,7 +539,7 @@ def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
     sections = os.environ.get(
-        "SPARK_GRAFT_LAKE_SECTIONS", "events,lineitem,join,compaction"
+        "SPARK_GRAFT_LAKE_SECTIONS", "events,lineitem,join,clustered,compaction"
     ).split(",")
 
     from psql_streamer_spark.session import get_spark
@@ -445,6 +567,12 @@ def main() -> None:
             rec["pruned_fact_join"] = measure_join(spark, sf_dir, lake_root)
             print(
                 json.dumps({"pruned_fact_join": rec["pruned_fact_join"]}),
+                flush=True,
+            )
+        if "clustered" in sections:
+            rec["clustered_lookup"] = measure_clustered(spark, sf_dir, lake_root)
+            print(
+                json.dumps({"clustered_lookup": rec["clustered_lookup"]}),
                 flush=True,
             )
         if "compaction" in sections:
