@@ -161,6 +161,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 128,
+    sort_by: tuple[str, ...] = (),
 ) -> int:
     """Small-files compaction for append-mode sink output.
 
@@ -190,7 +191,20 @@ def compact_parquet(
     partition column materialized into the files, every ``col=value``
     path-read downstream broke, and PartitionFilters pruning was lost.
     The streaming-lake composition made that a real path; regression
-    pinned in tests/test_io_and_ticker.py.)"""
+    pinned in tests/test_io_and_ticker.py.)
+
+    ``sort_by`` (r12): a CLUSTERED dataset (lineitem_clustered_table —
+    files covering narrow contiguous key ranges via repartitionByRange
+    + sort) must be compacted with its cluster keys, or the default
+    hash repartition silently DESTROYS the clustering: rows rehash
+    across output files, every file's min/max widens to the full key
+    domain, and the measured 11%-of-files stat-skip (LAKE_r12
+    clustered_lookup) quietly becomes a full scan while rows and
+    results stay identical — the same silent-performance-loss class as
+    the pre-r11 layout flattening. With ``sort_by`` the rewrite is
+    repartitionByRange(n, *keys) + sortWithinPartitions(*keys): file
+    count still hits the size target and the ranges stay narrow (the
+    table-format OPTIMIZE preserves ZORDER the same way)."""
     import math
     import os
     import shutil
@@ -238,7 +252,7 @@ def compact_parquet(
     ]
     if part_dirs:
         return sum(
-            compact_parquet(spark, os.path.join(path, d), target_file_mb)
+            compact_parquet(spark, os.path.join(path, d), target_file_mb, sort_by)
             for d in sorted(part_dirs)
         )
 
@@ -250,7 +264,15 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        df = df.repartitionByRange(
+            n_files, *(F.col(c) for c in sort_by)
+        ).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

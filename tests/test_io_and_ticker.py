@@ -244,6 +244,71 @@ def test_compact_parquet_recovers_crashed_leaf_swap_in_partitioned_layout(
     assert sorted(r.v for r in after_df.collect()) == before
 
 
+def test_compact_parquet_sort_by_preserves_clustering(spark, tmp_path):
+    """r12: compacting a CLUSTERED dataset (files covering narrow
+    contiguous key ranges) with the default hash repartition silently
+    destroys the clustering — rows rehash across files and every file's
+    min/max widens to the full key domain, turning measured stat-skips
+    back into full scans with no correctness signal. sort_by must keep
+    per-file sortedness and narrow, non-overlapping key ranges while
+    still hitting the size target."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "clustered")
+    # ~3 MB of key-range-clustered data in 4 fragmented appends (the
+    # post-ingest state a clustered table reaches after micro-batches)
+    pad = "x" * 64
+    for epoch in range(4):
+        (
+            spark.range(40_000)
+            .select(
+                (F.col("id") % 10_000).alias("k"),
+                F.concat(F.lit(pad), F.col("id").cast("string")).alias("payload"),
+            )
+            .repartitionByRange(4, F.col("k"))
+            .sortWithinPartitions("k")
+            .write.mode("append")
+            .parquet(out)
+        )
+    # collect truth BEFORE the swap — the lazy plan's source files are
+    # gone after compaction (the measure_compaction lesson)
+    truth = sorted(
+        (r.k, r["count"])
+        for r in spark.read.parquet(out).groupBy("k").count().collect()
+    )
+
+    n = compact_parquet(spark, out, target_file_mb=1, sort_by=("k",))
+    assert n >= 2, n  # size target still produces multiple files
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == n
+    ranges = []
+    for f in files:
+        col = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert col == sorted(col), f  # within-file sort preserved
+        ranges.append((col[0], col[-1]))
+    # narrow, non-overlapping ranges: sorted by min, each file's max
+    # stays below the next file's min (range partitioning = disjoint)
+    ranges.sort()
+    for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo2, ranges
+    after = sorted(
+        (r.k, r["count"])
+        for r in spark.read.parquet(out).groupBy("k").count().collect()
+    )
+    assert after == truth
+
+
 import pytest as _pytest
 
 
