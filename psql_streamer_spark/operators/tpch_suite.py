@@ -419,6 +419,149 @@ def lake_clustered_partkey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --------------------------------------------------------------------------
+# Z-ORDER (r12): two-dimensional clustering. Linear clustering (above)
+# gives ONE column near-total stat skipping and every other column none;
+# bit-interleaving two keys' bucket ids into a morton code and
+# range-partitioning on it lays files out as a grid in (partkey, suppkey)
+# space — a point predicate on EITHER column then skips all files outside
+# its grid row/column (~1/sqrt(files) read fraction per dimension), the
+# classic multi-dim trade a table format's OPTIMIZE ZORDER makes. Parquet
+# needs nothing new: each file's RAW-column min/max already reflects its
+# grid cell, so the ordinary pushed-down predicate does the skipping.
+# --------------------------------------------------------------------------
+Z_BITS = 8  # 256 equal-width buckets per dimension
+ZORDER_LOOKUP_SUPPKEY = 7
+
+
+def _morton2(a, b, bits: int = Z_BITS):
+    """Interleave the low ``bits`` of bucket-id columns a and b into a
+    morton code — pure JVM bit expressions, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def quantile_bucket(df, col: str, n_buckets: int):
+    """Equal-FREQUENCY bucket id (0..n_buckets-1) for ``col``: boundaries
+    from one approxQuantile pass (driver-side list, O(n_buckets)), the
+    per-row id = count of boundaries <= key, a JVM array expression.
+    Equal-WIDTH quantization ((key * n) / (max+1)) is brittle on sparse
+    or striped domains — measured directly on the inflated sf10 corpus,
+    whose replica-striped keys (replica*1e9 + original) collapse every
+    original-domain key into bucket 0 and degenerate the whole z-order
+    grid to one cell. Quantile buckets are distribution-shaped by
+    construction (what table formats' OPTIMIZE does via range sampling),
+    so the grid stays balanced on any key distribution."""
+    bounds = df.stat.approxQuantile(
+        col, [i / n_buckets for i in range(1, n_buckets)], 0.001
+    )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    key = F.col(col).cast("double")
+    return F.size(F.filter(barr, lambda b: b <= key))
+
+
+def lineitem_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem ONCE per session Z-ORDERED on (l_partkey,
+    l_suppkey): each key quantile-bucketed (equal-frequency, see
+    quantile_bucket) to 2^Z_BITS buckets, bucket ids bit-interleaved
+    into a morton code, and the write range-partitioned + sorted on
+    that code. The morton column is layout-only and dropped before the
+    write — the data is byte-identical to raw lineitem, only file
+    ASSIGNMENT changes."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    table = f"lineitem_zorder_{tag}"
+    if not spark.catalog.tableExists(table):
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        l = load_table(spark, "lineitem", sf_dir)
+        n_buckets = 1 << Z_BITS
+        bp = quantile_bucket(l, "l_partkey", n_buckets)
+        bs = quantile_bucket(l, "l_suppkey", n_buckets)
+        n_files = max(64, spark.sparkContext.defaultParallelism)
+        (
+            l.withColumn("__z", _morton2(bp, bs))
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .saveAsTable(table)
+        )
+    return table
+
+
+def _zorder_lookup(
+    spark: SparkSession, sf_dir: str, col: str, key: int
+) -> DataFrame:
+    t = spark.table(lineitem_zorder_table(spark, sf_dir))
+    return (
+        t.filter(F.col(col) == key)
+        .groupBy(col)
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_ZORDER_ORACLE = """
+    SELECT {col},
+           COUNT(*) AS n_items,
+           {qty} AS sum_qty,
+           {rev} AS revenue
+    FROM lineitem
+    WHERE {col} = {key}
+    GROUP BY {col}
+"""
+
+
+@register(
+    "lake_zorder_partkey_lookup",
+    oracle=_ZORDER_ORACLE.format(
+        col="l_partkey",
+        key=CLUSTER_LOOKUP_PARTKEY,
+        qty=sql_dsum("l_quantity"),
+        rev=sql_dsum("l_extendedprice * (1 - l_discount)"),
+    ),
+)
+def lake_zorder_partkey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the FIRST z-order dimension — reads ~1/sqrt(files)
+    of the lake by min/max stats (plan guard + footer-measured fractions
+    in tests/test_plan_quality.py and LAKE_r12 `zorder`)."""
+    return _zorder_lookup(spark, sf_dir, "l_partkey", CLUSTER_LOOKUP_PARTKEY)
+
+
+@register(
+    "lake_zorder_suppkey_lookup",
+    oracle=_ZORDER_ORACLE.format(
+        col="l_suppkey",
+        key=ZORDER_LOOKUP_SUPPKEY,
+        qty=sql_dsum("l_quantity"),
+        rev=sql_dsum("l_extendedprice * (1 - l_discount)"),
+    ),
+)
+def lake_zorder_suppkey_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on the SECOND z-order dimension — the query linear
+    clustering cannot serve (its suppkey stat-read fraction is ~1.0);
+    the z-order grid serves both at ~1/sqrt(files) each."""
+    return _zorder_lookup(spark, sf_dir, "l_suppkey", ZORDER_LOOKUP_SUPPKEY)
+
+
 @register(
     "q3_pruned_fact_join",
     oracle="""

@@ -784,6 +784,42 @@ def test_clustered_lookup_pushes_filter_and_sorts_within_files(spark, queries):
         assert col == sorted(col), f
 
 
+def test_zorder_lookup_skips_files_on_both_dimensions(spark, queries):
+    """r12: z-order's defining property, asserted from the parquet
+    footers — a point predicate on EITHER interleaved key must be able
+    to skip most files by raw-column min/max stats (the morton grid
+    gives each dimension ~1/sqrt(files) read fraction), where the linear
+    clustered layout serves only its sort key. Also guards pushdown on
+    both lookup plans."""
+    import pyarrow.parquet as pq
+
+    from psql_streamer_spark.operators.tpch_suite import (
+        CLUSTER_LOOKUP_PARTKEY,
+        ZORDER_LOOKUP_SUPPKEY,
+    )
+
+    dfp = queries["lake_zorder_partkey_lookup"](spark, SF_DIR)
+    dfs = queries["lake_zorder_suppkey_lookup"](spark, SF_DIR)
+    assert f"EqualTo(l_partkey,{CLUSTER_LOOKUP_PARTKEY})" in _physical(dfp)
+    assert f"EqualTo(l_suppkey,{ZORDER_LOOKUP_SUPPKEY})" in _physical(dfs)
+
+    files = sorted({f.replace("file:", "") for f in dfp.inputFiles()})
+    assert len(files) >= 32, len(files)
+
+    def straddle(col, key):
+        hit = 0
+        for f in files:
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if min(t) <= key <= max(t):
+                hit += 1
+        return hit / len(files)
+
+    # both dimensions skip most files; neither gets linear's near-total
+    # skipping — the documented multi-dim trade
+    assert straddle("l_partkey", CLUSTER_LOOKUP_PARTKEY) <= 0.5
+    assert straddle("l_suppkey", ZORDER_LOOKUP_SUPPKEY) <= 0.5
+
+
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
     """Row-level runtime filtering, the shuffle-join companion to
     partition pruning: with a selective filter on one join side, Spark

@@ -460,6 +460,119 @@ def measure_clustered(spark, sf_dir: str, lake_root: str) -> dict:
     return rec
 
 
+def measure_zorder(spark, sf_dir: str, lake_root: str) -> dict:
+    """Z-order vs linear clustering, from the parquet footers: per-file
+    raw-column min/max straddle fractions for a point key on EACH of the
+    two interleaved dimensions, on (a) the morton-range z-order layout
+    and (b) the linear partkey-clustered layout. Expectation: linear
+    reads ~nothing on its sort key and ~everything on the other; z-order
+    reads ~1/sqrt(files) on BOTH."""
+    import pyarrow.parquet as pq
+
+    from psql_streamer_spark.functions.numeric import dsum
+    from psql_streamer_spark.operators.tpch_suite import (
+        CLUSTER_LOOKUP_PARTKEY,
+        Z_BITS,
+        ZORDER_LOOKUP_SUPPKEY,
+        _morton2,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+
+    rec: dict = {
+        "partkey": CLUSTER_LOOKUP_PARTKEY,
+        "suppkey": ZORDER_LOOKUP_SUPPKEY,
+        "loadavg_1m": _loadavg(),
+    }
+    zlake = os.path.join(lake_root, "lineitem_zorder")
+    linlake = os.path.join(lake_root, "lineitem_linear")
+
+    from psql_streamer_spark.operators.tpch_suite import quantile_bucket
+
+    l = load_table(spark, "lineitem", sf_dir)
+    n_buckets = 1 << Z_BITS
+    bp = quantile_bucket(l, "l_partkey", n_buckets)
+    bs = quantile_bucket(l, "l_suppkey", n_buckets)
+    n_files = max(256, spark.sparkContext.defaultParallelism)
+    rec["n_files_target"] = n_files
+    t0 = time.time()
+    for lake, frame in (
+        (
+            zlake,
+            l.withColumn("__z", _morton2(bp, bs))
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z"),
+        ),
+        (
+            linlake,
+            l.repartitionByRange(n_files, F.col("l_partkey"))
+            .sortWithinPartitions("l_partkey"),
+        ),
+    ):
+        if os.path.exists(lake):
+            shutil.rmtree(lake)
+        frame.write.parquet(lake)
+    rec["write_both_sec"] = round(time.time() - t0, 3)
+
+    def straddle(lake, col, key):
+        hit = total = 0
+        for dp, _, fs in os.walk(lake):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dp, fn)).metadata
+                if md.num_row_groups == 0:
+                    continue
+                names = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)
+                }
+                ci = names[col]
+                total += 1
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or st.min <= key <= st.max:
+                        hit += 1
+                        break
+        return round(hit / total, 4) if total else None
+
+    rec["zorder_partkey_file_fraction"] = straddle(
+        zlake, "l_partkey", CLUSTER_LOOKUP_PARTKEY
+    )
+    rec["zorder_suppkey_file_fraction"] = straddle(
+        zlake, "l_suppkey", ZORDER_LOOKUP_SUPPKEY
+    )
+    rec["linear_partkey_file_fraction"] = straddle(
+        linlake, "l_partkey", CLUSTER_LOOKUP_PARTKEY
+    )
+    rec["linear_suppkey_file_fraction"] = straddle(
+        linlake, "l_suppkey", ZORDER_LOOKUP_SUPPKEY
+    )
+
+    def lookup(lake, col, key):
+        def build():
+            return (
+                spark.read.parquet(lake)
+                .filter(F.col(col) == key)
+                .groupBy(col)
+                .agg(F.count("*").alias("n"), dsum("l_quantity").alias("q"))
+            )
+
+        return build
+
+    _timed(rec, "zorder_partkey_lookup",
+           lookup(zlake, "l_partkey", CLUSTER_LOOKUP_PARTKEY))
+    _timed(rec, "zorder_suppkey_lookup",
+           lookup(zlake, "l_suppkey", ZORDER_LOOKUP_SUPPKEY))
+    a = lookup(zlake, "l_suppkey", ZORDER_LOOKUP_SUPPKEY)()
+    b = lookup(linlake, "l_suppkey", ZORDER_LOOKUP_SUPPKEY)()
+    rec["rows"] = a.count()
+    rec["parity"] = rec["rows"] == b.count() and _parity(a, b)
+    shutil.rmtree(zlake)
+    shutil.rmtree(linlake)
+    return rec
+
+
 def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> dict:
     """The maintenance leg: fragment the events lake the way a streaming
     sink does (``epochs`` appends, each WITHOUT repartition, so every
@@ -539,7 +652,8 @@ def measure_compaction(spark, sf_dir: str, lake_root: str, epochs: int = 10) -> 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10"
     sections = os.environ.get(
-        "SPARK_GRAFT_LAKE_SECTIONS", "events,lineitem,join,clustered,compaction"
+        "SPARK_GRAFT_LAKE_SECTIONS",
+        "events,lineitem,join,clustered,zorder,compaction",
     ).split(",")
 
     from psql_streamer_spark.session import get_spark
@@ -575,6 +689,9 @@ def main() -> None:
                 json.dumps({"clustered_lookup": rec["clustered_lookup"]}),
                 flush=True,
             )
+        if "zorder" in sections:
+            rec["zorder"] = measure_zorder(spark, sf_dir, lake_root)
+            print(json.dumps({"zorder": rec["zorder"]}), flush=True)
         if "compaction" in sections:
             rec["compaction_events"] = measure_compaction(spark, sf_dir, lake_root)
             print(
