@@ -653,6 +653,30 @@ def test_pruned_date_range_scans_only_matching_partitions(spark, queries):
     assert EVT_PRUNE_START in all_days and EVT_PRUNE_END in all_days
 
 
+def test_quantile_bucket_balanced_and_monotone_on_striped_domain(spark):
+    """r12: the regression that motivated equal-frequency bucketing. On
+    a replica-striped key domain (replica*1e9 + original — the shape
+    tools/inflate.py produces), equal-width quantization collapses all
+    original-domain keys into bucket 0 and leaves most buckets empty,
+    degenerating the z-order grid. quantile_bucket must fill every
+    bucket near-uniformly and assign ids monotone in the key."""
+    from psql_streamer_spark.operators.tpch_suite import quantile_bucket
+
+    df = spark.range(10_000).select(
+        ((F.col("id") % 10) * 1_000_000_000 + (F.col("id") % 997)).alias("k")
+    )
+    n = 16
+    out = df.select("k", quantile_bucket(df, "k", n).alias("b"))
+    counts = {
+        r.b: r.cnt
+        for r in out.groupBy("b").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(counts) == n, counts  # every bucket populated
+    assert max(counts.values()) <= 2 * min(counts.values()), counts
+    rows = sorted((r.k, r.b) for r in out.distinct().collect())
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(rows, rows[1:]))
+
+
 def test_pruned_shipmonth_range_scans_only_matching_partitions(spark, queries):
     """r12: partition pruning on the FACT side. evt_pruned_date_range
     proved the mechanism on the CDC events lake; this guards the same

@@ -753,6 +753,61 @@ def test_parquet_sink_partitioned_lake_layout(spark, dirs):
     assert "PartitionFilters" in plan and "table" in plan
 
 
+def test_streaming_lake_cluster_on_compact(spark, dirs):
+    """r12: the production OPTIMIZE pattern — micro-batches land
+    UNSORTED (a stream cannot globally range-partition), and the
+    maintenance pass clusters: compact_parquet(sort_by=("wal_position",))
+    leaves each table leaf's file wal-ordered, so a WAL-range replay
+    query (the CDC lake's needle query) skips row groups by min/max
+    stats. Asserts per-leaf sortedness via pyarrow and exact row
+    parity across the swap."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from psql_streamer_spark.sources.io import compact_parquet
+
+    src, ckpt, tmp = dirs
+    out = tmp / "lake"
+    # 3 epochs with INTERLEAVED wal positions so the landed files are
+    # genuinely unsorted within each leaf
+    for b in range(3):
+        _write_batch(
+            src,
+            f"b{b}.json",
+            [_event(i * 3 + b, table="users") for i in range(3)]
+            + [_event(100 + i * 3 + b, table="orders") for i in range(3)],
+        )
+    CdcPipeline(
+        spark,
+        str(src),
+        ckpt,
+        sinks=[ParquetSink(str(out), partition_cols=["table"])],
+        topic_mapping={"users": "t.users", "orders": "t.orders"},
+        max_files_per_trigger=1,
+    ).run_to_completion()
+    before = sorted(
+        (r.table, r.wal_position) for r in spark.read.parquet(str(out)).collect()
+    )
+    assert len(before) == 18
+
+    n = compact_parquet(spark, str(out), target_file_mb=128,
+                        sort_by=("wal_position",))
+    assert n == 2
+    for table in ("users", "orders"):
+        leaf = out / f"table={table}"
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1
+        col = pq.read_table(str(leaf / files[0]), columns=["wal_position"])[
+            "wal_position"
+        ].to_pylist()
+        assert col == sorted(col), (table, col)
+    after = sorted(
+        (r.table, r.wal_position) for r in spark.read.parquet(str(out)).collect()
+    )
+    assert after == before
+
+
 def test_streaming_lake_lifecycle_ingest_compact_pruned_read(spark, dirs):
     """r12: the full lake lifecycle in one composition — the path that
     exposed the r11 layout-flattening bug and the r12 crash-recovery
