@@ -633,3 +633,266 @@ def split_cluster_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = md5_bucket(F.col("cluster_id"), 10)
     split = F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# Embedding-space decontamination: semantic twin of the n-gram overlap op.
+# --------------------------------------------------------------------------
+# N-gram decontamination misses paraphrased eval leakage; the standard
+# complement (Phi/FineWeb-style) screens the corpus in EMBEDDING space:
+# any training vector whose cosine against ANY benchmark vector clears a
+# threshold is quarantined. Same broadcast shape as
+# decontaminate_ngram_overlap: eval suites are constant-size at any corpus
+# scale, so the benchmark vectors are the broadcast side and the corpus
+# streams through once (map-side partial MAX, one vec_id shuffle).
+#
+# On the synthetic embeddings the "benchmark" stand-in is label == 9
+# (~10% of rows, mirroring DECONTAM_EVAL_SOURCE on documents). That makes
+# the synthetic cost |corpus| x |eval| — quadratic in sf — purely as a
+# data-layout artifact, hence sample_scale=True; with a real constant-size
+# eval suite the op is a single linear broadcast scan.
+EMBED_DECONTAM_LABEL = 9
+EMBED_DECONTAM_THRESHOLD = 0.4  # max inter-vector cosine in the synthetic
+# table is ~0.51 (see dedup.COSINE_DUP_THRESHOLD) — 0.4 exercises both
+# verdicts.
+
+_SQL_EMBED_DECONTAM = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 sqrt(list_reduce(list_transform(e, x -> x*x), (x,y) -> x+y)) AS nrm
+          FROM v),
+    ev AS (SELECT e, nrm FROM n WHERE label = {EMBED_DECONTAM_LABEL}),
+    corpus AS (SELECT vec_id, e, nrm FROM n WHERE label <> {EMBED_DECONTAM_LABEL}),
+    scored AS (
+      SELECT c.vec_id,
+             max(list_reduce(list_transform(range(1, len(c.e)+1),
+                                            i -> c.e[i] * ev.e[i]), (x,y) -> x+y)
+                 / (c.nrm * ev.nrm)) AS max_cosine
+      FROM corpus c CROSS JOIN ev
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_cosine,
+           max_cosine >= {EMBED_DECONTAM_THRESHOLD} AS contaminated
+    FROM scored
+"""
+
+
+@register(
+    "decontaminate_embedding_cosine",
+    oracle=_SQL_EMBED_DECONTAM,
+    sample_scale=True,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus vector: max cosine against the benchmark vectors and the
+    quarantine verdict at EMBED_DECONTAM_THRESHOLD. Cosines are exact
+    sequential folds (F.aggregate / zip_with — the same summation order as
+    DuckDB's list_reduce, so the doubles hash-match bit-for-bit; see
+    dedup_embedding_cosine_pairs for the fold-vs-BLAS ulp note); MAX over
+    bit-identical doubles is order-free, so the one shuffle (vec_id,
+    map-side partial max) cannot perturb the result."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot_self = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = e.select("vec_id", "label", "e", F.sqrt(dot_self).alias("nrm"))
+    ev = n.filter(F.col("label") == EMBED_DECONTAM_LABEL).select(
+        F.col("e").alias("ee"), F.col("nrm").alias("enrm")
+    )
+    corpus = n.filter(F.col("label") != EMBED_DECONTAM_LABEL).select(
+        "vec_id", "e", "nrm"
+    )
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ee"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = dot_ab / (F.col("nrm") * F.col("enrm"))
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .select("vec_id", cosine.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cosine"))
+        .select(
+            "vec_id",
+            "max_cosine",
+            (F.col("max_cosine") >= EMBED_DECONTAM_THRESHOLD).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter n-gram decontamination: the fixed-size-broadcast scale path.
+# --------------------------------------------------------------------------
+# decontaminate_ngram_overlap broadcasts the eval GRAM STRINGS — O(eval
+# bytes) per executor, which a large eval battery (or a blocklist) can push
+# into the hundreds of MB. The classic fix is a Bloom filter: the corpus
+# probe side only ever sees a FIXED-SIZE bitmap (BLOOM_M_BITS/8 bytes —
+# 8 KiB here — regardless of how many grams went in), at the price of a
+# measured false-positive rate. Everything is deterministic so the DuckDB
+# oracle replays the verdicts exactly: the k hash positions come from the
+# md5-bucket idiom (seed || '|' || gram), the bitmap is just the SET of
+# those positions, and "bloom_hit" == all k positions present in that set.
+# The Spark side probes a REAL broadcast hex bitmap (built once from the
+# eval positions — a bounded driver collect of <= k * |eval grams| ints,
+# the same bounded-model-state class as the k-means centroids); the oracle
+# expresses the identical membership test relationally. Both columns land
+# in one output so the false-positive rate is measured in-artifact:
+# n_bloom_hits - n_exact_hits per document IS the FP count (Bloom filters
+# have no false negatives — property-pinned in tests/test_decontam.py).
+BLOOM_M_BITS = 65536  # 8 KiB bitmap; with sf0.1's ~11.5k eval grams and
+# k=3 the theoretical FP rate is ~(1 - e^(-3n/m))^3 ~= 7% — big enough to
+# observe, small enough to keep the probe useful.
+BLOOM_K_HASHES = 3
+
+
+def _bloom_position(gram: Column, seed: int) -> Column:
+    """Deterministic bit position in [0, BLOOM_M_BITS) for (seed, gram) —
+    the md5-bucket idiom keyed by the seed-prefixed gram."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), gram)), 1, 8), 16, 10
+        ).cast("bigint")
+        % BLOOM_M_BITS
+    )
+
+
+def _sql_bloom_position(gram_expr: str, seed: int) -> str:
+    """DuckDB twin of :func:`_bloom_position`."""
+    return (
+        f"CAST('0x' || substr(md5('{seed}' || '|' || {gram_expr}), 1, 8) AS BIGINT)"
+        f" % {BLOOM_M_BITS}"
+    )
+
+
+def build_bloom_bitmap_hex(positions) -> str:
+    """Assemble the hex bitmap string: bit b lives in hex char b // 4
+    (0-indexed), at weight 1 << (b % 4). One char encodes one nibble, so
+    the probe is a single substring + conv per hash — pure JVM expression."""
+    nibbles = [0] * (BLOOM_M_BITS // 4)
+    for p in positions:
+        nibbles[p // 4] |= 1 << (p % 4)
+    return "".join(format(v, "x") for v in nibbles)
+
+
+def _bloom_probe(gram: Column, bitmap_hex: str) -> Column:
+    """True iff all BLOOM_K_HASHES positions of the gram are set in the
+    broadcast bitmap literal. substring/conv/bit ops only — whole-stage
+    codegen keeps this JVM-side; the bitmap rides into every task as one
+    16 KiB string literal (the fixed-size property that makes this the
+    scale path)."""
+    hit = F.lit(True)
+    for seed in range(BLOOM_K_HASHES):
+        p = _bloom_position(gram, seed)
+        nibble = F.conv(
+            F.substring(
+                F.lit(bitmap_hex), F.floor(p / 4).cast("int") + 1, F.lit(1)
+            ),
+            16,
+            10,
+        ).cast("int")
+        # F.shiftleft needs a literal shift amount; 2^(p%4) over {0..3} is
+        # exact in doubles, so pow is a safe stand-in for the column shift
+        bit = F.pow(F.lit(2.0), (p % 4).cast("double")).cast("int")
+        hit = hit & (nibble.bitwiseAND(bit) != F.lit(0))
+    return hit
+
+
+_BLOOM_WS = "list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"
+_BLOOM_MEMBERSHIP = " AND ".join(
+    f"({_sql_bloom_position('cg.g', s)}) IN (SELECT p FROM pos)"
+    for s in range(BLOOM_K_HASHES)
+)
+_SQL_BLOOM_DECONTAM = f"""
+    WITH corpus AS (
+      SELECT doc_id, {_BLOOM_WS} AS ws FROM documents
+      WHERE source <> '{DECONTAM_EVAL_SOURCE}'
+    ),
+    bench AS (
+      SELECT {_BLOOM_WS} AS ws FROM documents
+      WHERE source = '{DECONTAM_EVAL_SOURCE}'
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngrams("ws", DECONTAM_K)}) AS g
+      FROM corpus
+    ),
+    bg AS (
+      SELECT DISTINCT unnest({_sql_ngrams("ws", DECONTAM_K)}) AS g FROM bench
+    ),
+    pos AS (
+      SELECT DISTINCT
+        CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
+          % {BLOOM_M_BITS} AS p
+      FROM bg, (VALUES (0), (1), (2)) t(j)
+    ),
+    probe AS (
+      SELECT cg.doc_id,
+             ({_BLOOM_MEMBERSHIP}) AS bloom_hit,
+             cg.g IN (SELECT g FROM bg) AS exact_hit
+      FROM cg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE bloom_hit) AS n_bloom_hits,
+           COUNT(*) FILTER (WHERE exact_hit) AS n_exact_hits
+    FROM probe GROUP BY doc_id
+"""
+
+
+def _eval_bloom_positions(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Distinct bit positions of every benchmark gram under the k seeds —
+    the Bloom filter's defining set. Bounded driver collect: at most
+    BLOOM_K_HASHES * |eval grams| ints (eval suites are constant-size by
+    definition; ~35k ints at sf0.1)."""
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    bench_grams = (
+        d.filter(F.col("source") == DECONTAM_EVAL_SOURCE)
+        .select(F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g"))
+        .distinct()
+    )
+    pos = None
+    for seed in range(BLOOM_K_HASHES):
+        part = bench_grams.select(_bloom_position(F.col("g"), seed).alias("p"))
+        pos = part if pos is None else pos.unionByName(part)
+    return [r.p for r in pos.distinct().collect()]
+
+
+@register("decontaminate_bloom_ngrams", oracle=_SQL_BLOOM_DECONTAM)
+def decontaminate_bloom_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus document: distinct 5-gram count, how many grams the
+    8 KiB Bloom bitmap flags, and the exact membership count beside it —
+    so every run measures its own false-positive overhead
+    (n_bloom_hits - n_exact_hits; false negatives are impossible and
+    pinned by test). The bloom column touches NO join: it is a pure
+    broadcast-literal expression over the corpus gram stream, which is
+    the 100 TB story — the probe cost is independent of eval size, and a
+    grown eval battery only raises the FP rate (re-size BLOOM_M_BITS,
+    never the probe). The exact column reuses the broadcast-gram join of
+    decontaminate_ngram_overlap for the in-artifact comparison."""
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+
+    bitmap_hex = build_bloom_bitmap_hex(_eval_bloom_positions(spark, sf_dir))
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    grams = shingles_expr(F.col("__words"), k=DECONTAM_K)
+    corpus_grams = (
+        d.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    bench_grams = (
+        d.filter(F.col("source") == DECONTAM_EVAL_SOURCE)
+        .select(F.explode(grams).alias("bg"))
+        .distinct()
+    )
+    probed = corpus_grams.withColumn(
+        "bloom_hit", _bloom_probe(F.col("g"), bitmap_hex)
+    ).join(F.broadcast(bench_grams), F.col("g") == F.col("bg"), "left")
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
+        F.count("bg").alias("n_exact_hits"),
+    )

@@ -1,0 +1,165 @@
+"""Decontamination operators: embedding-cosine (semantic) screening and the
+Bloom-filter n-gram scale path.
+
+Pins the two properties that make each operator trustworthy: the Bloom
+filter can NEVER produce a false negative (every exact eval-gram hit must
+bloom-hit — the guarantee downstream quarantine logic relies on), and its
+bitmap construction + probe must agree bit-for-bit with an independent
+Python reimplementation of the md5 position math (cross-implementation
+determinism — the same property the DuckDB oracle checks relationally).
+Plan shapes are asserted too: the bloom probe must stay a pure JVM
+expression (no Python eval, no join for the bloom column), the exact
+column's join must broadcast, and the embedding screen's eval side must
+broadcast rather than shuffle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from psql_streamer_spark.operators import mlprep
+from psql_streamer_spark.operators.mlprep import (
+    BLOOM_K_HASHES,
+    BLOOM_M_BITS,
+    DECONTAM_EVAL_SOURCE,
+    DECONTAM_K,
+    EMBED_DECONTAM_LABEL,
+    EMBED_DECONTAM_THRESHOLD,
+    _bloom_probe,
+    _eval_bloom_positions,
+    build_bloom_bitmap_hex,
+    decontaminate_bloom_ngrams,
+    decontaminate_embedding_cosine,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _py_position(gram: str, seed: int) -> int:
+    """Independent Python twin of mlprep._bloom_position."""
+    h = hashlib.md5(f"{seed}|{gram}".encode()).hexdigest()
+    return int(h[:8], 16) % BLOOM_M_BITS
+
+
+def _corpus_and_bench_grams(spark):
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+    from psql_streamer_spark.sources.tables import load_table
+
+    d = with_words(load_table(spark, "documents", SF_DIR))
+    grams = shingles_expr(F.col("__words"), k=DECONTAM_K)
+    corpus = (
+        d.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    bench = (
+        d.filter(F.col("source") == DECONTAM_EVAL_SOURCE)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    return corpus, bench
+
+
+def test_bloom_has_no_false_negatives_at_gram_level(spark):
+    # every gram that exactly matches an eval gram MUST bloom-hit — the
+    # defining Bloom guarantee, asserted at gram granularity (stronger
+    # than the per-doc count inequality it implies)
+    bitmap = build_bloom_bitmap_hex(_eval_bloom_positions(spark, SF_DIR))
+    corpus, bench = _corpus_and_bench_grams(spark)
+    probed = corpus.withColumn("bloom_hit", _bloom_probe(F.col("g"), bitmap)).join(
+        F.broadcast(bench.withColumnRenamed("g", "bg")),
+        F.col("g") == F.col("bg"),
+        "left",
+    )
+    violations = probed.filter(
+        F.col("bg").isNotNull() & ~F.col("bloom_hit")
+    ).count()
+    assert violations == 0
+
+
+def test_bloom_per_doc_counts_respect_the_guarantee(spark):
+    rows = decontaminate_bloom_ngrams(spark, SF_DIR).collect()
+    assert rows, "corpus produced no documents"
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_exact_hits, r
+        assert r.n_grams >= r.n_bloom_hits, r
+
+
+def test_bloom_bitmap_and_probe_match_python_reference(spark):
+    # cross-implementation determinism: the Spark-side hex bitmap and the
+    # JVM probe expression must reproduce an independent hashlib-based
+    # Python bloom verdict for every corpus gram
+    positions = set(_eval_bloom_positions(spark, SF_DIR))
+    bitmap = build_bloom_bitmap_hex(positions)
+    corpus, bench = _corpus_and_bench_grams(spark)
+    bench_set = {r.g for r in bench.collect()}
+    # the bitmap itself must be exactly the positions set, no more bits
+    set_bits = {
+        i * 4 + b
+        for i, ch in enumerate(bitmap)
+        for b in range(4)
+        if int(ch, 16) >> b & 1
+    }
+    assert set_bits == positions
+    # position math parity: eval grams hashed in Python land on the same bits
+    py_pos = {
+        _py_position(g, s) for g in bench_set for s in range(BLOOM_K_HASHES)
+    }
+    assert py_pos == positions
+    # probe parity over the full corpus gram stream
+    probed = corpus.withColumn("bloom_hit", _bloom_probe(F.col("g"), bitmap)).collect()
+    for r in probed:
+        expected = all(
+            _py_position(r.g, s) in positions for s in range(BLOOM_K_HASHES)
+        )
+        assert r.bloom_hit == expected, (r.g, r.bloom_hit, expected)
+
+
+def test_bloom_probe_plan_is_jvm_only_with_broadcast_exact_join(spark):
+    plan = _physical(decontaminate_bloom_ngrams(spark, SF_DIR))
+    # bloom column = pure expression; exact column = broadcast gram join;
+    # nothing falls back to Python eval or a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_decontam_flags_match_threshold_and_scope(spark):
+    from psql_streamer_spark.sources.tables import load_table
+
+    df = decontaminate_embedding_cosine(spark, SF_DIR)
+    rows = df.collect()
+    n_corpus = (
+        load_table(spark, "embeddings", SF_DIR)
+        .filter(F.col("label") != EMBED_DECONTAM_LABEL)
+        .count()
+    )
+    # one verdict per corpus vector, eval vectors excluded
+    assert len(rows) == n_corpus
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.max_cosine <= 1.0 + 1e-9
+        assert r.contaminated == (r.max_cosine >= EMBED_DECONTAM_THRESHOLD)
+
+
+def test_embedding_decontam_broadcasts_eval_side(spark):
+    plan = _physical(decontaminate_embedding_cosine(spark, SF_DIR))
+    # the benchmark vectors are the broadcast side of the cross join —
+    # never a shuffle-partitioned cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # and the per-vector MAX is partially aggregated map-side
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_bloom_position_constants_are_sane():
+    # the bitmap hex length must encode exactly BLOOM_M_BITS bits, and the
+    # module constants the oracle SQL embeds must match the Python side
+    assert BLOOM_M_BITS % 4 == 0
+    assert len(build_bloom_bitmap_hex([])) == BLOOM_M_BITS // 4
+    assert BLOOM_K_HASHES == 3  # the oracle's VALUES (0),(1),(2) hardcodes k
+    assert str(BLOOM_M_BITS) in mlprep._SQL_BLOOM_DECONTAM
