@@ -734,7 +734,7 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
 # oracle replays the verdicts exactly: the k hash positions come from the
 # md5-bucket idiom (seed || '|' || gram), the bitmap is just the SET of
 # those positions, and "bloom_hit" == all k positions present in that set.
-# The Spark side probes a REAL broadcast hex bitmap (built once from the
+# The Spark side probes a REAL broadcast word-array bitmap (built once from the
 # eval positions — a bounded driver collect of <= k * |eval grams| ints,
 # the same bounded-model-state class as the k-means centroids); the oracle
 # expresses the identical membership test relationally. Both columns land
@@ -744,17 +744,33 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
 BLOOM_M_BITS = 65536  # 8 KiB bitmap; with sf0.1's ~11.5k eval grams and
 # k=3 the theoretical FP rate is ~(1 - e^(-3n/m))^3 ~= 7% — big enough to
 # observe, small enough to keep the probe useful.
+#
+# SIZING RULE (measured, DECONTAM_r12.json): a Bloom filter must be sized
+# from the INSERT count, ~16 bits per eval gram for ~1% FP at k=3. The
+# fixed 2^16 bitmap is correct for the registered op's sf0.01 battery
+# (4.7% of bits set) but SATURATES under a 10x-grown battery: at 115k
+# eval grams 99.5% of bits are set and the FP rate collapses the screen
+# (2.3M bloom hits vs 10k exact). The helpers below take m_bits so a
+# production pipeline re-sizes per battery (bloom_m_bits_for); the
+# registered op keeps the constant because the oracle SQL embeds it.
 BLOOM_K_HASHES = 3
 
 
-def _bloom_position(gram: Column, seed: int) -> Column:
-    """Deterministic bit position in [0, BLOOM_M_BITS) for (seed, gram) —
-    the md5-bucket idiom keyed by the seed-prefixed gram."""
+def bloom_m_bits_for(n_grams: int, bits_per_gram: int = 16) -> int:
+    """Next power of two >= bits_per_gram * n_grams (power of two keeps
+    the word array aligned; 16 bits/elem at k=3 gives ~1% FP)."""
+    m = 1 << max(0, (bits_per_gram * max(1, n_grams) - 1).bit_length())
+    return max(m, 4096)
+
+
+def _bloom_position(gram: Column, seed: int, m_bits: int = BLOOM_M_BITS) -> Column:
+    """Deterministic bit position in [0, m_bits) for (seed, gram) — the
+    md5-bucket idiom keyed by the seed-prefixed gram."""
     return (
         F.conv(
             F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), gram)), 1, 8), 16, 10
         ).cast("bigint")
-        % BLOOM_M_BITS
+        % m_bits
     )
 
 
@@ -766,36 +782,40 @@ def _sql_bloom_position(gram_expr: str, seed: int) -> str:
     )
 
 
-def build_bloom_bitmap_hex(positions) -> str:
-    """Assemble the hex bitmap string: bit b lives in hex char b // 4
-    (0-indexed), at weight 1 << (b % 4). One char encodes one nibble, so
-    the probe is a single substring + conv per hash — pure JVM expression."""
-    nibbles = [0] * (BLOOM_M_BITS // 4)
+def build_bloom_words(positions, m_bits: int = BLOOM_M_BITS) -> list[int]:
+    """Assemble the bitmap as 64-bit words: bit b lives in word b // 64 at
+    bit index b % 64, wrapped to SIGNED 64-bit so the list round-trips as
+    array<bigint>. The word-array representation is load-bearing: the
+    first implementation shipped the bitmap as one hex STRING and probed
+    it with substring(bitmap, pos, 1) — which is O(position) per call
+    (UTF8String must walk bytes to map a code-point index), so the probe
+    silently became O(corpus_grams * m_bits): 110 s for the 2^21-bit
+    filter at sf1 vs 4.5 s for this form (DECONTAM_r12.json measured
+    both). element_at on an array column + getbit are O(1) at any m."""
+    words = [0] * (m_bits // 64)
     for p in positions:
-        nibbles[p // 4] |= 1 << (p % 4)
-    return "".join(format(v, "x") for v in nibbles)
+        words[p // 64] |= 1 << (p % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
-def _bloom_probe(gram: Column, bitmap_hex: str) -> Column:
+def bloom_words_df(spark: SparkSession, words: list[int]) -> DataFrame:
+    """One-row frame carrying the bitmap; cross-joined broadcast so the
+    words array ships once per executor (never per row, never inlined
+    into the expression tree / generated code)."""
+    return spark.createDataFrame([(words,)], "____bloom_words array<bigint>")
+
+
+def _bloom_probe(
+    gram: Column, words: Column, m_bits: int = BLOOM_M_BITS
+) -> Column:
     """True iff all BLOOM_K_HASHES positions of the gram are set in the
-    broadcast bitmap literal. substring/conv/bit ops only — whole-stage
-    codegen keeps this JVM-side; the bitmap rides into every task as one
-    16 KiB string literal (the fixed-size property that makes this the
-    scale path)."""
+    broadcast word-array bitmap. element_at + getbit only — O(1) per
+    probe at any bitmap size, whole-stage codegen keeps it JVM-side."""
     hit = F.lit(True)
     for seed in range(BLOOM_K_HASHES):
-        p = _bloom_position(gram, seed)
-        nibble = F.conv(
-            F.substring(
-                F.lit(bitmap_hex), F.floor(p / 4).cast("int") + 1, F.lit(1)
-            ),
-            16,
-            10,
-        ).cast("int")
-        # F.shiftleft needs a literal shift amount; 2^(p%4) over {0..3} is
-        # exact in doubles, so pow is a safe stand-in for the column shift
-        bit = F.pow(F.lit(2.0), (p % 4).cast("double")).cast("int")
-        hit = hit & (nibble.bitwiseAND(bit) != F.lit(0))
+        p = _bloom_position(gram, seed, m_bits)
+        word = F.element_at(words, F.floor(p / 64).cast("int") + 1)
+        hit = hit & (F.getbit(word, (p % 64).cast("int")) == F.lit(1))
     return hit
 
 
@@ -840,7 +860,9 @@ _SQL_BLOOM_DECONTAM = f"""
 """
 
 
-def _eval_bloom_positions(spark: SparkSession, sf_dir: str) -> list[int]:
+def _eval_bloom_positions(
+    spark: SparkSession, sf_dir: str, m_bits: int = BLOOM_M_BITS
+) -> list[int]:
     """Distinct bit positions of every benchmark gram under the k seeds —
     the Bloom filter's defining set. Bounded driver collect: at most
     BLOOM_K_HASHES * |eval grams| ints (eval suites are constant-size by
@@ -855,7 +877,9 @@ def _eval_bloom_positions(spark: SparkSession, sf_dir: str) -> list[int]:
     )
     pos = None
     for seed in range(BLOOM_K_HASHES):
-        part = bench_grams.select(_bloom_position(F.col("g"), seed).alias("p"))
+        part = bench_grams.select(
+            _bloom_position(F.col("g"), seed, m_bits).alias("p")
+        )
         pos = part if pos is None else pos.unionByName(part)
     return [r.p for r in pos.distinct().collect()]
 
@@ -867,14 +891,14 @@ def decontaminate_bloom_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every run measures its own false-positive overhead
     (n_bloom_hits - n_exact_hits; false negatives are impossible and
     pinned by test). The bloom column touches NO join: it is a pure
-    broadcast-literal expression over the corpus gram stream, which is
+    broadcast word-array expression over the corpus gram stream, which is
     the 100 TB story — the probe cost is independent of eval size, and a
     grown eval battery only raises the FP rate (re-size BLOOM_M_BITS,
     never the probe). The exact column reuses the broadcast-gram join of
     decontaminate_ngram_overlap for the in-artifact comparison."""
     from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
 
-    bitmap_hex = build_bloom_bitmap_hex(_eval_bloom_positions(spark, sf_dir))
+    words = build_bloom_words(_eval_bloom_positions(spark, sf_dir))
 
     d = with_words(load_table(spark, "documents", sf_dir))
     grams = shingles_expr(F.col("__words"), k=DECONTAM_K)
@@ -888,9 +912,12 @@ def decontaminate_bloom_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(grams).alias("bg"))
         .distinct()
     )
-    probed = corpus_grams.withColumn(
-        "bloom_hit", _bloom_probe(F.col("g"), bitmap_hex)
-    ).join(F.broadcast(bench_grams), F.col("g") == F.col("bg"), "left")
+    probed = (
+        corpus_grams.crossJoin(F.broadcast(bloom_words_df(spark, words)))
+        .withColumn("bloom_hit", _bloom_probe(F.col("g"), F.col("____bloom_words")))
+        .drop("____bloom_words")
+        .join(F.broadcast(bench_grams), F.col("g") == F.col("bg"), "left")
+    )
     return probed.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
         F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),

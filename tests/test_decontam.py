@@ -28,7 +28,8 @@ from psql_streamer_spark.operators.mlprep import (
     EMBED_DECONTAM_THRESHOLD,
     _bloom_probe,
     _eval_bloom_positions,
-    build_bloom_bitmap_hex,
+    bloom_words_df,
+    build_bloom_words,
     decontaminate_bloom_ngrams,
     decontaminate_embedding_cosine,
 )
@@ -40,10 +41,20 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _py_position(gram: str, seed: int) -> int:
+def _py_position(gram: str, seed: int, m_bits: int = BLOOM_M_BITS) -> int:
     """Independent Python twin of mlprep._bloom_position."""
     h = hashlib.md5(f"{seed}|{gram}".encode()).hexdigest()
-    return int(h[:8], 16) % BLOOM_M_BITS
+    return int(h[:8], 16) % m_bits
+
+
+def _probe_frame(spark, corpus, words, m_bits=BLOOM_M_BITS):
+    return (
+        corpus.crossJoin(F.broadcast(bloom_words_df(spark, words)))
+        .withColumn(
+            "bloom_hit", _bloom_probe(F.col("g"), F.col("____bloom_words"), m_bits)
+        )
+        .drop("____bloom_words")
+    )
 
 
 def _corpus_and_bench_grams(spark):
@@ -69,9 +80,9 @@ def test_bloom_has_no_false_negatives_at_gram_level(spark):
     # every gram that exactly matches an eval gram MUST bloom-hit — the
     # defining Bloom guarantee, asserted at gram granularity (stronger
     # than the per-doc count inequality it implies)
-    bitmap = build_bloom_bitmap_hex(_eval_bloom_positions(spark, SF_DIR))
+    words = build_bloom_words(_eval_bloom_positions(spark, SF_DIR))
     corpus, bench = _corpus_and_bench_grams(spark)
-    probed = corpus.withColumn("bloom_hit", _bloom_probe(F.col("g"), bitmap)).join(
+    probed = _probe_frame(spark, corpus, words).join(
         F.broadcast(bench.withColumnRenamed("g", "bg")),
         F.col("g") == F.col("bg"),
         "left",
@@ -95,15 +106,15 @@ def test_bloom_bitmap_and_probe_match_python_reference(spark):
     # JVM probe expression must reproduce an independent hashlib-based
     # Python bloom verdict for every corpus gram
     positions = set(_eval_bloom_positions(spark, SF_DIR))
-    bitmap = build_bloom_bitmap_hex(positions)
+    words = build_bloom_words(positions)
     corpus, bench = _corpus_and_bench_grams(spark)
     bench_set = {r.g for r in bench.collect()}
-    # the bitmap itself must be exactly the positions set, no more bits
+    # the word array must encode exactly the positions set, no more bits
     set_bits = {
-        i * 4 + b
-        for i, ch in enumerate(bitmap)
-        for b in range(4)
-        if int(ch, 16) >> b & 1
+        i * 64 + b
+        for i, w in enumerate(words)
+        for b in range(64)
+        if (w & ((1 << 64) - 1)) >> b & 1
     }
     assert set_bits == positions
     # position math parity: eval grams hashed in Python land on the same bits
@@ -112,7 +123,7 @@ def test_bloom_bitmap_and_probe_match_python_reference(spark):
     }
     assert py_pos == positions
     # probe parity over the full corpus gram stream
-    probed = corpus.withColumn("bloom_hit", _bloom_probe(F.col("g"), bitmap)).collect()
+    probed = _probe_frame(spark, corpus, words).collect()
     for r in probed:
         expected = all(
             _py_position(r.g, s) in positions for s in range(BLOOM_K_HASHES)
@@ -157,9 +168,46 @@ def test_embedding_decontam_broadcasts_eval_side(spark):
 
 
 def test_bloom_position_constants_are_sane():
-    # the bitmap hex length must encode exactly BLOOM_M_BITS bits, and the
+    # the word array must encode exactly BLOOM_M_BITS bits, and the
     # module constants the oracle SQL embeds must match the Python side
-    assert BLOOM_M_BITS % 4 == 0
-    assert len(build_bloom_bitmap_hex([])) == BLOOM_M_BITS // 4
+    assert BLOOM_M_BITS % 64 == 0
+    assert len(build_bloom_words([])) == BLOOM_M_BITS // 64
+    # signed-wrap round-trip: bit 63 of word 0 must survive array<bigint>
+    w = build_bloom_words([63])
+    assert w[0] == -(1 << 63)
     assert BLOOM_K_HASHES == 3  # the oracle's VALUES (0),(1),(2) hardcodes k
     assert str(BLOOM_M_BITS) in mlprep._SQL_BLOOM_DECONTAM
+
+
+def test_bloom_sizing_rule_and_parameterized_probe(spark):
+    # bloom_m_bits_for implements the ~16-bits-per-gram rule the fixed-m
+    # saturation measurement motivates (DECONTAM_r12.json: 115k grams into
+    # 2^16 bits set 99.5% of the filter and the FP rate collapsed the
+    # screen); the parameterized machinery must stay verdict-consistent:
+    # a right-sized bitmap keeps the no-false-negative guarantee
+    from psql_streamer_spark.operators.mlprep import (
+        _bloom_position,
+        bloom_m_bits_for,
+    )
+
+    assert bloom_m_bits_for(1047) == 32768  # sf0.01 battery
+    assert bloom_m_bits_for(115605) == 2097152  # the saturating sf1 battery
+    assert bloom_m_bits_for(0) == 4096  # floor
+
+    m = 4096
+    positions = set(_eval_bloom_positions(spark, SF_DIR, m))
+    assert positions and max(positions) < m
+    words = build_bloom_words(positions, m)
+    assert len(words) == m // 64
+    corpus, bench = _corpus_and_bench_grams(spark)
+    probed = _probe_frame(spark, corpus, words, m).join(
+        F.broadcast(bench.withColumnRenamed("g", "bg")),
+        F.col("g") == F.col("bg"),
+        "left",
+    )
+    assert probed.filter(F.col("bg").isNotNull() & ~F.col("bloom_hit")).count() == 0
+    # and the position math itself respects the modulus
+    sample = [r.g for r in bench.limit(5).collect()]
+    for g in sample:
+        h = hashlib.md5(f"0|{g}".encode()).hexdigest()
+        assert int(h[:8], 16) % m in positions
