@@ -866,3 +866,85 @@ def test_streaming_lake_lifecycle_ingest_compact_pruned_read(spark, dirs):
         .toString()
     )
     assert "PartitionFilters" in plan and "table" in plan
+
+
+def test_streaming_contamination_gate(spark, tmp_path):
+    """Ingest-time decontamination: documents streamed in micro-batches
+    probe the broadcast battery bitmap, bloom hits feed the exact verify
+    join, and the per-doc verdicts must equal the batch operator's for
+    the same documents (the bloom pre-filter is lossless by the
+    no-false-negative guarantee)."""
+    import json as _json
+
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+        decontaminate_bloom_ngrams,
+        md5_bucket,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.decontam_stream import (
+        start_contamination_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, "documents", SF_SMALL)
+    incoming = (
+        d.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+        .filter(md5_bucket(F.col("doc_id"), 4) == 0)
+        .select("doc_id", "text")
+        .collect()  # test fixture setup, not an operator path
+    )
+    assert incoming, "incoming slice empty at this sf"
+    src = tmp_path / "incoming_docs"
+    src.mkdir()
+    half = max(1, len(incoming) // 2)
+    for i, chunk in enumerate([incoming[:half], incoming[half:]]):
+        if not chunk:
+            continue
+        (src / f"batch{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": r.doc_id, "text": r.text}) for r in chunk
+            )
+            + "\n"
+        )
+
+    words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+    )
+    q = start_contamination_stream(
+        spark,
+        str(src),
+        words,
+        bench_grams,
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt_decontam"),
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_bloom_hits, r.n_exact_hits, r.contaminated)
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    streamed_ids = {r.doc_id for r in incoming}
+    want = {
+        r.doc_id: (
+            r.n_grams,
+            r.n_bloom_hits,
+            r.n_exact_hits,
+            r.n_exact_hits > 0,
+        )
+        for r in decontaminate_bloom_ngrams(spark, SF_SMALL).collect()
+        if r.doc_id in streamed_ids
+    }
+    # docs shorter than K words have no grams and drop out of both paths
+    assert set(got) == set(want)
+    assert got == want
