@@ -923,3 +923,90 @@ def decontaminate_bloom_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
         F.count("bg").alias("n_exact_hits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split drift audit: token-distribution shift between train and test.
+# --------------------------------------------------------------------------
+# audit_split_leakage catches near-dup contamination ACROSS splits; this op
+# catches the other split pathology — distribution SHIFT: a test split
+# whose token distribution drifts from train no longer measures the model
+# on the training distribution. Per-token triangular-discrimination
+# contribution (p-q)^2/(p+q) over relative frequencies, top-20 by
+# contribution — the per-token form is what an operator actually acts on
+# (which tokens moved), and it avoids the one non-deterministic step a
+# global score would need (a float SUM over the vocabulary, whose result
+# depends on partial-agg order).
+#
+# Determinism contract: counts are exact bigints; p and q are computed as
+# double divisions and combined in a FIXED expression shape — every
+# arithmetic step is a single IEEE754 operation both engines execute
+# identically, so the drift doubles hash-match without decimal plumbing.
+#
+# Scale: one explode + one token aggregate (map-side combined) + a
+# broadcast 1-row totals join + TakeOrdered top-20. No driver collect.
+
+_SQL_SPLIT_DRIFT = f"""
+    WITH tagged AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                w -> len(w) > 0)) AS token,
+             CASE WHEN {_B} < 80 THEN 'train'
+                  WHEN {_B} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             COUNT(*) FILTER (WHERE split = 'train') AS c_train,
+             COUNT(*) FILTER (WHERE split = 'test') AS c_test
+      FROM tagged WHERE split <> 'val' GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_train) AS DOUBLE) AS nt,
+             CAST(SUM(c_test) AS DOUBLE) AS nx
+      FROM counts
+    )
+    SELECT token, c_train, c_test,
+           ((CAST(c_train AS DOUBLE) / nt) - (CAST(c_test AS DOUBLE) / nx))
+             * ((CAST(c_train AS DOUBLE) / nt) - (CAST(c_test AS DOUBLE) / nx))
+             / ((CAST(c_train AS DOUBLE) / nt) + (CAST(c_test AS DOUBLE) / nx))
+             AS drift
+    FROM counts, tot
+    ORDER BY drift DESC, token LIMIT 20
+"""
+
+
+@register("audit_split_token_drift", oracle=_SQL_SPLIT_DRIFT)
+def audit_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 drift tokens between the train and test splits: exact
+    train/test counts plus the per-token triangular-discrimination
+    contribution (p-q)^2/(p+q). Val rows are filtered before the token
+    aggregate, so every output token has c_train + c_test >= 1 and the
+    p+q denominator can never be zero."""
+    from psql_streamer_spark.functions.text_hash import with_words
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    b = md5_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    tagged = d.select(
+        F.explode(F.col("__words")).alias("token"), split.alias("split")
+    ).filter(F.col("split") != "val")
+    counts = tagged.groupBy("token").agg(
+        F.count_if(F.col("split") == "train").alias("c_train"),
+        F.count_if(F.col("split") == "test").alias("c_test"),
+    )
+    totals = counts.agg(
+        F.sum("c_train").cast("double").alias("nt"),
+        F.sum("c_test").cast("double").alias("nx"),
+    )
+    p = F.col("c_train").cast("double") / F.col("nt")
+    q = F.col("c_test").cast("double") / F.col("nx")
+    drift = (p - q) * (p - q) / (p + q)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("token", "c_train", "c_test", drift.alias("drift"))
+        .orderBy(F.col("drift").desc(), F.col("token"))
+        .limit(20)
+    )

@@ -937,3 +937,12 @@ def test_partitioned_lake_daily_append_lifecycle(spark, tmp_path):
         & (F.col("event_date") <= F.lit("2024-01-12").cast("date"))
     ).count()
     assert rng.count() == expected
+
+
+def test_split_drift_topk_is_take_ordered_with_broadcast_totals(spark, queries):
+    plan = _physical(queries["audit_split_token_drift"](spark, SF_DIR))
+    # top-20 must be TakeOrdered (never a global sort) and the 1-row
+    # totals frame must arrive broadcast, not shuffled
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
