@@ -222,7 +222,7 @@ def compact_parquet(
             shutil.rmtree(stale)
 
     def _is_swap_artifact(name: str) -> bool:
-        return name.endswith(".__old__") or name.endswith(".__compact__")
+        return name.endswith((".__old__", ".__compact__", ".__expired__"))
 
     # Per-leaf crash recovery: a crash between a leaf's two renames leaves
     # `col=v.__old__` (the data) and possibly a completed `col=v.__compact__`
@@ -241,6 +241,9 @@ def compact_parquet(
             if not os.path.exists(restored):
                 os.rename(full, restored)
                 continue
+        # `.__expired__` tombstones (expire_partitions crashed mid-removal)
+        # are always strays: the rename away from `col=v` IS the commit
+        # point of an expiry, so the tombstone is never restored
         shutil.rmtree(full)
 
     part_dirs = [
@@ -277,3 +280,103 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def expire_partitions(
+    path: str,
+    column: str,
+    *,
+    cutoff: str | None = None,
+    keep_latest: int | None = None,
+) -> list[str]:
+    """Retention for a single-level partitioned lake dir (``col=value/``
+    leaves — what ParquetSink's partition_cols and the *_partitioned_table
+    builders write): remove whole expired partitions, never rows.
+
+    Exactly one of ``cutoff`` / ``keep_latest`` selects the doomed set:
+    ``cutoff`` removes leaves whose value sorts strictly below it (ISO
+    dates and zero-padded months compare correctly as strings — the same
+    property the PartitionFilters range predicates rely on), and
+    ``keep_latest`` keeps the N largest values. Returns the removed leaf
+    names.
+
+    This is the fourth leg of the lake lifecycle (ingest -> compact ->
+    pruned reads -> EXPIRE): partition-level retention is O(removed dirs)
+    of filesystem metadata — no scan, no rewrite — which is exactly why
+    the daily layout exists (row-level deletes on flat parquet would
+    rewrite the dataset).
+
+    Safety discipline, mirroring compact_parquet's:
+    - refuses to touch a dir with no ``column=`` leaves (never deletes a
+      flat dataset) and refuses a dir whose partition column differs
+      (a typo must not expire the wrong axis);
+    - each removal commits via rename to ``col=v.__expired__`` first —
+      after the rename the partition is gone from every reader's
+      discovery, and a crash mid-rmtree leaves only a tombstone that the
+      next expire_partitions or compact_parquet run sweeps (both treat
+      ``.__expired__`` as a stray to remove, never restore);
+    - like compact/OPTIMIZE, run from maintenance with readers quiesced:
+      partition discovery during the instant of the rename sees the
+      table without that partition, which is the POST-state anyway.
+    """
+    import os
+    import shutil
+
+    if (cutoff is None) == (keep_latest is None):
+        raise ValueError("exactly one of cutoff= / keep_latest= is required")
+    if keep_latest is not None and keep_latest < 0:
+        raise ValueError(f"keep_latest must be >= 0, got {keep_latest}")
+    if not os.path.isdir(path):
+        raise ValueError(f"not a directory: {path}")
+
+    prefix = f"{column}="
+    names = sorted(os.listdir(path))
+    # sweep stale tombstones from a prior crashed run first
+    for n in names:
+        if n.endswith(".__expired__"):
+            shutil.rmtree(os.path.join(path, n))
+    names = sorted(os.listdir(path))
+
+    def _artifact(n: str) -> bool:
+        return n.endswith((".__old__", ".__compact__", ".__expired__"))
+
+    leaves = [
+        n
+        for n in names
+        if n.startswith(prefix)
+        and not _artifact(n)
+        and os.path.isdir(os.path.join(path, n))
+    ]
+    if not leaves:
+        raise ValueError(
+            f"no {prefix}* partition leaves under {path}; refusing to "
+            "expire a non-partitioned (or differently-partitioned) dataset"
+        )
+    strangers = [
+        n
+        for n in names
+        if "=" in n
+        and not n.startswith(prefix)
+        and not _artifact(n)
+        and os.path.isdir(os.path.join(path, n))
+    ]
+    if strangers:
+        raise ValueError(
+            f"partition leaves with a different column under {path}: "
+            f"{strangers[:3]}; refusing to expire across a mixed layout"
+        )
+
+    ordered = sorted(leaves, key=lambda n: n.split("=", 1)[1])
+    if keep_latest is not None:
+        doomed = ordered[: max(0, len(ordered) - keep_latest)]
+    else:
+        doomed = [n for n in ordered if n.split("=", 1)[1] < cutoff]
+
+    removed: list[str] = []
+    for n in doomed:
+        src = os.path.join(path, n)
+        tomb = src + ".__expired__"
+        os.rename(src, tomb)  # commit point: leaf leaves discovery here
+        shutil.rmtree(tomb)
+        removed.append(n)
+    return removed

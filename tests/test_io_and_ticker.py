@@ -409,3 +409,162 @@ def test_compact_parquet_recovers_crashed_root_swap_of_partitioned_layout(
     after_df = spark.read.parquet(out)
     assert sorted(r.v for r in after_df.collect()) == before
     assert "day" in after_df.columns  # layout (partition column) survived
+
+
+def _write_daily_lake(spark, out, days=6, rows=20):
+    from pyspark.sql import functions as F
+
+    for epoch in range(2):
+        spark.range(rows).select(
+            (F.col("id") + epoch * 100).alias("v"),
+            F.concat(
+                F.lit("2026-01-0"), ((F.col("id") % days) + 1).cast("string")
+            ).alias("day"),
+        ).repartition(1).write.mode("append").partitionBy("day").parquet(out)
+
+
+def test_expire_partitions_by_cutoff_removes_only_old_leaves(spark, tmp_path):
+    """Retention leg of the lake lifecycle: cutoff expiry removes exactly
+    the leaves below the cutoff (string order == date order on ISO
+    values), retained rows are untouched, and the post-expiry read
+    equals the retained-window filter of the pre-expiry data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import expire_partitions
+
+    out = str(tmp_path / "lake")
+    _write_daily_lake(spark, out)
+    before = spark.read.parquet(out)
+    want = sorted(
+        (r.day, r.v) for r in before.filter(F.col("day") >= "2026-01-03").collect()
+    )
+
+    removed = expire_partitions(out, "day", cutoff="2026-01-03")
+    assert removed == ["day=2026-01-01", "day=2026-01-02"]
+    assert not any(n.startswith("day=2026-01-0") and n[-1] in "12"
+                   for n in os.listdir(out) if not n.endswith("__"))
+    got = sorted((r.day, r.v) for r in spark.read.parquet(out).collect())
+    assert got == want
+    # idempotent: nothing left below the cutoff
+    assert expire_partitions(out, "day", cutoff="2026-01-03") == []
+
+
+def test_expire_partitions_keep_latest(spark, tmp_path):
+    import os
+
+    from psql_streamer_spark.sources.io import expire_partitions
+
+    out = str(tmp_path / "lake")
+    _write_daily_lake(spark, out)
+    removed = expire_partitions(out, "day", keep_latest=2)
+    assert len(removed) == 4
+    leaves = sorted(n for n in os.listdir(out) if n.startswith("day="))
+    assert leaves == ["day=2026-01-05", "day=2026-01-06"]
+    # keep_latest larger than the leaf count is a no-op, not an error
+    assert expire_partitions(out, "day", keep_latest=10) == []
+
+
+def test_expire_partitions_refuses_flat_and_mixed_layouts(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import expire_partitions
+
+    flat = str(tmp_path / "flat")
+    spark.range(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="refusing to expire"):
+        expire_partitions(flat, "day", cutoff="z")
+
+    lake = str(tmp_path / "lake")
+    _write_daily_lake(spark, lake)
+    # wrong column name must refuse, not silently expire nothing
+    with pytest.raises(ValueError, match="refusing to expire"):
+        expire_partitions(lake, "hour", cutoff="z")
+    # exactly-one-selector contract
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_partitions(lake, "day")
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_partitions(lake, "day", cutoff="x", keep_latest=1)
+
+
+def test_expire_partitions_crash_tombstone_is_swept_never_restored(
+    spark, tmp_path
+):
+    """A crash between the expiry rename and the rmtree leaves a
+    `day=v.__expired__` tombstone. Both maintenance entry points must
+    sweep it: the next expire_partitions run, and compact_parquet (whose
+    recovery loop must NOT recurse into it as a partition leaf or
+    restore it like a `.__old__` swap)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet, expire_partitions
+
+    out = str(tmp_path / "lake")
+    _write_daily_lake(spark, out)
+    # partition-value inference types ISO dirnames as DATE; key by string
+    day_counts = {
+        r.day: r.n
+        for r in spark.read.parquet(out)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows_before = sum(day_counts.values())
+
+    # simulate the crash: rename done (commit point), rmtree never ran
+    os.rename(
+        os.path.join(out, "day=2026-01-01"),
+        os.path.join(out, "day=2026-01-01.__expired__"),
+    )
+    # next expire run sweeps the tombstone and proceeds with its own work
+    removed = expire_partitions(out, "day", cutoff="2026-01-03")
+    assert removed == ["day=2026-01-02"]
+    assert not any(n.endswith(".__expired__") for n in os.listdir(out))
+    gone = day_counts["2026-01-01"] + day_counts["2026-01-02"]
+    assert spark.read.parquet(out).count() == rows_before - gone
+
+    # same for compact_parquet: tombstone swept, not restored/compacted
+    os.rename(
+        os.path.join(out, "day=2026-01-03"),
+        os.path.join(out, "day=2026-01-03.__expired__"),
+    )
+    compact_parquet(spark, out, target_file_mb=128)
+    names = set(os.listdir(out))
+    assert "day=2026-01-03" not in names
+    assert not any(n.endswith(".__expired__") for n in names)
+    gone += day_counts["2026-01-03"]
+    assert spark.read.parquet(out).count() == rows_before - gone
+    shutil.rmtree(out)
+
+
+def test_expire_then_compact_preserves_pruning(spark, tmp_path):
+    """Lifecycle composition: expire -> compact on the survivor leaves;
+    the layout (and PartitionFilters pruning) must survive both."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import compact_parquet, expire_partitions
+
+    out = str(tmp_path / "lake")
+    _write_daily_lake(spark, out)
+    expire_partitions(out, "day", keep_latest=3)
+    compact_parquet(spark, out, target_file_mb=128)
+    leaves = sorted(n for n in os.listdir(out) if n.startswith("day="))
+    assert leaves == ["day=2026-01-04", "day=2026-01-05", "day=2026-01-06"]
+    for leaf in leaves:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, leaf))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    df = spark.read.parquet(out).filter(F.col("day") == "2026-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert df.count() > 0
