@@ -242,6 +242,120 @@ def _run_neardup_config(
     }
 
 
+
+def _run_decontam_config(
+    spark, work: str, sf_dir: str, docs_per_file: int, files_per_trigger: int
+) -> dict:
+    """Ingest-time contamination gating throughput (r12): every arriving
+    document's grams probe the broadcast battery bitmap and bloom hits
+    feed the exact verify join (streaming/decontam_stream.
+    probe_contamination). The battery bitmap + bench grams are built ONCE
+    (battery_build_sec — amortized across every batch that reuses them,
+    like the near-dup index); docs/sec is the events/sec of a pipeline
+    that gates every arriving document against the eval battery."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        bloom_m_bits_for,
+        build_bloom_words,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.decontam_stream import probe_contamination
+
+    d = load_table(spark, "documents", sf_dir)
+    t0 = time.time()
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g"))
+        .distinct()
+        .persist()
+    )
+    n_battery = bench_grams.count()
+    m_bits = bloom_m_bits_for(n_battery)
+    words = build_bloom_words(_eval_bloom_positions(spark, sf_dir, m_bits), m_bits)
+    battery_build_sec = time.time() - t0
+
+    tag = f"decontam_{docs_per_file}x{files_per_trigger}"
+    src = os.path.join(work, tag, "src")
+    ckpt = os.path.join(work, tag, "ckpt")
+    out = os.path.join(work, tag, "out")
+    docs = d.filter(F.col("source") != DECONTAM_EVAL_SOURCE).select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    n_files = max(1, (n + docs_per_file - 1) // docs_per_file)
+    docs.repartition(n_files).write.mode("overwrite").json(src)
+
+    batch_times: list[float] = []
+    batch_sizes: list[int] = []
+
+    def _probe(batch_df, epoch_id):
+        batch_df.persist()
+        batch_sizes.append(batch_df.count())
+        t0 = time.time()
+        verdicts = probe_contamination(spark, batch_df, words, bench_grams, m_bits)
+        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            out
+        )
+        batch_times.append(time.time() - t0)
+        batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .json(src)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    verd = (
+        spark.read.parquet(out).agg(
+            F.count("*").alias("docs"),
+            F.count_if(F.col("contaminated")).alias("contaminated"),
+            F.sum("n_bloom_hits").alias("bloom_hits"),
+            F.sum("n_exact_hits").alias("exact_hits"),
+        ).collect()[0]
+        if batch_times
+        else None
+    )
+    bench_grams.unpersist()
+    lat_ms = sorted(t * 1000 for t in batch_times) or [0.0]
+    sizes = sorted(batch_sizes) or [0]
+    return {
+        "events": n,
+        "battery_grams": n_battery,
+        "bloom_m_bits": m_bits,
+        "battery_build_sec": round(battery_build_sec, 3),
+        "events_per_batch_measured": {
+            "min": sizes[0],
+            "p50": int(statistics.median(sizes)),
+            "max": sizes[-1],
+        },
+        "batches": len(batch_times),
+        "docs_gated": int(verd.docs) if verd else 0,
+        "contaminated_docs": int(verd.contaminated) if verd else 0,
+        "bloom_hits": int(verd.bloom_hits) if verd else 0,
+        "exact_hits": int(verd.exact_hits) if verd else 0,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1),
+        "batch_latency_ms": {
+            "p50": round(statistics.median(lat_ms), 1),
+            "mean": round(statistics.fmean(lat_ms), 1),
+            "max": round(lat_ms[-1], 1),
+        },
+    }
+
+
 def main() -> None:
     from psql_streamer_spark.session import get_spark
     from psql_streamer_spark.streaming.sinks import ParquetSink
@@ -304,6 +418,21 @@ def main() -> None:
                 ), 500, 1
             ),
             "neardup_probe_bulk": _run_neardup_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2
+            ),
+            # ingest-time contamination gating (r12): every arriving doc's
+            # grams probe the broadcast battery bitmap; bloom hits feed the
+            # exact verify join. Same two granularities as the near-dup
+            # probe: the 500-doc point exposes the per-epoch floor, the
+            # bulk point the amortized gate throughput
+            "decontam_gate_500": _run_decontam_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 500, 1
+            ),
+            "decontam_gate_bulk": _run_decontam_config(
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
                 ), 2_500, 2
