@@ -1010,3 +1010,69 @@ def audit_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift").desc(), F.col("token"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Export shards + manifest: the pipeline's final hand-off to training.
+# --------------------------------------------------------------------------
+# A training run consumes the prepared corpus as N fixed shards plus a
+# MANIFEST the trainer (and the auditor) can verify the delivery against:
+# per-shard document count, token budget, and an order-free content hash.
+# Shard assignment is the md5-bucket idiom — a pure function of doc_id, so
+# re-exports, retries, and incremental appends land every document in the
+# same shard forever. The content hash is BIT_XOR over a per-document
+# 60-bit md5 prefix of (doc_id | text): commutative-associative, so it
+# partial-aggregates map-side, is independent of row order and partition
+# layout, and changes if ANY document's text or membership changes —
+# exactly the "did the trainer read what the pipeline wrote" check.
+# Consistency is pinned the other way around in
+# tests/test_mlprep_export.py: physically writing the shards
+# (partitionBy) and re-deriving the manifest FROM the written files must
+# reproduce this query's rows bit-for-bit.
+EXPORT_SHARDS = 16
+
+_SQL_EXPORT_SHARDS = f"""
+    SELECT {sql_md5_bucket("doc_id", 16)} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                    w -> len(w) > 0))) AS BIGINT) AS n_tokens,
+           BIT_XOR(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                                       1, 15) AS BIGINT)) AS content_hash
+    FROM documents GROUP BY 1
+"""
+
+
+def export_manifest_columns():
+    """The manifest aggregate set, shared by the registered query and the
+    written-shard re-derivation in tests (one definition, two call
+    sites — manifest-vs-data consistency is meaningful only if both
+    sides compute the same thing)."""
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return [
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words_expr())).cast("bigint").alias("n_tokens"),
+        F.bit_xor(h).alias("content_hash"),
+    ]
+
+
+@register("mlprep_export_shards", oracle=_SQL_EXPORT_SHARDS)
+def mlprep_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest for the EXPORT_SHARDS-way training hand-off:
+    deterministic shard_id, document count, token budget, order-free
+    content hash. One corpus pass, map-side partial aggregation, shard
+    count is the only shuffle width."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.groupBy(md5_bucket(F.col("doc_id"), EXPORT_SHARDS).alias("shard_id"))
+        .agg(*export_manifest_columns())
+    )

@@ -1,0 +1,106 @@
+"""Export-shard manifest: the hand-off contract between the pipeline and
+the trainer. The registered query computes the manifest from the source
+corpus; these tests pin the property that makes it a CONTRACT — the same
+manifest must be re-derivable from the physically written shards, so a
+trainer (or auditor) can verify a delivery without trusting the writer."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from psql_streamer_spark.operators.mlprep import (
+    EXPORT_SHARDS,
+    export_manifest_columns,
+    md5_bucket,
+    mlprep_export_shards,
+)
+from psql_streamer_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_written_shards_reproduce_the_manifest(spark, tmp_path):
+    out = str(tmp_path / "export")
+    d = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    d.withColumn(
+        "shard_id", md5_bucket(F.col("doc_id"), EXPORT_SHARDS)
+    ).write.partitionBy("shard_id").parquet(out)
+
+    # every shard leaf exists as its own dir (the trainer's read unit)
+    leaves = sorted(n for n in os.listdir(out) if n.startswith("shard_id="))
+    assert leaves, "no shard leaves written"
+
+    rederived = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.content_hash)
+        for r in spark.read.parquet(out)
+        .groupBy("shard_id")
+        .agg(*export_manifest_columns())
+        .collect()
+    }
+    manifest = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.content_hash)
+        for r in mlprep_export_shards(spark, SF_DIR).collect()
+    }
+    assert rederived == manifest
+    # the manifest covers the whole corpus exactly once
+    assert sum(v[0] for v in manifest.values()) == d.count()
+
+
+def test_content_hash_detects_any_document_change(spark):
+    """Flipping one document's text must change exactly that shard's
+    content_hash and nothing else; dropping a document likewise. (The
+    XOR construction makes both detectable; this pins it.)"""
+    d = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    victim = d.orderBy("doc_id").first()
+    victim_shard_row = (
+        d.filter(F.col("doc_id") == victim.doc_id)
+        .select(md5_bucket(F.col("doc_id"), EXPORT_SHARDS).alias("s"))
+        .first()
+    )
+    victim_shard = victim_shard_row.s
+
+    def manifest_of(df):
+        return {
+            r.shard_id: (r.n_docs, r.n_tokens, r.content_hash)
+            for r in df.groupBy(
+                md5_bucket(F.col("doc_id"), EXPORT_SHARDS).alias("shard_id")
+            )
+            .agg(*export_manifest_columns())
+            .collect()
+        }
+
+    base = manifest_of(d)
+    mutated = manifest_of(
+        d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") == victim.doc_id,
+                F.concat(F.col("text"), F.lit(" tampered")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    dropped = manifest_of(d.filter(F.col("doc_id") != victim.doc_id))
+
+    for shard, vals in base.items():
+        if shard == victim_shard:
+            assert mutated[shard][2] != vals[2]  # hash moved
+            assert mutated[shard][0] == vals[0]  # same doc count
+            assert dropped[shard][0] == vals[0] - 1
+            assert dropped[shard][2] != vals[2]
+        else:
+            assert mutated[shard] == vals
+            assert dropped[shard] == vals
+
+
+def test_manifest_plan_is_single_pass_partial_agg(spark):
+    plan = (
+        mlprep_export_shards(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one corpus scan, map-side partial aggregation, no join anywhere
+    assert "partial_" in plan
+    assert "Join" not in plan
