@@ -1076,3 +1076,87 @@ def mlprep_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(md5_bucket(F.col("doc_id"), EXPORT_SHARDS).alias("shard_id"))
         .agg(*export_manifest_columns())
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus-prep report: the pipeline stages composed in ONE query.
+# --------------------------------------------------------------------------
+# Every stage above is verified in isolation; a real corpus build runs them
+# COMPOSED: quality gate -> exact dedup (canonical survivor) -> split
+# assignment. This report is that composition as a single lineage frame —
+# one row per terminal stage (dropped_quality, dropped_duplicate, train,
+# val, test) with document and token counts, so the corpus build's
+# attrition and the final per-split token budgets are one query. Every
+# stage reuses the registered operator's exact semantics: the quality
+# floor below, dedup_fingerprint's md5-of-lowered-text canonical-survivor
+# rule, and split_train_val_test's md5 buckets — so the report cannot
+# drift from the operators it summarizes.
+#
+# Scale: one corpus pass + one fingerprint-partition window (the dedup
+# shuffle) + a final 5-group aggregate. No joins, no driver state.
+PREP_MIN_WORDS = 20  # quality floor: shorter docs carry no trainable signal
+
+_SQL_PREP_WS = "list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"
+_SQL_PREP_REPORT = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len({_SQL_PREP_WS}) AS n_words,
+             md5(concat_ws(' ', lower(text))) AS fp
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, n_words,
+             CASE
+               WHEN n_words < {PREP_MIN_WORDS} THEN 'dropped_quality'
+               WHEN doc_id <> MIN(doc_id) FILTER (
+                      WHERE n_words >= {PREP_MIN_WORDS})
+                    OVER (PARTITION BY fp) THEN 'dropped_duplicate'
+               WHEN {sql_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+               WHEN {sql_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+               ELSE 'test'
+             END AS stage
+      FROM scored
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM staged GROUP BY stage
+"""
+
+
+@register("pipeline_corpus_prep_report", oracle=_SQL_PREP_REPORT)
+def pipeline_corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition report of the composed corpus build: every document
+    lands in exactly one terminal stage — dropped_quality (below the
+    PREP_MIN_WORDS floor), dropped_duplicate (a quality-surviving doc
+    whose fingerprint has a smaller surviving doc_id — the canonical-
+    survivor rule, evaluated over quality survivors only so a dropped
+    doc can never shield its duplicates), or its train/val/test split —
+    with per-stage doc and token counts."""
+    from psql_streamer_spark.functions.text_hash import with_words
+    from pyspark.sql import Window
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    n_words = F.size(F.col("__words"))
+    fp = F.md5(F.concat_ws(" ", F.lower(F.col("text"))))
+    scored = d.select(
+        "doc_id", n_words.alias("n_words"), fp.alias("fp")
+    )
+    survivor_min = F.min(
+        F.when(F.col("n_words") >= PREP_MIN_WORDS, F.col("doc_id"))
+    ).over(Window.partitionBy("fp"))
+    b = md5_bucket(F.col("doc_id"), 100)
+    stage = (
+        F.when(F.col("n_words") < PREP_MIN_WORDS, "dropped_quality")
+        .when(F.col("doc_id") != survivor_min, "dropped_duplicate")
+        .when(b < 80, "train")
+        .when(b < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        scored.select("n_words", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -104,3 +104,41 @@ def test_manifest_plan_is_single_pass_partial_agg(spark):
     # one corpus scan, map-side partial aggregation, no join anywhere
     assert "partial_" in plan
     assert "Join" not in plan
+
+
+def test_corpus_prep_report_partitions_every_doc_once(spark):
+    """Stage attrition must be a PARTITION of the corpus (every doc in
+    exactly one stage), and the dropped_duplicate stage must fire where
+    exact duplicates exist (sf0.1 is the smallest corpus that has them)
+    with exactly the non-canonical quality-surviving copies."""
+    from psql_streamer_spark.operators.mlprep import (
+        PREP_MIN_WORDS,
+        pipeline_corpus_prep_report,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    rows = {r.stage: r for r in pipeline_corpus_prep_report(spark, sf).collect()}
+    d = load_table(spark, "documents", sf)
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+    assert set(rows) <= {
+        "dropped_quality", "dropped_duplicate", "train", "val", "test"
+    }
+    assert "dropped_duplicate" in rows, "sf0.1 plants exact duplicates"
+
+    # expected duplicates: quality survivors whose fingerprint has a
+    # smaller surviving doc_id (independent recomputation)
+    from pyspark.sql import Window
+
+    from psql_streamer_spark.functions.text_hash import with_words
+
+    scored = with_words(d).select(
+        "doc_id",
+        F.size("__words").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.lower(F.col("text")))).alias("fp"),
+    )
+    surv = scored.filter(F.col("n_words") >= PREP_MIN_WORDS)
+    canon = F.min("doc_id").over(Window.partitionBy("fp"))
+    expected_dups = surv.withColumn("c", canon).filter(
+        F.col("doc_id") != F.col("c")
+    ).count()
+    assert rows["dropped_duplicate"].n_docs == expected_dups > 0

@@ -335,3 +335,65 @@ def test_chunking_formula_tiles_every_word(nw):
     if n_chunks >= 2:
         # neighbor overlap = SIZE - STRIDE wherever the next chunk is full
         assert STRIDE < SIZE
+
+
+# --------------------------------------------------------------------------
+# Bloom bitmap machinery (r12): pure-Python properties of the word-array
+# construction — no Spark needed, so hypothesis can hammer them.
+# --------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=65535), max_size=200, unique=True
+    )
+)
+def test_bloom_words_roundtrip_exact_bit_set(positions):
+    """build_bloom_words must encode EXACTLY the given positions: decoding
+    every set bit back out of the signed 64-bit words recovers the input
+    set, no extra bits, at any position mix (including bit 63 of a word,
+    where the signed wrap lives)."""
+    from psql_streamer_spark.operators.mlprep import BLOOM_M_BITS, build_bloom_words
+
+    words = build_bloom_words(positions)
+    assert len(words) == BLOOM_M_BITS // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
+    decoded = {
+        i * 64 + b
+        for i, w in enumerate(words)
+        for b in range(64)
+        if (w & ((1 << 64) - 1)) >> b & 1
+    }
+    assert decoded == set(positions)
+
+
+@given(
+    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=20), max_size=30),
+    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=20), max_size=30),
+)
+def test_bloom_membership_never_false_negative_in_python_model(battery, probes):
+    """The position-set model of the filter (what the DuckDB oracle runs
+    and what the word-array encodes — pinned equal elsewhere) can never
+    reject a gram that is in the battery, for ANY battery/probe mix."""
+    import hashlib
+
+    from psql_streamer_spark.operators.mlprep import BLOOM_K_HASHES, BLOOM_M_BITS
+
+    def pos(g, s):
+        return int(hashlib.md5(f"{s}|{g}".encode()).hexdigest()[:8], 16) % BLOOM_M_BITS
+
+    bits = {pos(g, s) for g in battery for s in range(BLOOM_K_HASHES)}
+    for g in probes | battery:
+        hit = all(pos(g, s) in bits for s in range(BLOOM_K_HASHES))
+        if g in battery:
+            assert hit  # the defining guarantee
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+def test_bloom_sizing_is_monotone_pow2_and_sufficient(n):
+    from psql_streamer_spark.operators.mlprep import bloom_m_bits_for
+
+    m = bloom_m_bits_for(n)
+    assert m >= 4096
+    assert m & (m - 1) == 0  # power of two
+    if n > 256:  # above the floor, the ~16 bits/gram rule must hold
+        assert m >= 16 * n
+        assert m < 64 * n  # and not absurdly oversized (pow2 headroom <4x... allow 4x)
