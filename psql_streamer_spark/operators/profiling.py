@@ -226,3 +226,109 @@ def profile_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Numeric correlation profile: Pearson r across lineitem's measure columns.
+# --------------------------------------------------------------------------
+# The classic profiling complement to per-column moments: pairwise linear
+# relationships across the fact table's measures. corr is computed from
+# the textbook sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) — ONE
+# map-side-combined aggregate over the corpus, then pure expression math
+# on the single result row; the six pair rows come from an unpivot of
+# that row (stack), so the fact table is scanned exactly once no matter
+# how many pairs are profiled.
+#
+# Determinism contract: every sum goes through the exact-decimal idiom
+# (functions/numeric.py — decimal(38,8) accumulate, round to scale 2,
+# cast double), after which the corr formula is a FIXED shape of single
+# IEEE754 ops both engines execute identically — the same two-step
+# discipline as profile_value_outliers and audit_split_token_drift.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    return [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+
+
+def _sql_corr_profile() -> str:
+    from psql_streamer_spark.functions.numeric import sql_dsum
+
+    # Products of two doubles must NOT be cast double->decimal (the
+    # binary product's extra digits round differently across engines —
+    # observed as last-ulp corr mismatches). Cast each FACTOR to its
+    # true 2-decimal precision first (the benign cast case: both
+    # engines recover the intended decimal exactly), multiply in exact
+    # decimal, then sum.
+    def d2(c):
+        return f"CAST({c} AS DECIMAL(18,2))"
+
+    def dprod_sum(a, b):
+        return f"CAST(ROUND(SUM({d2(a)} * {d2(b)}), 2) AS DOUBLE)"
+
+    sums = [f"COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"{sql_dsum(c)} AS s_{c}")
+        sums.append(f"{dprod_sum(c, c)} AS s_{c}_{c}")
+    for a, b in _corr_pairs():
+        sums.append(f"{dprod_sum(a, b)} AS s_{a}_{b}")
+    selects = []
+    for a, b in _corr_pairs():
+        corr = (
+            f"(n * s_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * s_{a}_{a} - s_{a} * s_{a})"
+            f" * (n * s_{b}_{b} - s_{b} * s_{b}))"
+        )
+        # report at 9 decimals: the extendedprice sums carry >15
+        # significant digits, where the engines' decimal->double casts
+        # stop agreeing on the last ulp (the numeric.py bound) — the
+        # same fixed-precision reporting profile_value_outliers uses
+        selects.append(
+            f"SELECT '{a}~{b}' AS pair, n, ROUND({corr}, 9) AS corr FROM m"
+        )
+    return "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem) " + \
+        " UNION ALL ".join(selects)
+
+
+@register("profile_numeric_correlations", oracle=_sql_corr_profile())
+def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's four measure columns
+    (six pairs), one row per pair: (pair, n, corr). Single fact-table
+    pass; the pair rows unpivot from the one aggregate row via stack."""
+    from psql_streamer_spark.functions.numeric import dsum
+
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def dprod_sum(a: str, b: str):
+        # factor-first decimal cast: see the oracle builder's note
+        pa = F.col(a).cast("decimal(18,2)") * F.col(b).cast("decimal(18,2)")
+        return F.round(F.sum(pa), 2).cast("double")
+
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dprod_sum(c, c).alias(f"s_{c}_{c}"))
+    for a, b in _corr_pairs():
+        aggs.append(dprod_sum(a, b).alias(f"s_{a}_{b}"))
+    m = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        return num / den
+
+    stack_args = []
+    for a, b in _corr_pairs():
+        stack_args.append(F.lit(f"{a}~{b}"))
+        stack_args.append(F.round(corr(a, b), 9))  # see the oracle's note
+    return m.select(
+        "n", F.stack(F.lit(len(_corr_pairs())), *stack_args).alias("pair", "corr")
+    ).select("pair", "n", "corr")
