@@ -262,3 +262,39 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("max_bytes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Binary content-hash dedup: every media pipeline's first pass.
+# --------------------------------------------------------------------------
+@register(
+    "mm_dedup_binary",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque BINARY payload (image/audio/video alike:
+    the hash never looks inside the codec): md5 of the payload bytes,
+    canonical survivor = min doc_id per content hash. The text-table twin
+    (dedup_fingerprint) normalizes text first; media payloads get NO
+    normalization — a single differing byte is a different asset. The
+    DuckDB twin hashes the VARCHAR directly: md5 over a UTF-8 string and
+    md5 over its encoded bytes are the same digest, which is also why the
+    binary path needs no casts. One hash + one window over the hash
+    partition — the same single-shuffle shape as dedup_fingerprint."""
+    from pyspark.sql import Window
+
+    m = _media_frame(spark, sf_dir)
+    h = F.md5(F.col("payload"))
+    canon = F.min("doc_id").over(Window.partitionBy(h))
+    return m.select(
+        "doc_id",
+        h.alias("content_md5"),
+        canon.alias("canonical_doc_id"),
+        (F.col("doc_id") != canon).alias("is_duplicate"),
+    )

@@ -142,3 +142,28 @@ def test_corpus_prep_report_partitions_every_doc_once(spark):
         F.col("doc_id") != F.col("c")
     ).count()
     assert rows["dropped_duplicate"].n_docs == expected_dups > 0
+
+
+def test_mm_dedup_binary_flags_planted_duplicates(spark):
+    """sf0.1 plants 8 exact-duplicate documents; the binary content-hash
+    dedup must flag exactly the non-canonical copies and nothing at the
+    smaller SFs (which plant none)."""
+    from psql_streamer_spark.operators.multimodal import mm_dedup_binary
+
+    small = mm_dedup_binary(spark, SF_DIR)
+    assert small.filter(F.col("is_duplicate")).count() == 0
+
+    big = mm_dedup_binary(spark, "/root/testdata/sf0.1")
+    dups = big.filter(F.col("is_duplicate"))
+    assert dups.count() == 8
+    # every duplicate's canonical doc shares its content hash and is older
+    joined = dups.alias("d").join(
+        big.alias("c"),
+        (F.col("d.canonical_doc_id") == F.col("c.doc_id")),
+    )
+    bad = joined.filter(
+        (F.col("d.content_md5") != F.col("c.content_md5"))
+        | (F.col("c.doc_id") >= F.col("d.doc_id"))
+        | F.col("c.is_duplicate")
+    ).count()
+    assert bad == 0
