@@ -948,3 +948,48 @@ def test_streaming_contamination_gate(spark, tmp_path):
     # docs shorter than K words have no grams and drop out of both paths
     assert set(got) == set(want)
     assert got == want
+
+
+def test_streaming_lake_retention_leg(spark, dirs):
+    """The lake lifecycle's retention leg on the STREAMING-written layout:
+    expire_partitions must operate on what ParquetSink actually produces
+    (col=value leaves plus root-level _SUCCESS marker files from the
+    per-epoch batch writes), removing whole partitions while the
+    survivors keep their rows and their pruned-read plan."""
+    from psql_streamer_spark.sources.io import compact_parquet, expire_partitions
+
+    src, ckpt, tmp = dirs
+    out = tmp / "lake"
+    for b in range(2):
+        _write_batch(
+            src,
+            f"b{b}.json",
+            [_event(b * 10 + i, table="users") for i in range(2)]
+            + [_event(b * 10 + i, table="orders") for i in range(2, 4)],
+        )
+    CdcPipeline(
+        spark,
+        str(src),
+        ckpt,
+        sinks=[ParquetSink(str(out), partition_cols=["table"])],
+        topic_mapping={"users": "t.users", "orders": "t.orders"},
+        max_files_per_trigger=1,
+    ).run_to_completion()
+    compact_parquet(spark, str(out), target_file_mb=128)
+    users_rows = spark.read.parquet(str(out / "table=users")).count()
+    assert users_rows == 4
+
+    removed = expire_partitions(str(out), "table", keep_latest=1)
+    assert removed == ["table=orders"]  # 'users' sorts last -> survives
+    lake = spark.read.parquet(str(out))
+    assert lake.count() == users_rows
+    assert {r.table for r in lake.select("table").distinct().collect()} == {
+        "users"
+    }
+    plan = (
+        lake.filter(F.col("table") == "users")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
