@@ -946,3 +946,21 @@ def test_split_drift_topk_is_take_ordered_with_broadcast_totals(spark, queries):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corr_profile_is_single_scan_no_join(spark, queries):
+    plan = _physical(queries["profile_numeric_correlations"](spark, SF_DIR))
+    # one sufficient-statistics pass: the pair rows must come from the
+    # single aggregate row (stack/expand), never from re-scans or joins
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan  # map-side combined moments
+
+
+def test_corpus_prep_report_single_window_no_join(spark, queries):
+    plan = _physical(queries["pipeline_corpus_prep_report"](spark, SF_DIR))
+    # quality gate + dedup + split compose into one scan, one fingerprint
+    # window, one final aggregate — no join anywhere
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "Window" in plan
