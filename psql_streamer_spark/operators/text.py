@@ -858,3 +858,184 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_TOP_K,
         F.col("doc_id"),
     ).select("query_id", "rank", "doc_id", "score_milli")
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing vectorizer (the hashing trick): text -> sparse vector
+# with NO trained vocabulary.
+# --------------------------------------------------------------------------
+# The bridge between the text and similarity stacks when no embedding
+# model is available: each token hashes to one of FEATURE_HASH_DIMS
+# buckets (md5-bucket idiom — engine-replayable, stable under corpus
+# growth, no vocabulary to train, ship, or version), per-doc term
+# frequencies become the sparse vector, L2-normalized so downstream
+# cosine is a plain dot product. Emitted in LONG form (doc_id, dim, tf,
+# weight) — the sparse-native shape: joins, dot products, and the DuckDB
+# oracle all consume it directly, and no row ever materializes a dense
+# 0-filled array.
+#
+# Determinism: tf and the per-doc sum of squares are exact integers; the
+# only float ops are one sqrt and one division per row, fixed IEEE shape
+# in both engines.
+FEATURE_HASH_DIMS = 64
+
+_SQL_FEATURE_HASHING = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                w -> len(w) > 0)) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+               % {FEATURE_HASH_DIMS} AS dim,
+             COUNT(*) AS tf
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, dim, tf,
+           CAST(tf AS DOUBLE)
+             / sqrt(CAST(SUM(tf * tf) OVER (PARTITION BY doc_id) AS DOUBLE))
+             AS weight
+    FROM tf
+"""
+
+
+@register("text_feature_hashing", oracle=_SQL_FEATURE_HASHING)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed term-frequency vectors, L2-normalized, long form —
+    one row per (doc, occupied dim). One token aggregate plus one per-doc
+    window for the norm; at 100 TB both shuffles key on doc_id-led keys
+    and the output is bounded by min(doc tokens, FEATURE_HASH_DIMS) rows
+    per doc."""
+    from pyspark.sql import Window
+
+    from psql_streamer_spark.functions.text_hash import with_words
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    toks = d.select(
+        "doc_id", F.explode(F.col("__words")).alias("tok")
+    )
+    tf = (
+        toks.groupBy(
+            "doc_id", md5_bucket(F.col("tok"), FEATURE_HASH_DIMS).alias("dim")
+        )
+        .agg(F.count("*").alias("tf"))
+    )
+    norm = F.sqrt(
+        F.sum(F.col("tf") * F.col("tf"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("double")
+    )
+    return tf.select(
+        "doc_id", "dim", "tf", (F.col("tf").cast("double") / norm).alias("weight")
+    )
+
+
+# --------------------------------------------------------------------------
+# Model-free text kNN over the hashed vectors: the vectorizer's consumer.
+# --------------------------------------------------------------------------
+# Nearest neighbors by hashed-TF cosine with NO embedding model anywhere:
+# query docs (md5-bucket sample standing in for an external query set)
+# join the corpus long-form vectors on `dim`, and cosine comes from
+# INTEGER sufficient statistics — dot = SUM(tf_q * tf_c) is an exact
+# bigint sum (order-free, unlike a float dot), divided once by the two
+# exact-integer-derived norms; the only float ops are two sqrts, one
+# multiply, one divide, fixed IEEE shape in both engines. Top-3 per query
+# via row_number with a doc_id tie-break.
+#
+# sample_scale=True: the md5-sampled query set grows with the corpus, so
+# the synthetic cost is ~N^2/50; a production query set is constant-size,
+# making this one linear corpus pass per query batch.
+KNN_QUERY_BUCKETS = 50  # ~2% of docs stand in for the query set
+KNN_TOP_K = 3
+
+_SQL_HASHED_KNN = f"""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+               % {FEATURE_HASH_DIMS} AS dim,
+             COUNT(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> len(w) > 0)) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    ss AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS ss FROM tf GROUP BY 1
+    ),
+    q AS (
+      SELECT * FROM tf
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {KNN_QUERY_BUCKETS} = 0
+    ),
+    dots AS (
+      SELECT q.doc_id AS query_doc, tf.doc_id AS doc_id,
+             CAST(SUM(q.tf * tf.tf) AS BIGINT) AS dot
+      FROM q JOIN tf ON q.dim = tf.dim AND q.doc_id <> tf.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.query_doc AS query_doc, dots.doc_id AS doc_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(sq.ss AS DOUBLE)) * sqrt(CAST(sc.ss AS DOUBLE)))
+               AS cosine
+      FROM dots
+      JOIN ss sq ON sq.doc_id = dots.query_doc
+      JOIN ss sc ON sc.doc_id = dots.doc_id
+    )
+    SELECT query_doc, doc_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_doc ORDER BY cosine DESC, doc_id
+      ) AS rnk FROM scored
+    ) WHERE rnk <= {KNN_TOP_K}
+"""
+
+
+@register("sim_hashed_text_knn", oracle=_SQL_HASHED_KNN, sample_scale=True)
+def sim_hashed_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hashed-cosine neighbors per sampled query doc: the hashing
+    trick end-to-end (vectorize -> sparse dim-join -> integer-exact dot ->
+    windowed top-k), zero trained state. The query side is broadcast (a
+    query batch is small by definition); the corpus long-form rows stream
+    through one dim-join and the per-pair aggregate."""
+    from pyspark.sql import Window
+
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    tf = text_feature_hashing(spark, sf_dir).select("doc_id", "dim", "tf")
+    ss = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("ss")
+    )
+    q = tf.filter(md5_bucket(F.col("doc_id"), KNN_QUERY_BUCKETS) == 0).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("dim").alias("qdim"),
+        F.col("tf").alias("qtf"),
+    )
+    dots = (
+        F.broadcast(q)
+        .join(tf, (F.col("qdim") == F.col("dim")) & (F.col("query_doc") != F.col("doc_id")))
+        .groupBy("query_doc", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("bigint").alias("dot"))
+    )
+    sq = ss.select(F.col("doc_id").alias("query_doc"), F.col("ss").alias("qss"))
+    sc = ss.select("doc_id", F.col("ss").alias("css"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qss").cast("double")) * F.sqrt(F.col("css").cast("double"))
+    )
+    scored = (
+        dots.join(F.broadcast(sq), "query_doc")
+        .join(sc, "doc_id")
+        .select("query_doc", "doc_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_TOP_K)
+        .select("query_doc", "doc_id", "cosine", "rnk")
+    )
