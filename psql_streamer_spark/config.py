@@ -316,6 +316,21 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
                 "source_format": "parquet",
                 "source_schema": FRAME_SCHEMA,
             }
+        # mux knob validation parity (mux/mux.go via Test_New): the
+        # reference rejects non-positive batchSize / batchFlushInterval at
+        # LOAD time. Spark would surface batchSize<=0 only at stream start
+        # (or silently, depending on the source) — fail fast instead.
+        if "batchSize" in sc and int(sc["batchSize"]) <= 0:
+            raise ConfigError(
+                f"source '{name}': batchSize should be > 0"
+            )
+        if (
+            "batchFlushInterval" in sc
+            and parse_duration_ms(sc["batchFlushInterval"]) <= 0
+        ):
+            raise ConfigError(
+                f"source '{name}': batchFlushInterval should be > 0"
+            )
         pipelines[name] = CdcPipeline(
             spark,
             source_path=sc["path"],

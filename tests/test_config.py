@@ -299,3 +299,37 @@ def test_kafka_mapping_topic_equal_to_fallback_is_fatal(spark, tmp_path):
     }
     with pytest.raises(ConfigError, match="same as topicFallback"):
         compile_config(spark, conf)
+
+
+def test_negative_mux_batch_knobs_are_fatal(spark, tmp_path):
+    """mux.New validation parity (mux/mux_test.go:33-69 Test_New): the
+    reference rejects batchSize <= 0 and non-positive flush intervals at
+    LOAD time; Spark would otherwise surface a bad maxFilesPerTrigger
+    only at stream start (or silently ignore it). Both knobs must be
+    fatal in compile_config, including the bare-integer duration form
+    (-1 parses as -1000 ms and pre-fix was accepted)."""
+    import pytest
+
+    from psql_streamer_spark.config import ConfigError, compile_config
+
+    def cfg(**src_extra):
+        src = {"type": "file_cdc", "path": str(tmp_path / "in")}
+        src.update(src_extra)
+        return {
+            "tickerInterval": 0,
+            "boltdb": str(tmp_path / "ckpt"),
+            "source": {"s1": src},
+            "sink": {"k1": {"type": "stub_log", "sources": ["s1"]}},
+        }
+
+    for bad in (-1, 0):
+        with pytest.raises(ConfigError, match="batchSize should be > 0"):
+            compile_config(spark, cfg(batchSize=bad))
+    for bad in (-1, 0, "0s"):
+        with pytest.raises(
+            ConfigError, match="batchFlushInterval should be > 0"
+        ):
+            compile_config(spark, cfg(batchFlushInterval=bad))
+    # the valid shapes still compile
+    eng = compile_config(spark, cfg(batchSize=400, batchFlushInterval="1s"))
+    assert "s1" in eng.pipelines
