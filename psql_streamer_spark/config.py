@@ -320,23 +320,39 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
         # reference rejects non-positive batchSize / batchFlushInterval at
         # LOAD time. Spark would surface batchSize<=0 only at stream start
         # (or silently, depending on the source) — fail fast instead.
-        if "batchSize" in sc and int(sc["batchSize"]) <= 0:
-            raise ConfigError(
-                f"source '{name}': batchSize should be > 0"
-            )
-        if (
-            "batchFlushInterval" in sc
-            and parse_duration_ms(sc["batchFlushInterval"]) <= 0
-        ):
-            raise ConfigError(
-                f"source '{name}': batchFlushInterval should be > 0"
-            )
+        batch_size = None
+        if "batchSize" in sc:
+            try:
+                batch_size = int(sc["batchSize"])
+            except (ValueError, TypeError):
+                raise ConfigError(
+                    f"source '{name}': batchSize must be an integer, "
+                    f"got {sc['batchSize']!r}"
+                ) from None
+            if batch_size <= 0:
+                raise ConfigError(
+                    f"source '{name}': batchSize should be > 0"
+                )
+        if "batchFlushInterval" in sc:
+            try:
+                flush_ms = parse_duration_ms(sc["batchFlushInterval"])
+            except ConfigError:
+                raise
+            except (ValueError, TypeError):
+                raise ConfigError(
+                    f"source '{name}': unparseable batchFlushInterval: "
+                    f"{sc['batchFlushInterval']!r}"
+                ) from None
+            if flush_ms <= 0:
+                raise ConfigError(
+                    f"source '{name}': batchFlushInterval should be > 0"
+                )
         pipelines[name] = CdcPipeline(
             spark,
             source_path=sc["path"],
             checkpoint_dir=str(Path(ckpt_root) / f"source_{name}"),  # db.go:113
             routes=routes,
-            max_files_per_trigger=sc.get("batchSize"),
+            max_files_per_trigger=batch_size,
             processing_interval=(
                 _as_trigger_interval(sc["batchFlushInterval"])
                 if "batchFlushInterval" in sc

@@ -774,11 +774,14 @@ def _bloom_position(gram: Column, seed: int, m_bits: int = BLOOM_M_BITS) -> Colu
     )
 
 
-def _sql_bloom_position(gram_expr: str, seed: int) -> str:
-    """DuckDB twin of :func:`_bloom_position`."""
+def _sql_bloom_position(
+    gram_expr: str, seed: int, m_bits: int = BLOOM_M_BITS
+) -> str:
+    """DuckDB twin of :func:`_bloom_position` — same m_bits default so the
+    two sides cannot silently desync when the constant is retuned."""
     return (
         f"CAST('0x' || substr(md5('{seed}' || '|' || {gram_expr}), 1, 8) AS BIGINT)"
-        f" % {BLOOM_M_BITS}"
+        f" % {m_bits}"
     )
 
 
@@ -844,7 +847,7 @@ _SQL_BLOOM_DECONTAM = f"""
       SELECT DISTINCT
         CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || g), 1, 8) AS BIGINT)
           % {BLOOM_M_BITS} AS p
-      FROM bg, (VALUES (0), (1), (2)) t(j)
+      FROM bg, (VALUES {", ".join(f"({s})" for s in range(BLOOM_K_HASHES))}) t(j)
     ),
     probe AS (
       SELECT cg.doc_id,

@@ -347,7 +347,22 @@ def expire_partitions(
         and not _artifact(n)
         and os.path.isdir(os.path.join(path, n))
     ]
+    marker = os.path.join(path, "._expired_layout")
     if not leaves:
+        # Idempotency at full expiry: a prior run that removed the LAST
+        # leaf left a marker recording the partition axis. A retention
+        # cron re-running after full expiry (keep_latest=0, or a cutoff
+        # above every value) must succeed with [] — it already converged —
+        # not fail as if pointed at a flat dataset.
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                prior = f.read().strip()
+            if prior == column:
+                return []
+            raise ValueError(
+                f"dir {path} previously held {prior}=* leaves, not "
+                f"{prefix}*; refusing to expire across a mixed layout"
+            )
         raise ValueError(
             f"no {prefix}* partition leaves under {path}; refusing to "
             "expire a non-partitioned (or differently-partitioned) dataset"
@@ -379,4 +394,10 @@ def expire_partitions(
         os.rename(src, tomb)  # commit point: leaf leaves discovery here
         shutil.rmtree(tomb)
         removed.append(n)
+    if removed and len(removed) == len(leaves):
+        # Last leaf just left: record the axis so a re-run recognizes the
+        # swept dir as "fully expired", not "never partitioned". Hidden
+        # (dot-prefixed) => invisible to Spark/parquet discovery.
+        with open(marker, "w") as f:
+            f.write(column)
     return removed

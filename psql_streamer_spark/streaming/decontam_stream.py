@@ -85,11 +85,19 @@ def probe_contamination(
         )
     )
     totals = probed.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # Anchor on the batch's doc_ids, not the gram frame: a doc shorter
+    # than DECONTAM_K words yields zero shingles and would otherwise
+    # vanish from the verdict sink — an ingest gate must distinguish
+    # "evaluated clean" (n_grams=0, contaminated=false) from "never
+    # evaluated" (absent row).
     return (
-        totals.join(verified, "doc_id", "left")
+        batch_df.select("doc_id")
+        .distinct()
+        .join(totals, "doc_id", "left")
+        .join(verified, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
             F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
         )

@@ -333,3 +333,13 @@ def test_negative_mux_batch_knobs_are_fatal(spark, tmp_path):
     # the valid shapes still compile
     eng = compile_config(spark, cfg(batchSize=400, batchFlushInterval="1s"))
     assert "s1" in eng.pipelines
+    # malformed (non-numeric) values stay inside the ConfigError contract
+    # instead of escaping as bare ValueError/TypeError
+    for bad in ("four hundred", None, {"n": 4}):
+        with pytest.raises(ConfigError, match="batchSize must be an integer"):
+            compile_config(spark, cfg(batchSize=bad))
+    for bad in ("soon", {}, [1]):
+        with pytest.raises(
+            ConfigError, match="(unparseable|batchFlushInterval)"
+        ):
+            compile_config(spark, cfg(batchFlushInterval=bad))

@@ -175,8 +175,14 @@ def test_bloom_position_constants_are_sane():
     # signed-wrap round-trip: bit 63 of word 0 must survive array<bigint>
     w = build_bloom_words([63])
     assert w[0] == -(1 << 63)
-    assert BLOOM_K_HASHES == 3  # the oracle's VALUES (0),(1),(2) hardcodes k
     assert str(BLOOM_M_BITS) in mlprep._SQL_BLOOM_DECONTAM
+    # the oracle's seed VALUES list is generated from BLOOM_K_HASHES and
+    # _sql_bloom_position takes m_bits — retuning either constant cannot
+    # desync the two sides
+    values = ", ".join(f"({s})" for s in range(BLOOM_K_HASHES))
+    assert f"VALUES {values}" in mlprep._SQL_BLOOM_DECONTAM
+    assert mlprep._sql_bloom_position("g", 0, m_bits=128).endswith("% 128")
+    assert mlprep._sql_bloom_position("g", 0).endswith(f"% {BLOOM_M_BITS}")
 
 
 def test_bloom_sizing_rule_and_parameterized_probe(spark):

@@ -466,6 +466,34 @@ def test_expire_partitions_keep_latest(spark, tmp_path):
     assert expire_partitions(out, "day", keep_latest=10) == []
 
 
+def test_expire_partitions_full_expiry_is_idempotent(spark, tmp_path):
+    """A retention cron that fully expires a table (keep_latest=0, or a
+    cutoff above every leaf) must succeed with [] on re-run — the dir
+    converged — while a wrong-column retry still refuses."""
+    import os
+
+    import pytest
+
+    from psql_streamer_spark.sources.io import expire_partitions
+
+    out = str(tmp_path / "lake")
+    _write_daily_lake(spark, out)
+    removed = expire_partitions(out, "day", keep_latest=0)
+    assert len(removed) == 6
+    assert not any(n.startswith("day=") for n in os.listdir(out))
+    # re-run: already converged, not an error
+    assert expire_partitions(out, "day", keep_latest=0) == []
+    assert expire_partitions(out, "day", cutoff="2027-01-01") == []
+    # but the swept dir still knows its axis — a typo'd column refuses
+    with pytest.raises(ValueError, match="previously held day="):
+        expire_partitions(out, "hour", keep_latest=0)
+    # and a flat dataset (never partitioned) still refuses as before
+    flat = tmp_path / "flat"
+    spark.range(3).write.parquet(str(flat))
+    with pytest.raises(ValueError, match="no day=.* partition leaves"):
+        expire_partitions(str(flat), "day", keep_latest=0)
+
+
 def test_expire_partitions_refuses_flat_and_mixed_layouts(spark, tmp_path):
     import pytest
     from pyspark.sql import functions as F

@@ -911,6 +911,13 @@ def test_streaming_contamination_gate(spark, tmp_path):
             )
             + "\n"
         )
+    # a doc shorter than DECONTAM_K words: yields zero shingles, but an
+    # ingest gate must still record it as evaluated-clean (n_grams=0),
+    # not silently absent from the verdict sink
+    short_id = -77
+    (src / "batch_short.json").write_text(
+        _json.dumps({"doc_id": short_id, "text": "too short"}) + "\n"
+    )
 
     words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
     bench_grams = (
@@ -945,7 +952,11 @@ def test_streaming_contamination_gate(spark, tmp_path):
         for r in decontaminate_bloom_ngrams(spark, SF_SMALL).collect()
         if r.doc_id in streamed_ids
     }
-    # docs shorter than K words have no grams and drop out of both paths
+    # the batch operator only reports gram-bearing docs; the ingest gate
+    # additionally reports gram-less docs as evaluated-clean (n_grams=0)
+    want[short_id] = (0, 0, 0, False)
+    for sid in streamed_ids - set(want):
+        want[sid] = (0, 0, 0, False)
     assert set(got) == set(want)
     assert got == want
 
