@@ -8,6 +8,7 @@ final aggregates — so throughput is bound by parquet scan + codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -331,6 +332,255 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_punct_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Trained BPE (Sennrich et al. 2016): distributed merge-rank training +
+# segmentation-table encode. The estimator above costs a corpus WITHOUT
+# tokenizer compute; this is the real thing — a learned merges table and
+# exact per-document token counts under it.
+#
+# Scale shape (the part that matters at 100 TB): BPE training never
+# iterates over the corpus. One corpus-scale pass builds the distinct
+# (word, count) table — Heaps-law bounded (~10-100M rows at 100 TB, vs
+# trillions of tokens) — and every one of the N merge iterations is an
+# aggregate over THAT table: explode adjacent piece-pairs weighted by word
+# count, map-side-combined sum, TakeOrdered(1) argmax to the driver
+# (k-means-style driver-held model state), then a narrow fold rewrites the
+# segmentation column. Training cost is O(N * |vocab|), independent of
+# corpus size. Encoding then needs no merge loop at all for in-vocab
+# words: the trained table already holds each word's final segmentation,
+# so corpus-wide token counts are one join against it (broadcast while the
+# vocab fits, shuffle-join beyond). Only out-of-vocab words (fresh data
+# under a frozen tokenizer) pay the rank-ordered merge fold, Arrow-batched
+# in bpe_encode_pieces_udf.
+#
+# Determinism contract (what makes both ops hash-checkable): fixed
+# BPE_N_MERGES, exact integer pair counts, and the tie-break
+# (max count, then lexicographically smallest (left, right) pair) — the
+# DuckDB oracle replays the identical training loop as a recursive CTE
+# whose working set is the word table, with list_reduce applying each
+# merge exactly like the Spark-side aggregate() fold.
+# --------------------------------------------------------------------------
+BPE_N_MERGES = 40  # fixed iteration count: determinism + bounded driver loop
+
+# trained-model memo: one entry per (app, corpus, n_merges) — the merges
+# list is N rows and the segmentation frame is the Heaps-bounded vocab
+# (checkpointed, so re-invocations and the encode op never retrain).
+_BPE_MODEL: dict = {}
+
+# one BPE training iteration folds the chosen merge through each word's
+# piece list, leftmost non-overlapping — both engines express it as the
+# same left fold: acc starts [p1]; append x unless (acc[-1], x) is the pair
+_SQL_BPE_TRAIN = f"""
+    WITH RECURSIVE bpe_vocab AS (
+      SELECT w AS word, COUNT(*)::BIGINT AS cnt, string_split(w, '') AS pieces
+      FROM (
+        SELECT unnest({SQL_WORDS.format(t='text')}) AS w FROM documents
+      )
+      GROUP BY w
+    ),
+    bpe(it, kind, word, cnt, pieces, lft, rgt, pc) AS (
+      SELECT 0, 'w', word, cnt, pieces,
+             NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+      FROM bpe_vocab
+      UNION ALL
+      (
+        WITH cur AS (SELECT * FROM bpe WHERE kind = 'w' AND it < {BPE_N_MERGES}),
+        pairs AS (
+          SELECT s.lft AS lft, s.rgt AS rgt, SUM(cnt)::BIGINT AS pc
+          FROM (
+            SELECT cnt,
+                   unnest(list_transform(range(1, len(pieces)),
+                          i -> {{'lft': pieces[i], 'rgt': pieces[i+1]}})) AS s
+            FROM cur
+          )
+          GROUP BY s.lft, s.rgt
+        ),
+        best AS (SELECT lft, rgt, pc FROM pairs ORDER BY pc DESC, lft, rgt LIMIT 1)
+        SELECT c.it + 1, 'w', c.word, c.cnt,
+               list_reduce(list_transform(c.pieces, p -> [p]),
+                 (acc, x) -> CASE WHEN acc[-1] = b.lft AND x[1] = b.rgt
+                                  THEN list_append(array_pop_back(acc),
+                                                   b.lft || b.rgt)
+                                  ELSE list_concat(acc, x) END),
+               NULL, NULL, NULL
+        FROM cur c, best b
+        UNION ALL
+        SELECT c.it + 1, 'm', NULL, NULL, NULL, b.lft, b.rgt, b.pc
+        FROM (SELECT DISTINCT it FROM cur) c, best b
+      )
+    )
+"""
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Train BPE merges on the corpus word table; returns (merges, final
+    word-segmentation DataFrame). merges rows are (rank, left, right,
+    merged, pair_count). Driver holds only the model (N merge rows + one
+    argmax row per round) — never corpus data; the segmentation table
+    stays distributed. localCheckpoint per round truncates the otherwise
+    N-deep fold lineage (the k-means discipline)."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    hit = _BPE_MODEL.get(key)
+    if hit is not None:
+        return hit
+    d = with_words(load_table(spark, "documents", sf_dir))
+    words = (
+        d.select(F.explode("__words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("pieces", F.split("word", ""))
+        # vocab at oracle scale is tiny; a handful of partitions keeps the
+        # N-round loop scheduler-bound rather than task-launch-bound. At
+        # real scale drop the coalesce: every round is one map-side agg.
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            words.filter(F.size("pieces") > 1)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(pieces)-1), i -> "
+                        "struct(element_at(pieces, i) AS lft, "
+                        "element_at(pieces, i+1) AS rgt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "lft", "rgt").take(1)
+        if not best:
+            break
+        lft, rgt, pc = best[0].lft, best[0].rgt, best[0].pc
+        merged = lft + rgt
+        fold = F.aggregate(
+            F.slice("pieces", 2, F.size("pieces") - 1),
+            F.slice("pieces", 1, 1),
+            lambda acc, x: F.when(
+                (F.element_at(acc, F.lit(-1)) == F.lit(lft)) & (x == F.lit(rgt)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.withColumn("pieces", fold).localCheckpoint(eager=True)
+        merges.append((rank, lft, rgt, merged, pc))
+    _BPE_MODEL[key] = (merges, words)
+    return merges, words
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_SQL_BPE_TRAIN
+    + """
+    SELECT it - 1 AS rank, lft AS left, rgt AS right,
+           lft || rgt AS merged, pc AS pair_count
+    FROM bpe WHERE kind = 'm'
+    """,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer model itself: BPE_N_MERGES merge rules in
+    rank order with their corpus pair counts. Hash-checked against a
+    DuckDB recursive CTE replaying the identical training loop — the
+    determinism contract (integer counts + lexicographic tie-break) is
+    what lets two independent engines land on the same tokenizer."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+@register(
+    "text_bpe_encode_tokens",
+    oracle=_SQL_BPE_TRAIN
+    + f"""
+    , bpe_final AS (
+      SELECT word, len(pieces) AS n_pieces
+      FROM bpe
+      WHERE kind = 'w' AND it = (SELECT MAX(it) FROM bpe WHERE kind = 'w')
+    ),
+    docwords AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(f.n_pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(f.n_pieces) AS BIGINT) * 1.0 / COUNT(*)
+             AS bpe_tokens_per_word
+    FROM docwords d JOIN bpe_final f ON d.w = f.word
+    GROUP BY d.doc_id
+    """,
+)
+def text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-document token counts under the trained tokenizer. The
+    100 TB plan is the headline here: encoding is NOT a per-token merge
+    loop but a single join — corpus words against the trained
+    word→segment-count table (broadcast: the vocab is Heaps-bounded and
+    orders of magnitude smaller than the corpus). The merge fold only
+    ever runs over the vocab table during training and over OOV words in
+    bpe_encode_pieces_udf."""
+    _, words = _bpe_train(spark, sf_dir)
+    vocab = words.select("word", F.size("pieces").alias("n_pieces"))
+    d = with_words(load_table(spark, "documents", sf_dir))
+    docwords = d.select("doc_id", F.explode("__words").alias("w"))
+    return (
+        docwords.join(F.broadcast(vocab), docwords.w == vocab.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens") * F.lit(1.0) / F.col("n_words")).alias(
+                "bpe_tokens_per_word"
+            ),
+        )
+    )
+
+
+def bpe_encode_pieces_udf(merges: list[tuple[int, str, str, str, int]]):
+    """The frozen-tokenizer encoder for data the training vocab has never
+    seen: a pandas_udf (Arrow-batched, never per-row Python) that applies
+    the learned merges to a word column in rank order — the reference BPE
+    encode algorithm. Use when scoring NEW documents under an existing
+    model; in-corpus encoding should always take the join path in
+    text_bpe_encode_tokens instead. The merges list rides to executors via
+    the UDF closure (broadcast-sized: N rules, not corpus data)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranked = [(lft, rgt, m) for _, lft, rgt, m, _ in sorted(merges)]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def encode(col: pd.Series) -> pd.Series:
+        def enc(w: str) -> list[str]:
+            pieces = list(w)
+            for lft, rgt, m in ranked:
+                if len(pieces) < 2:
+                    break
+                out = [pieces[0]]
+                for x in pieces[1:]:
+                    if out[-1] == lft and x == rgt:
+                        out[-1] = m
+                    else:
+                        out.append(x)
+                pieces = out
+            return pieces
+
+        return col.map(enc)
+
+    return encode
 
 
 # --------------------------------------------------------------------------
