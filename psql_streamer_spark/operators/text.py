@@ -9,7 +9,7 @@ final aggregates — so throughput is bound by parquet scan + codegen.
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via globals
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -581,6 +581,279 @@ def bpe_encode_pieces_udf(merges: list[tuple[int, str, str, str, int]]):
         return col.map(enc)
 
     return encode
+
+
+# --------------------------------------------------------------------------
+# HTML/markup extraction + line-level boilerplate removal: the
+# CommonCrawl-shaped front door the downstream quality gates assume
+# already ran. The corpus tables carry plain text, so both engines first
+# synthesize the SAME deterministic HTML page per document (title +
+# script + style + nav links + entity-bearing body + footer) and then
+# extract — the extraction chain is the operator under test, implemented
+# twice (Spark regexp/replace expressions vs DuckDB's), never shared.
+# --------------------------------------------------------------------------
+# synthesized page, single line (no newlines => '.' spans everything):
+#   <html><head><title>Doc N</title><script ...>track('N');</script>
+#   <style>...</style></head><body><div class="nav">3 links</div>
+#   <h1>src &amp; co</h1><p>body-with-entities</p>
+#   <div class="footer">&copy; 2026 src</div></body></html>
+# body entity injection: ' a ' -> ' &lt;a&gt; ' (decodes to a tag-shaped
+# string AFTER stripping — pins the strip-then-decode order), and
+# ' the ' -> ' &amp; '.
+_SQL_HTML_SYNTH = (
+    "'<html><head><title>Doc ' || doc_id::VARCHAR || '</title>"
+    "<script type=\"text/javascript\">track(''' || doc_id::VARCHAR || ''');"
+    "</script><style>.nav a{color:#00f}</style></head><body>"
+    '<div class="nav"><a href="/">home</a><a href="/about">about</a>'
+    '<a href="/login">login</a></div>'
+    "<h1>' || source || ' &amp; co</h1><p>' || "
+    "replace(replace(text, ' a ', ' &lt;a&gt; '), ' the ', ' &amp; ')"
+    " || '</p><div class=\"footer\">&copy; 2026 ' || source || "
+    "'</div></body></html>'"
+)
+
+
+def _html_synth_col() -> Column:
+    body = F.replace(
+        F.replace(F.col("text"), F.lit(" a "), F.lit(" &lt;a&gt; ")),
+        F.lit(" the "),
+        F.lit(" &amp; "),
+    )
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">track(\''),
+        F.col("doc_id").cast("string"),
+        F.lit("');</script><style>.nav a{color:#00f}</style></head><body>"),
+        F.lit('<div class="nav"><a href="/">home</a><a href="/about">about</a>'),
+        F.lit('<a href="/login">login</a></div><h1>'),
+        F.col("source"),
+        F.lit(" &amp; co</h1><p>"),
+        body,
+        F.lit('</p><div class="footer">&copy; 2026 '),
+        F.col("source"),
+        F.lit("</div></body></html>"),
+    )
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id, {_SQL_HTML_SYNTH} AS html FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '<script[^>]*>.*?</script>', ' ', 'g'),
+               '<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g') AS no_tags
+      FROM pages
+    ),
+    decoded AS (
+      SELECT doc_id, html,
+             replace(replace(replace(replace(replace(no_tags,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&copy;', '(c)'), '&amp;', '&') AS dec
+      FROM stripped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(dec, ' +', ' ', 'g')) AS clean_text,
+           len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+           len(regexp_extract_all(html, '<a href=')) AS n_links,
+           length(trim(regexp_replace(dec, ' +', ' ', 'g'))) AS n_chars_clean
+    FROM decoded
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup -> training text: drop script/style blocks wholesale, strip
+    remaining tags, THEN decode entities (the order is load-bearing — a
+    decoded '&lt;a&gt;' must survive as literal text, never be
+    re-interpreted as a tag), collapse whitespace. Pure JVM
+    regexp_replace/replace chain over one synthesized column: narrow,
+    scan-bound, zero shuffle — at 100 TB this runs at parquet-read speed
+    exactly like the sibling quality gates."""
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "html", _html_synth_col()
+    )
+    no_tags = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("html"), "<script[^>]*>.*?</script>", " "
+            ),
+            "<style[^>]*>.*?</style>",
+            " ",
+        ),
+        "<[^>]*>",
+        " ",
+    )
+    dec = no_tags
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&copy;", "(c)"),
+        ("&amp;", "&"),  # ampersand LAST: never double-decode
+    ):
+        dec = F.replace(dec, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(dec, " +", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]*>"), 0)).alias(
+            "n_tags"
+        ),
+        F.size(F.regexp_extract_all("html", F.lit("<a href="), 0)).alias(
+            "n_links"
+        ),
+        F.length(clean).alias("n_chars_clean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate removal (RefinedWeb/CCNet line dedup + Gopher
+# line rules): lines repeated across many documents (nav bars, footers,
+# cookie banners) and pattern-matched chrome are dropped per line, keeping
+# document order. Lines are synthesized deterministically: a nav line and
+# a copyright line wrap the doc's 8-word content chunks.
+# --------------------------------------------------------------------------
+BOILER_CHUNK_WORDS = 8
+BOILER_DF_FRACTION = 0.2  # a line in >20% of docs is chrome, not content
+_BOILER_NAV = "home about contact login"
+_BOILER_FOOT = "(c) 2026 all rights reserved cookie policy"
+_SQL_BOILER_LINES = f"""
+    SELECT doc_id, pos, line
+    FROM (
+      SELECT doc_id,
+             list_concat(
+               list_concat(['{_BOILER_NAV}'],
+                 list_transform(
+                   range(0, CAST(CEIL(len(ws) / {BOILER_CHUNK_WORDS}.0) AS BIGINT)),
+                   i -> array_to_string(
+                     list_slice(ws, i * {BOILER_CHUNK_WORDS} + 1,
+                                (i + 1) * {BOILER_CHUNK_WORDS}), ' '))),
+               ['{_BOILER_FOOT}']) AS lines
+      FROM (SELECT doc_id, {{ws}} AS ws FROM documents)
+    ), LATERAL (
+      SELECT unnest(lines) AS line,
+             unnest(range(1, len(lines) + 1)) AS pos
+    )
+"""
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH lines AS ({_SQL_BOILER_LINES.format(ws=SQL_WORDS.format(t='text'))}),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM lines),
+    linedf AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             d.df > {BOILER_DF_FRACTION} * (SELECT n FROM ndocs)
+               AS dropped_df,
+             regexp_matches(l.line,
+               '(all rights reserved|cookie policy|^home about)')
+               AS dropped_pattern
+      FROM lines l JOIN linedf d ON l.line = d.line
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE dropped_df) AS n_dropped_df,
+           COUNT(*) FILTER (WHERE dropped_pattern AND NOT dropped_df)
+             AS n_dropped_pattern,
+           COUNT(*) FILTER (WHERE NOT dropped_df AND NOT dropped_pattern)
+             AS n_kept,
+           COALESCE(string_agg(line, CHR(10) ORDER BY pos)
+                      FILTER (WHERE NOT dropped_df AND NOT dropped_pattern),
+                    '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document line filter with a corpus-wide signal: a line's
+    document frequency. The scale shape is ONE shuffle — groupBy(line) for
+    the df table (map-side combined; the distinct-line table is far
+    smaller than the corpus) — then a broadcast-threshold join back onto
+    the line stream; the pattern rules are free per-row expressions.
+    Kept lines reassemble in document order via sort_array(collect_list),
+    never a global sort. This is RefinedWeb-style line dedup: at 100 TB
+    the df table is exactly the heavy-hitter index text_top_ngrams_per_source
+    builds, reused as a drop rule."""
+    d = with_words(load_table(spark, "documents", sf_dir))
+    n_chunks = F.ceil(F.size("__words") / F.lit(float(BOILER_CHUNK_WORDS)))
+    chunks = F.when(
+        F.size("__words") > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(
+                    F.col("__words"),
+                    i * BOILER_CHUNK_WORDS + 1,
+                    F.lit(BOILER_CHUNK_WORDS),
+                ),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = (
+        d.select(
+            "doc_id",
+            F.concat(
+                F.array(F.lit(_BOILER_NAV)),
+                chunks,
+                F.array(F.lit(_BOILER_FOOT)),
+            ).alias("lines"),
+        )
+        .select("doc_id", F.posexplode("lines").alias("pos0", "line"))
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+    )
+    ndocs = lines.select(
+        F.countDistinct("doc_id").alias("____ndocs")
+    )
+    linedf = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = (
+        lines.join(linedf, "line")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "dropped_df",
+            F.col("df") > F.lit(BOILER_DF_FRACTION) * F.col("____ndocs"),
+        )
+        .withColumn(
+            "dropped_pattern",
+            F.col("line").rlike(
+                "(all rights reserved|cookie policy|^home about)"
+            ),
+        )
+    )
+    kept = ~F.col("dropped_df") & ~F.col("dropped_pattern")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("dropped_df")).alias("n_dropped_df"),
+        F.count_if(F.col("dropped_pattern") & ~F.col("dropped_df")).alias(
+            "n_dropped_pattern"
+        ),
+        F.count_if(kept).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
 
 
 # --------------------------------------------------------------------------
