@@ -298,3 +298,212 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.alias("canonical_doc_id"),
         (F.col("doc_id") != canon).alias("is_duplicate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual (embedding) near-dup over binary payloads: mm_dedup_binary
+# catches byte-identical assets only; re-encoded / lightly-edited media
+# needs a feature-space match. The feature here is a deterministic
+# payload-derived embedding — a 64-dim byte-bigram hashed histogram
+# ((b[i]*31 + b[i+1]) % 64 bin counts) standing in for a real perceptual
+# embedding (pHash / CLIP), with the SAME Spark-side plumbing a real
+# model would use: mapInPandas feature extraction, then the bucketed
+# hyperplane miner from dedup_embedding_lsh_pairs.
+#
+# The LSH twist histograms force: raw histograms live in the positive
+# orthant (every pairwise cosine is ~0.87+ here), so random hyperplanes
+# through the origin barely split them. Signatures are therefore computed
+# on MEAN-CENTERED vectors — and to keep both engines in the same
+# buckets, centering is integer-exact: ec[i] = h[i]*N - S[i] (N docs,
+# S = per-dim corpus sums), a positive per-vector scaling of h - S/N that
+# preserves every hyperplane sign while staying in int64 (no float mean,
+# no fold-order drift). The exact-cosine rescore runs on the RAW
+# histogram, so centering affects candidate generation only — precision
+# is exact by construction, recall is what the bucketing buys.
+# --------------------------------------------------------------------------
+MM_HIST_DIM = 64
+MM_COSINE_DUP = 0.99  # measured plateau: background 99.9th pct = 0.971
+
+from psql_streamer_spark.operators.dedup import (  # noqa: E402
+    EMB_PAIR_BUCKET as _MM_BUCKET,
+    EMB_PAIR_MAX_PLANES as _MM_MAX_PLANES,
+    _emb_pair_planes as _mm_planes,
+    _sim_signature as _mm_signature,
+    _sim_signature_sql as _mm_signature_sql,
+    _SIM_SQL_DOT as _MM_SQL_DOT,
+    _SIM_SQL_NORM as _MM_SQL_NORM,
+    _sql_emb_planes as _mm_sql_planes,
+)
+from psql_streamer_spark.operators.similarity import (  # noqa: E402
+    LSH_TABLES as _MM_TABLES,
+    _dot as _mm_dot,
+    _norm as _mm_norm,
+)
+
+
+def _mm_hist_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h bigint[64]) byte-bigram histograms via mapInPandas —
+    the same Arrow-batched narrow map as mm_image_features; a real
+    deployment swaps the numpy bincount for a model forward pass."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                if len(b) < 2:
+                    continue
+                idx = (b[:-1] * 31 + b[1:]) % MM_HIST_DIM
+                out_ids.append(doc_id)
+                out_h.append(
+                    np.bincount(idx, minlength=MM_HIST_DIM).tolist()
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "h": out_h})
+
+    return (
+        _media_frame(spark, sf_dir)
+        .select("doc_id", "payload")
+        .mapInPandas(extract, schema="doc_id long, h array<long>")
+    )
+
+
+_mm_pair_selects = " UNION ALL ".join(
+    f"SELECT doc_id, {t} AS tbl,"
+    f" ({_mm_signature_sql(t, 'ec', _MM_MAX_PLANES)})"
+    f" & ((1::BIGINT << (SELECT p FROM pp)) - 1) AS bucket FROM v"
+    for t in range(_MM_TABLES)
+)
+
+_SQL_MM_DEDUP_EMBEDDING = f"""
+    WITH hist AS (
+      SELECT doc_id,
+             list_transform(range(0, {MM_HIST_DIM}), d ->
+               len(list_filter(bg, g -> g = d))::BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, length(text)),
+                 i -> (ord(text[i]) * 31 + ord(text[i+1])) % {MM_HIST_DIM}) AS bg
+        FROM documents WHERE length(text) >= 2
+      )
+    ),
+    tot AS (
+      SELECT d, SUM(c)::BIGINT AS s
+      FROM (SELECT unnest(range(0, {MM_HIST_DIM})) AS d, unnest(h) AS c
+            FROM hist)
+      GROUP BY d
+    ),
+    model AS (
+      SELECT (SELECT list(s ORDER BY d) FROM tot) AS S,
+             (SELECT COUNT(*) FROM hist) AS n
+    ),
+    v AS (
+      SELECT doc_id,
+             h::DOUBLE[] AS e,
+             {_MM_SQL_NORM.format(a='h::DOUBLE[]')} AS nrm,
+             list_transform(range(1, {MM_HIST_DIM} + 1),
+               i -> (h[i] * model.n - model.S[i])::DOUBLE) AS ec
+      FROM hist, model
+    ),
+    pm AS (SELECT (COUNT(*) + {_MM_BUCKET - 1}) // {_MM_BUCKET} AS m FROM v),
+    pp AS (SELECT CASE {_mm_sql_planes} ELSE {_MM_MAX_PLANES} END AS p FROM pm),
+    sig AS ({_mm_pair_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           {_MM_SQL_DOT.format(a='va.e', b='vb.e')} / (va.nrm * vb.nrm) AS cosine
+    FROM cand
+    JOIN v va ON va.doc_id = doc_a
+    JOIN v vb ON vb.doc_id = doc_b
+    WHERE {_MM_SQL_DOT.format(a='va.e', b='vb.e')} / (va.nrm * vb.nrm)
+            >= {MM_COSINE_DUP}
+"""
+
+
+@register("mm_dedup_embedding", oracle=_SQL_MM_DEDUP_EMBEDDING)
+def mm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptually-near duplicate payload pairs at cosine >=
+    MM_COSINE_DUP. Plan shape is dedup_embedding_lsh_pairs': the
+    signature frame (N * LSH_TABLES rows) is the only shuffle; each
+    (table, bucket) group screens its own pairs with one numpy matmul
+    inside applyInPandas (never a bucket self-join), and only survivors
+    take the exact sequential-fold rescore the oracle replays.
+    Byte-identical payloads share identical centered vectors, hence every
+    signature — exact duplicates are found with probability 1, no LSH
+    luck involved (pinned in tests/test_mm_embedding.py)."""
+    import numpy as np
+
+    from psql_streamer_spark.caching import persist_for
+
+    hist = _mm_hist_frame(spark, sf_dir).persist()
+    n_docs = hist.count()  # also materializes the persist
+    sums = (
+        hist.select(F.posexplode("h").alias("d", "c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
+    S = [0] * MM_HIST_DIM
+    for r in sums:
+        S[r.d] = r.s
+    s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
+    ec = F.zip_with(
+        F.col("h"), s_lit, lambda x, s: (x * F.lit(n_docs) - s).cast("double")
+    )
+    v = hist.select(
+        "doc_id",
+        F.col("h").cast("array<double>").alias("e"),
+        ec.alias("ec"),
+    ).withColumn("nrm", _mm_norm(F.col("e")))
+
+    mask = (1 << _mm_planes(n_docs)) - 1
+    screen_thr = MM_COSINE_DUP - 1e-6
+    sig = None
+    for t in range(_MM_TABLES):
+        part = v.select(
+            "doc_id",
+            "e",
+            F.lit(t).alias("tbl"),
+            _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        sig = part if sig is None else sig.unionByName(part)
+
+    def _bucket_screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        ids = pdf["doc_id"].to_numpy()
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ai, bi = np.nonzero(np.triu(m @ m.T >= screen_thr, k=1))
+        da, db = ids[ai], ids[bi]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    cand = (
+        sig.groupBy("tbl", "bucket")
+        .applyInPandas(_bucket_screen, schema="doc_a long, doc_b long")
+        .distinct()
+    )
+    va = v.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = _mm_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    result = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= MM_COSINE_DUP)
+    )
+    return persist_for(hist, result)
