@@ -1,0 +1,105 @@
+"""Trained quality model (text_quality_model_scores): exact training
+parity vs a pure-Python fixed-point reference, accuracy above the majority
+baseline, and the broadcast scoring plan."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.operators.text import (
+    FEATURE_HASH_DIMS,
+    QM_DIMS,
+    QM_FS,
+    QM_ITERS,
+    QM_LEN_CAP,
+    QM_SCALE,
+    QM_SHIFT_BASE,
+    QM_SHIFT_DECAY,
+    _qm_features,
+    _qm_train,
+    text_quality_model_scores,
+)
+from tests.conftest import SF_SMALL
+
+
+def _reference_train(feats_rows):
+    """The training loop in pure Python integers — the determinism spec
+    both engines must land on."""
+    feats: dict[int, list[tuple[int, int]]] = {}
+    labels: dict[int, int] = {}
+    for r in feats_rows:
+        feats.setdefault(r.doc_id, []).append((r.dim, r.x))
+        labels[r.doc_id] = r.y
+    n = len(labels)
+    npos = sum(labels.values())
+    nneg = n - npos
+    cwf_pos, cwf_neg = nneg / n, npos / n
+    wsum = max(1, (2 * npos * nneg) // n)
+    w = [0] * QM_DIMS
+    for it in range(QM_ITERS):
+        G = [0] * QM_DIMS
+        for doc_id, fx in feats.items():
+            y = labels[doc_id]
+            zint = sum(w[d] * x for d, x in fx)
+            z = zint / (QM_SCALE * QM_FS)
+            p = 0.5 + (z / 2) / (1 + abs(z))
+            cwf = cwf_pos if y == 1 else cwf_neg
+            rq = math.floor(((p - y) * cwf) * QM_SCALE)
+            for d, x in fx:
+                G[d] += rq * x
+        denom = (wsum << (QM_SHIFT_BASE + it // QM_SHIFT_DECAY)) * QM_FS
+        for d in range(QM_DIMS):
+            w[d] -= G[d] // denom
+    return w
+
+
+def test_training_matches_python_reference_exactly(spark):
+    rows = _qm_features(spark, SF_SMALL).collect()
+    want = _reference_train(rows)
+    got, _ = _qm_train(spark, SF_SMALL)
+    assert got == want  # integer weights: exact equality, no tolerance
+
+
+def test_model_beats_majority_baseline(spark):
+    df = text_quality_model_scores(spark, SF_SMALL)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("correct").cast("int")).alias("ok"),
+        F.sum(F.col("label")).alias("npos"),
+        F.sum(F.when(F.col("label") == 1, F.col("correct").cast("int"))).alias("tp_ok"),
+        F.sum(F.when(F.col("label") == 0, F.col("correct").cast("int"))).alias("tn_ok"),
+        F.sum(F.lit(1) - F.col("label")).alias("nneg"),
+    ).head()
+    acc = agg.ok / agg.n
+    baseline = max(agg.npos, agg.n - agg.npos) / agg.n
+    assert acc > baseline, f"model acc {acc} <= majority {baseline}"
+    # balanced accuracy: the model must actually catch negatives, not
+    # just ride the class prior
+    bal = (agg.tp_ok / agg.npos + agg.tn_ok / agg.nneg) / 2
+    assert bal >= 0.75, f"balanced accuracy {bal}"
+
+
+def test_features_are_bounded_integers(spark):
+    f = _qm_features(spark, SF_SMALL)
+    mx = f.agg(F.max("x").alias("mx"), F.min("x").alias("mn")).head()
+    assert mx.mn >= 0
+    assert mx.mx <= max(QM_FS, QM_LEN_CAP)
+    dims = {r.dim for r in f.select("dim").distinct().collect()}
+    assert max(dims) == FEATURE_HASH_DIMS + 1  # length + bias present
+    # every doc carries the bias row (it is how stats count docs)
+    n_docs = f.select("doc_id").distinct().count()
+    n_bias = f.filter(F.col("dim") == FEATURE_HASH_DIMS + 1).count()
+    assert n_bias == n_docs
+
+
+def test_scoring_plan_broadcasts_the_model(spark):
+    plan = (
+        text_quality_model_scores(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
