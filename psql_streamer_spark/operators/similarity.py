@@ -917,17 +917,177 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(v, cent)
 
 
-@register("embed_kmeans_clusters")  # iterative -> rows-only driver check
+# -- deterministic Lloyd's: the hash-checkable k-means tier ---------------
+# The numpy trainer above is the production path (BLAS partials, partition
+# -order accumulation) but its float summation order is an executor-layout
+# artifact no second engine can replay — which is why the k-means family
+# sat rows-only. This tier removes every order dependency:
+#   - distances are sequential left folds (same op order as DuckDB's
+#     list_reduce, bit-identical doubles — the _dot discipline);
+#   - argmin is (d2, cluster_id) total order;
+#   - the centroid update folds each (cluster, dim)'s components in
+#     vec_id order with init 0.0 (array_sort(collect_list) on one side,
+#     list(val ORDER BY vec_id) prepended with 0.0 on the other), then
+#     one exact division by the member count.
+# Cost vs the numpy tier: the update materializes per-(cluster, dim)
+# member lists instead of map-side partial sums — O(N*dim) rows either
+# way, but without partial aggregation. That is the price of replayable
+# float summation; the production trainer keeps the partials, and the
+# recall-critical consumers (sim_ivf_kmeans_topk) stay on it.
+_SQL_KM_D2 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1),"
+    " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (x, y) -> x + y)"
+)
+
+
+def _km_d2(e: Column, ce: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(e, ce, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+_SQL_KMEANS_CLUSTERS = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    km(it, cluster_id, ce) AS (
+      SELECT 0, vec_id::INT, e FROM v WHERE vec_id < {KM_K}
+      UNION ALL
+      (
+        WITH cur AS (SELECT * FROM km WHERE it < {KM_ITERS}),
+        asg0 AS (
+          SELECT v.vec_id, v.e, c.it, c.cluster_id,
+                 {_SQL_KM_D2.format(dim=EMB_DIM, v='v.e', c='c.ce')} AS d2
+          FROM v, cur c
+        ),
+        a1 AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cluster_id) AS rn
+            FROM asg0
+          ) WHERE rn = 1
+        ),
+        comp AS (
+          SELECT a1.it, a1.cluster_id, a1.vec_id, u.dim, u.val
+          FROM a1, LATERAL (
+            SELECT unnest(range(1, {EMB_DIM} + 1)) AS dim, unnest(e) AS val
+          ) u
+        ),
+        upd AS (
+          SELECT it, cluster_id, dim,
+                 list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                             (x, y) -> x + y) / COUNT(*) AS m
+          FROM comp GROUP BY it, cluster_id, dim
+        )
+        SELECT it + 1, cluster_id, list(m ORDER BY dim)
+        FROM upd GROUP BY it, cluster_id
+      )
+    ),
+    final AS (SELECT cluster_id, ce FROM km WHERE it = {KM_ITERS}),
+    fasg AS (
+      SELECT * FROM (
+        SELECT v.vec_id, c.cluster_id,
+               {_SQL_KM_D2.format(dim=EMB_DIM, v='v.e', c='c.ce')} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_SQL_KM_D2.format(dim=EMB_DIM, v='v.e', c='c.ce')},
+                                           c.cluster_id) AS rn
+        FROM v, final c
+      ) WHERE rn = 1
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_vectors,
+           list_reduce(list_prepend(0.0, list(d2 ORDER BY vec_id)),
+                       (x, y) -> x + y) AS inertia
+    FROM fasg GROUP BY cluster_id
+"""
+
+
+def _kmeans_train_deterministic(
+    spark: SparkSession, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
+):
+    """Ordered-fold Lloyd's; returns (v, cents) frames. Model state is
+    still k rows, localCheckpointed per round (lineage never deepens)."""
+    from pyspark.sql import Window
+
+    v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull())
+    cents = (
+        v.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("e").alias("ce"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    for _ in range(iters):
+        asg = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("d2", _km_d2(F.col("e"), F.col("ce")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        comp = asg.select(
+            "cluster_id", "vec_id", F.posexplode("e").alias("dim", "val")
+        )
+        upd = (
+            comp.groupBy("cluster_id", "dim")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("sv"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster_id",
+                "dim",
+                (
+                    F.aggregate(
+                        F.col("sv"), F.lit(0.0), lambda a, s: a + s.val
+                    )
+                    / F.col("n")
+                ).alias("m"),
+            )
+        )
+        cents = (
+            upd.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("ce")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v, cents
+
+
+@register("embed_kmeans_clusters", oracle=_SQL_KMEANS_CLUSTERS)
 def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster profile after KM_ITERS Lloyd's rounds: size and inertia
-    (sum of squared distances) per cluster."""
-    from psql_streamer_spark.functions.numeric import dsum
+    (sum of squared distances) per cluster — on the DETERMINISTIC trainer,
+    so the DuckDB oracle replays the full training loop as a recursive
+    CTE and the profile hash-matches (previously rows-only)."""
+    from pyspark.sql import Window
 
-    v = _vectors(spark, sf_dir)
-    a = kmeans_assignments(v)
-    return a.groupBy("cluster_id").agg(
-        F.count("*").alias("n_vectors"),
-        dsum("d2").alias("inertia"),
+    v, cents = _kmeans_train_deterministic(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    fin = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _km_d2(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        fin.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.array_sort(F.collect_list(F.struct("vec_id", "d2"))).alias("sv"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.aggregate(F.col("sv"), F.lit(0.0), lambda a, s: a + s.d2).alias(
+                "inertia"
+            ),
+        )
     )
 
 
