@@ -291,6 +291,99 @@ def mlprep_pack_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- packing on REAL tokenizer counts -------------------------------------
+# The packers above budget on whitespace token counts — fine for relative
+# fill, but a training batch builder budgets in TOKENIZER tokens. This
+# tier re-bases the identical contiguous-fill construction on the trained
+# BPE model's exact per-doc counts (text_bpe_encode_tokens' join path);
+# docs the tokenizer yields nothing for (empty text) pack with 0 tokens
+# rather than dropping out — a batch builder must place every doc.
+from psql_streamer_spark.operators.text import (  # noqa: E402
+    _SQL_BPE_TRAIN,
+    _bpe_train,
+)
+
+_SQL_BPE_COUNTS = f"""
+    , bpe_final AS (
+      SELECT word, len(pieces) AS n_pieces
+      FROM bpe
+      WHERE kind = 'w' AND it = (SELECT MAX(it) FROM bpe WHERE kind = 'w')
+    ),
+    bpe_docwords AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                w -> len(w) > 0)) AS w
+      FROM documents
+    ),
+    bpe_counts AS (
+      SELECT d.doc_id, CAST(SUM(f.n_pieces) AS BIGINT) AS n_tokens
+      FROM bpe_docwords d JOIN bpe_final f ON d.w = f.word
+      GROUP BY d.doc_id
+    )
+"""
+
+
+@register(
+    "mlprep_pack_sequences_bpe",
+    oracle=_SQL_BPE_TRAIN
+    + _SQL_BPE_COUNTS
+    + f"""
+    SELECT doc.doc_id, doc.source,
+           COALESCE(c.n_tokens, 0) AS n_tokens,
+           CAST(FLOOR((SUM(COALESCE(c.n_tokens, 0))
+                         OVER (PARTITION BY doc.source ORDER BY doc.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - COALESCE(c.n_tokens, 0)) / {PACK_BUDGET_TOKENS}.0)
+                AS BIGINT) AS pack_id
+    FROM documents doc LEFT JOIN bpe_counts c ON doc.doc_id = c.doc_id
+    """,
+)
+def mlprep_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mlprep_pack_sequences re-based on exact trained-BPE token counts:
+    the same one-shuffle contiguous fill, budgeting what the model will
+    actually consume. Token counts come from the broadcast join against
+    the trained segmentation table (never a per-token merge loop); the
+    oracle replays BPE training via the recursive CTE and the identical
+    window."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import with_words
+
+    _, words = _bpe_train(spark, sf_dir)
+    vocab = words.select("word", F.size("pieces").alias("n_pieces"))
+    d = with_words(load_table(spark, "documents", sf_dir))
+    counts = (
+        d.select("doc_id", F.explode("__words").alias("w"))
+        .join(F.broadcast(vocab), F.col("w") == F.col("word"))
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("bigint").alias("bpe_tokens"))
+    )
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("bpe_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(
+            (cum - F.col("n_tokens")) / F.lit(float(PACK_BUDGET_TOKENS))
+        ).alias("pack_id"),
+    )
+
+
 PACK_SALT_STREAMS = 8
 
 

@@ -118,3 +118,25 @@ def test_bpe_token_counts_conserve_words(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_bpe_packing_places_every_doc_contiguously(spark):
+    from psql_streamer_spark.operators.mlprep import (
+        PACK_BUDGET_TOKENS,
+        mlprep_pack_sequences_bpe,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+
+    packed = mlprep_pack_sequences_bpe(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, "documents", SF_SMALL).count()
+    assert len(packed) == n_docs  # zero-token docs pack too, never drop
+    by_source: dict[str, list] = {}
+    for r in packed:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // PACK_BUDGET_TOKENS  # contiguous fill
+            assert r.n_tokens >= 0
+            cum += r.n_tokens
