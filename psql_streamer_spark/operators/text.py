@@ -1696,12 +1696,18 @@ _SQL_QUALITY_MODEL = f"""
 
 
 def _qm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dim, x, y) for the corpus documents table."""
+    return _qm_features_from(load_table(spark, "documents", sf_dir))
+
+
+def _qm_features_from(docs: DataFrame) -> DataFrame:
     """(doc_id, dim, x, y): exact-integer features — normalized hashed TF
     dims, capped-length dim, constant bias dim — plus the heuristic
-    label."""
+    label. Takes any (doc_id, text) frame so the streaming ingest gate
+    scores micro-batches with the identical featurization."""
     from psql_streamer_spark.operators.mlprep import md5_bucket
 
-    d = with_words(load_table(spark, "documents", sf_dir))
+    d = with_words(docs)
     ws = F.col("__words")
     n_tokens = F.size(ws)
     unique_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_tokens
@@ -1805,6 +1811,19 @@ def text_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the feature stream + one per-doc aggregate — at 100 TB the
     model rides in the closure and scoring runs at feature-build speed."""
     w, feats = _qm_train(spark, sf_dir)
+    # feats is owned by the _QM_MODEL session memo (one bounded entry per
+    # corpus) — do NOT persist_for-release it: its lineage is truncated by
+    # localCheckpoint, so dropping the blocks would break re-invocations.
+    return qm_score_features(spark, feats, w)
+
+
+def qm_score_features(
+    spark: SparkSession, feats: DataFrame, w: list[int]
+) -> DataFrame:
+    """Score a (doc_id, dim, x, y) feature frame under weights ``w``: the
+    broadcast 66-row model join + one per-doc aggregate. Shared by the
+    corpus query and the streaming ingest gate — identical expressions,
+    so their verdicts are bit-equal on the same documents."""
     w_df = spark.createDataFrame(
         [(d, w[d]) for d in range(QM_DIMS)], "dim int, w long"
     )
@@ -1814,14 +1833,10 @@ def text_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("w") * F.col("x")).alias("zint"))
     )
     p = _qm_p(F.col("zint"))
-    result = zd.select(
+    return zd.select(
         "doc_id",
         F.col("y").alias("label"),
         p.alias("score"),
         (p >= F.lit(0.5)).alias("predicted"),
         ((p >= F.lit(0.5)) == (F.col("y") == 1)).alias("correct"),
     )
-    # feats is owned by the _QM_MODEL session memo (one bounded entry per
-    # corpus) — do NOT persist_for-release it: its lineage is truncated by
-    # localCheckpoint, so dropping the blocks would break re-invocations.
-    return result

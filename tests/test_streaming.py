@@ -1004,3 +1004,66 @@ def test_streaming_lake_retention_leg(spark, dirs):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    """Ingest-time model quality gate: documents streamed in micro-batches
+    score under the frozen trained weights, and every verdict must equal
+    the batch text_quality_model_scores row for the same document (the
+    featurization is per-doc, so streaming == batch exactly)."""
+    import json as _json
+
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+    from psql_streamer_spark.operators.text import (
+        _qm_train,
+        text_quality_model_scores,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.quality_stream import (
+        start_quality_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, "documents", SF_SMALL)
+    incoming = (
+        d.filter(md5_bucket(F.col("doc_id"), 4) == 1)
+        .select("doc_id", "text")
+        .collect()  # test fixture setup, not an operator path
+    )
+    assert incoming, "incoming slice empty at this sf"
+    src = tmp_path / "incoming_q"
+    src.mkdir()
+    half = max(1, len(incoming) // 2)
+    for i, chunk in enumerate([incoming[:half], incoming[half:]]):
+        if not chunk:
+            continue
+        (src / f"batch{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in chunk
+            )
+            + "\n"
+        )
+
+    w, _ = _qm_train(spark, SF_SMALL)  # frozen model from the corpus
+    q = start_quality_stream(
+        spark,
+        str(src),
+        w,
+        str(tmp_path / "q_verdicts"),
+        str(tmp_path / "ckpt_quality"),
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    got = {
+        r.doc_id: (r.label, r.score, r.predicted, r.correct)
+        for r in spark.read.parquet(str(tmp_path / "q_verdicts")).collect()
+    }
+    streamed_ids = {r.doc_id for r in incoming}
+    want = {
+        r.doc_id: (r.label, r.score, r.predicted, r.correct)
+        for r in text_quality_model_scores(spark, SF_SMALL).collect()
+        if r.doc_id in streamed_ids
+    }
+    assert set(got) == set(want)
+    assert got == want  # scores bit-equal, not approximately
