@@ -351,6 +351,8 @@ def _mm_hist_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_ids, out_h = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # missing blob: no features, no pair
+                    continue
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 if len(b) < 2:
                     continue

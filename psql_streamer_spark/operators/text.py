@@ -1764,8 +1764,21 @@ def _qm_train(spark: SparkSession, sf_dir: str):
     s = feats.filter(F.col("dim") == FEATURE_HASH_DIMS + 1).agg(
         F.count("*").alias("n"), F.sum("y").alias("npos")
     ).head()
+    if s is None or not s.n:
+        # empty corpus (empty ingest day / filter eliminated everything):
+        # nothing to fit — the zero model scores nothing, gracefully
+        w = [0] * QM_DIMS
+        _QM_MODEL[key] = (w, feats)
+        return w, feats
     n, npos = s.n, int(s.npos)
     nneg = n - npos
+    if npos == 0 or nneg == 0:
+        # single-class corpus: the class-weighted residual is 0 for every
+        # doc (cwf = 0), so training is a fixed point at w = 0 — skip the
+        # iterations rather than divide by a zero weight mass
+        w = [0] * QM_DIMS
+        _QM_MODEL[key] = (w, feats)
+        return w, feats
     cwf_pos, cwf_neg = nneg / n, npos / n
     wsum = max(1, (2 * npos * nneg) // n)
     w = [0] * QM_DIMS
