@@ -1619,7 +1619,7 @@ def _sql_fdiv(a: str, m: str) -> str:
 _SQL_QM_Z = "(zint / 4294967296.0)"  # / (QM_SCALE * QM_FS), exact
 _SQL_QM_P = f"(0.5 + (({_SQL_QM_Z} / 2) / (1 + abs({_SQL_QM_Z}))))"
 
-_SQL_QUALITY_MODEL = f"""
+_SQL_QM_TRAINED = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id,
              unnest({SQL_WORDS.format(t='text')}) AS tok
@@ -1687,6 +1687,9 @@ _SQL_QUALITY_MODEL = f"""
       FROM feats f JOIN final w USING (dim)
       GROUP BY f.doc_id, f.y
     )
+"""
+
+_SQL_QUALITY_MODEL = _SQL_QM_TRAINED + f"""
     SELECT doc_id, y AS label,
            {_SQL_QM_P} AS score,
            ({_SQL_QM_P} >= 0.5) AS predicted,
@@ -1852,4 +1855,121 @@ def qm_score_features(
         p.alias("score"),
         (p >= F.lit(0.5)).alias("predicted"),
         ((p >= F.lit(0.5)) == (F.col("y") == 1)).alias("correct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer evaluation: per-source compression under the trained BPE model
+# — the fertility report every tokenizer change ships with (tokens/word
+# and chars/token by domain; a source whose fertility spikes is one the
+# vocabulary underserves, the signal for retraining or up-weighting).
+# --------------------------------------------------------------------------
+@register(
+    "text_bpe_compression_report",
+    oracle=_SQL_BPE_TRAIN
+    + f"""
+    , bpe_final AS (
+      SELECT word, len(pieces) AS n_pieces
+      FROM bpe
+      WHERE kind = 'w' AND it = (SELECT MAX(it) FROM bpe WHERE kind = 'w')
+    ),
+    dw AS (
+      SELECT doc_id, source,
+             unnest({SQL_WORDS.format(t='text')}) AS w
+      FROM documents
+    )
+    SELECT d.source,
+           COUNT(DISTINCT d.doc_id) AS n_docs,
+           COUNT(*) AS n_words,
+           CAST(SUM(f.n_pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(d.w)) AS BIGINT) AS n_word_chars,
+           CAST(SUM(f.n_pieces) AS BIGINT) * 1.0 / COUNT(*)
+             AS tokens_per_word,
+           CAST(SUM(len(d.w)) AS BIGINT) * 1.0
+             / CAST(SUM(f.n_pieces) AS BIGINT) AS chars_per_token
+    FROM dw d JOIN bpe_final f ON d.w = f.word
+    GROUP BY d.source
+    """,
+)
+def text_bpe_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fertility of the trained tokenizer: docs, words, BPE
+    tokens, word chars, tokens/word, chars/token. Same broadcast-join
+    shape as the encoder — one corpus scan, one small aggregate; integer
+    sufficient statistics with two final float divisions."""
+    _, words = _bpe_train(spark, sf_dir)
+    vocab = words.select("word", F.size("pieces").alias("n_pieces"))
+    d = with_words(load_table(spark, "documents", sf_dir))
+    dw = d.select("doc_id", "source", F.explode("__words").alias("w"))
+    return (
+        dw.join(F.broadcast(vocab), dw.w == vocab.word)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_word_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_word_chars",
+            (F.col("n_bpe_tokens") * F.lit(1.0) / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+            (
+                F.col("n_word_chars") * F.lit(1.0) / F.col("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-model calibration: decile reliability table. A classifier whose
+# score means nothing beyond its threshold cannot drive a soft curation
+# policy (sampling weights by score, review-queue ordering); the decile
+# bins make monotonicity and sharpness measurable in-artifact. min/max
+# per bin instead of mean: exact order-free statistics, no float-sum
+# ordering to replay.
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_model_calibration",
+    oracle=_SQL_QM_TRAINED
+    + f"""
+    SELECT LEAST(CAST(FLOOR({_SQL_QM_P} * 10) AS INT), 9) AS score_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_positive,
+           CAST(SUM(y) AS BIGINT) * 1.0 / COUNT(*) AS positive_rate,
+           MIN({_SQL_QM_P}) AS min_score,
+           MAX({_SQL_QM_P}) AS max_score
+    FROM scorez
+    GROUP BY 1
+    """,
+)
+def text_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-by-decile for the trained quality model: per score
+    decile the doc count, true-label positive rate, and exact score
+    bounds. One reaggregation of the scoring frame."""
+    w, feats = _qm_train(spark, sf_dir)
+    scored = qm_score_features(spark, feats, w)
+    decile = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    return (
+        scored.groupBy(decile.alias("score_decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("label").cast("bigint").alias("n_positive"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select(
+            "score_decile",
+            "n_docs",
+            "n_positive",
+            (F.col("n_positive") * F.lit(1.0) / F.col("n_docs")).alias(
+                "positive_rate"
+            ),
+            "min_score",
+            "max_score",
+        )
     )

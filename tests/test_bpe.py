@@ -140,3 +140,15 @@ def test_bpe_packing_places_every_doc_contiguously(spark):
             assert r.pack_id == cum // PACK_BUDGET_TOKENS  # contiguous fill
             assert r.n_tokens >= 0
             cum += r.n_tokens
+
+
+def test_compression_report_bounds(spark):
+    from psql_streamer_spark.operators.text import text_bpe_compression_report
+
+    rows = text_bpe_compression_report(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r.tokens_per_word  # every word >= 1 token
+        assert r.chars_per_token >= 1.0  # every token >= 1 char
+        assert r.n_bpe_tokens >= r.n_words
+        assert r.n_word_chars >= r.n_bpe_tokens  # tokens never exceed chars

@@ -103,3 +103,21 @@ def test_scoring_plan_broadcasts_the_model(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_calibration_partitions_the_corpus(spark):
+    from psql_streamer_spark.operators.text import (
+        text_quality_model_calibration,
+        text_quality_model_scores,
+    )
+
+    cal = text_quality_model_calibration(spark, SF_SMALL).collect()
+    n_total = text_quality_model_scores(spark, SF_SMALL).count()
+    assert sum(r.n_docs for r in cal) == n_total  # every doc in one bin
+    for r in cal:
+        assert 0 <= r.score_decile <= 9
+        assert 0 <= r.n_positive <= r.n_docs
+        assert r.min_score <= r.max_score
+        # bin bounds actually live in the bin (decile 9 absorbs 1.0)
+        lo, hi = r.score_decile / 10, (r.score_decile + 1) / 10
+        assert lo <= r.min_score and (r.max_score < hi or r.score_decile == 9)
