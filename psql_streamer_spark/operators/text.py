@@ -372,14 +372,23 @@ _BPE_MODEL: dict = {}
 # one BPE training iteration folds the chosen merge through each word's
 # piece list, leftmost non-overlapping — both engines express it as the
 # same left fold: acc starts [p1]; append x unless (acc[-1], x) is the pair
-_SQL_BPE_TRAIN = f"""
-    WITH RECURSIVE bpe_vocab AS (
+def _sql_bpe_vocab(vocab_limit: int | None) -> str:
+    """The training word table; with a limit, the top-``vocab_limit``
+    words by (count desc, word asc) — the frequency cutoff production
+    tokenizers train under (the tail is OOV by construction)."""
+    base = f"""
       SELECT w AS word, COUNT(*)::BIGINT AS cnt, string_split(w, '') AS pieces
       FROM (
         SELECT unnest({SQL_WORDS.format(t='text')}) AS w FROM documents
       )
       GROUP BY w
-    ),
+    """
+    if vocab_limit is None:
+        return base
+    return base + f" ORDER BY cnt DESC, word ASC LIMIT {vocab_limit}"
+
+
+_SQL_BPE_BODY = f"""
     bpe(it, kind, word, cnt, pieces, lft, rgt, pc) AS (
       SELECT 0, 'w', word, cnt, pieces,
              NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
@@ -413,17 +422,29 @@ _SQL_BPE_TRAIN = f"""
     )
 """
 
+_SQL_BPE_TRAIN = (
+    f"\n    WITH RECURSIVE bpe_vocab AS ({_sql_bpe_vocab(None)}),\n"
+    + _SQL_BPE_BODY
+)
+
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_N_MERGES,
+    vocab_cap: int | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Train BPE merges on the corpus word table; returns (merges, final
     word-segmentation DataFrame). merges rows are (rank, left, right,
     merged, pair_count). Driver holds only the model (N merge rows + one
     argmax row per round) — never corpus data; the segmentation table
     stays distributed. localCheckpoint per round truncates the otherwise
-    N-deep fold lineage (the k-means discipline)."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    N-deep fold lineage (the k-means discipline).
+
+    ``vocab_cap``: train on only the top-N words by (count desc, word
+    asc) — the frequency cutoff that bounds training state at any corpus
+    size; everything below the cut encodes via the OOV merge fold."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges, vocab_cap)
     hit = _BPE_MODEL.get(key)
     if hit is not None:
         return hit
@@ -432,7 +453,11 @@ def _bpe_train(
         d.select(F.explode("__words").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("pieces", F.split("word", ""))
+    )
+    if vocab_cap is not None:
+        words = words.orderBy(F.desc("cnt"), "word").limit(vocab_cap)
+    words = (
+        words.withColumn("pieces", F.split("word", ""))
         # vocab at oracle scale is tiny; a handful of partitions keeps the
         # N-round loop scheduler-bound rather than task-launch-bound. At
         # real scale drop the coalesce: every round is one map-side agg.
@@ -1972,4 +1997,107 @@ def text_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             "min_score",
             "max_score",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocab-capped BPE + OOV fallback: the production shape. A 100 TB corpus
+# has an unbounded word tail; training state must be bounded, so the
+# model trains on the top-BPE_VOCAB_CAP words and everything below the
+# cut encodes through the rank-ordered merge fold (bpe_encode_pieces_udf,
+# the Arrow path) — which this query makes ORACLE-VERIFIED: the DuckDB
+# twin replays the capped training AND the per-rank OOV fold as a second
+# recursion over merge ranks, so the UDF's encode semantics are pinned by
+# hash, not just by pytest.
+# --------------------------------------------------------------------------
+BPE_VOCAB_CAP = 16  # at corpus scale: 32k-128k; here half the 31-word vocab
+
+_SQL_BPE_OOV = (
+    f"\n    WITH RECURSIVE bpe_vocab AS ({_sql_bpe_vocab(BPE_VOCAB_CAP)}),\n"
+    + _SQL_BPE_BODY
+    + f"""
+    , bpe_final AS (
+      SELECT word, len(pieces) AS n_pieces
+      FROM bpe
+      WHERE kind = 'w' AND it = (SELECT MAX(it) FROM bpe WHERE kind = 'w')
+    ),
+    merges AS (SELECT it AS rank, lft, rgt FROM bpe WHERE kind = 'm'),
+    dw AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w FROM documents
+    ),
+    oov_words AS (
+      SELECT DISTINCT w FROM dw
+      WHERE w NOT IN (SELECT word FROM bpe_final)
+    ),
+    oov(rank, w, pieces) AS (
+      SELECT 0, w, string_split(w, '') FROM oov_words
+      UNION ALL
+      (
+        WITH cur AS (SELECT * FROM oov WHERE rank < {BPE_N_MERGES})
+        SELECT c.rank + 1, c.w,
+               CASE WHEN m.lft IS NULL THEN c.pieces
+                    ELSE list_reduce(list_transform(c.pieces, p -> [p]),
+                      (acc, x) -> CASE WHEN acc[-1] = m.lft AND x[1] = m.rgt
+                                       THEN list_append(array_pop_back(acc),
+                                                        m.lft || m.rgt)
+                                       ELSE list_concat(acc, x) END)
+               END
+        FROM cur c LEFT JOIN merges m ON m.rank = c.rank + 1
+      )
+    ),
+    oov_final AS (
+      SELECT w, len(pieces) AS n_pieces FROM oov WHERE rank = {BPE_N_MERGES}
+    ),
+    encoded AS (
+      SELECT d.doc_id, d.w,
+             f.n_pieces AS iv_pieces,
+             o.n_pieces AS oov_pieces
+      FROM dw d
+      LEFT JOIN bpe_final f ON d.w = f.word
+      LEFT JOIN oov_final o ON d.w = o.w
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           COUNT(iv_pieces) AS n_invocab_words,
+           COUNT(*) - COUNT(iv_pieces) AS n_oov_words,
+           CAST(SUM(COALESCE(iv_pieces, oov_pieces)) AS BIGINT)
+             AS n_bpe_tokens
+    FROM encoded GROUP BY doc_id
+"""
+)
+
+
+@register("text_bpe_encode_oov_fallback", oracle=_SQL_BPE_OOV)
+def text_bpe_encode_oov_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under a vocab-capped model: in-vocab words
+    take the broadcast segmentation join; OOV words run the REAL frozen
+    encoder (bpe_encode_pieces_udf) over the distinct-OOV dictionary —
+    one Arrow batch per distinct word, never per occurrence — and
+    broadcast back. At 100 TB this is the whole encode plan: a bounded
+    model, two broadcast joins, zero corpus-side Python except the
+    distinct OOV dictionary."""
+    merges, words = _bpe_train(spark, sf_dir, vocab_cap=BPE_VOCAB_CAP)
+    vocab = words.select("word", F.size("pieces").alias("iv_pieces"))
+    d = with_words(load_table(spark, "documents", sf_dir))
+    dw = d.select("doc_id", F.explode("__words").alias("w"))
+    joined = dw.join(F.broadcast(vocab), dw.w == vocab.word, "left").select(
+        "doc_id", "w", "iv_pieces"
+    )
+    enc = bpe_encode_pieces_udf(merges)
+    oov_sizes = (
+        joined.filter(F.col("iv_pieces").isNull())
+        .select("w")
+        .distinct()
+        .select(F.col("w").alias("ow"), F.size(enc("w")).alias("oov_pieces"))
+    )
+    encoded = joined.join(
+        F.broadcast(oov_sizes), joined.w == oov_sizes.ow, "left"
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.count("iv_pieces").alias("n_invocab_words"),
+        (F.count("*") - F.count("iv_pieces")).alias("n_oov_words"),
+        F.sum(F.coalesce("iv_pieces", "oov_pieces"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     )

@@ -152,3 +152,32 @@ def test_compression_report_bounds(spark):
         assert r.chars_per_token >= 1.0  # every token >= 1 char
         assert r.n_bpe_tokens >= r.n_words
         assert r.n_word_chars >= r.n_bpe_tokens  # tokens never exceed chars
+
+
+def test_oov_fallback_exercises_both_paths(spark):
+    from psql_streamer_spark.operators.text import (
+        BPE_VOCAB_CAP,
+        _bpe_train,
+        bpe_encode_pieces_udf,
+        text_bpe_encode_oov_fallback,
+    )
+
+    df = text_bpe_encode_oov_fallback(spark, SF_SMALL)
+    agg = df.agg(
+        F.sum("n_invocab_words").alias("iv"),
+        F.sum("n_oov_words").alias("oov"),
+        F.sum("n_words").alias("nw"),
+        F.sum("n_bpe_tokens").alias("nt"),
+    ).head()
+    # the cap is below the corpus vocab, so BOTH paths must carry words
+    assert agg.iv > 0 and agg.oov > 0
+    assert agg.iv + agg.oov == agg.nw
+    assert agg.nt >= agg.nw
+    # the capped model really is capped
+    merges, words = _bpe_train(spark, SF_SMALL, vocab_cap=BPE_VOCAB_CAP)
+    assert words.count() == BPE_VOCAB_CAP
+    # and the UDF the OOV path runs agrees with the uncapped invariant:
+    # encoding an in-vocab word reproduces its training segmentation
+    enc = bpe_encode_pieces_udf(merges)
+    for r in words.select("word", "pieces", enc("word").alias("e")).collect():
+        assert list(r.e) == list(r.pieces)
