@@ -356,6 +356,98 @@ def _run_decontam_config(
     }
 
 
+def _run_quality_config(
+    spark, work: str, sf_dir: str, docs_per_file: int, files_per_trigger: int
+) -> dict:
+    """Ingest-time model-quality gating throughput (r13): every arriving
+    document is featurized and scored under the frozen trained classifier
+    (streaming/quality_stream.score_quality_batch). The model trains ONCE
+    (model_build_sec — 16 fixed gradient rounds over the corpus,
+    amortized like the near-dup index and the bloom battery); docs/sec is
+    the events/sec of a pipeline that quality-scores every arriving
+    document."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.quality_stream import (
+        score_quality_batch,
+    )
+
+    t0 = time.time()
+    w, _ = _qm_train(spark, sf_dir)
+    model_build_sec = time.time() - t0
+
+    tag = f"quality_{docs_per_file}x{files_per_trigger}"
+    src = os.path.join(work, tag, "src")
+    ckpt = os.path.join(work, tag, "ckpt")
+    out = os.path.join(work, tag, "out")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n = docs.count()
+    n_files = max(1, (n + docs_per_file - 1) // docs_per_file)
+    docs.repartition(n_files).write.mode("overwrite").json(src)
+
+    batch_times: list[float] = []
+    batch_sizes: list[int] = []
+
+    def _score(batch_df, epoch_id):
+        batch_df.persist()
+        batch_sizes.append(batch_df.count())
+        t0 = time.time()
+        verdicts = score_quality_batch(spark, batch_df, w)
+        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out)
+        batch_times.append(time.time() - t0)
+        batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .json(src)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    verd = (
+        spark.read.parquet(out).agg(
+            F.count("*").alias("docs"),
+            F.count_if(F.col("predicted")).alias("passed"),
+            F.count_if(~F.col("correct")).alias("disagreements"),
+        ).collect()[0]
+        if batch_times
+        else None
+    )
+    lat_ms = sorted(t * 1000 for t in batch_times) or [0.0]
+    sizes = sorted(batch_sizes) or [0]
+    return {
+        "events": n,
+        "model_build_sec": round(model_build_sec, 3),
+        "events_per_batch_measured": {
+            "min": sizes[0],
+            "p50": int(statistics.median(sizes)),
+            "max": sizes[-1],
+        },
+        "batches": len(batch_times),
+        "docs_scored": int(verd.docs) if verd else 0,
+        "model_passed": int(verd.passed) if verd else 0,
+        "rule_model_disagreements": int(verd.disagreements) if verd else 0,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1),
+        "batch_latency_ms": {
+            "p50": round(statistics.median(lat_ms), 1),
+            "mean": round(statistics.fmean(lat_ms), 1),
+            "max": round(lat_ms[-1], 1),
+        },
+    }
+
+
 def main() -> None:
     from psql_streamer_spark.session import get_spark
     from psql_streamer_spark.streaming.sinks import ParquetSink
@@ -433,6 +525,19 @@ def main() -> None:
                 ), 500, 1
             ),
             "decontam_gate_bulk": _run_decontam_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2
+            ),
+            # ingest-time model quality gating (r13): every arriving doc
+            # featurized + scored under the frozen trained classifier.
+            # Same two granularities as the other gates
+            "quality_gate_500": _run_quality_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 500, 1
+            ),
+            "quality_gate_bulk": _run_quality_config(
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
                 ), 2_500, 2
