@@ -1010,6 +1010,8 @@ def dedup_embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> Da
 # table), not with N^2; hot buckets are the skew risk, handled by AQE
 # skew-join or by raising LSH_PLANES.
 from psql_streamer_spark.operators.similarity import (  # noqa: E402
+    KM_ITERS as _KM_ITERS,
+    KM_K as _KM_K,
     LSH_TABLES,
     _SQL_NORM as _SIM_SQL_NORM,
     _SQL_DOT as _SIM_SQL_DOT,
@@ -1018,6 +1020,7 @@ from psql_streamer_spark.operators.similarity import (  # noqa: E402
     _signature as _sim_signature,
     _signature_sql as _sim_signature_sql,
     _vectors as _sim_vectors,
+    sql_kmeans_cte as _sql_kmeans_cte,
 )
 
 # Corpus-scaled bucket count: pair mining's candidate volume is
@@ -1435,19 +1438,12 @@ def _semantic_dedup(v: DataFrame, cent: DataFrame) -> DataFrame:
     return persist_for(assign, result)
 
 
-_SQL_SEMANTIC_CLUSTERS = f"""
-    WITH RECURSIVE v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e,
-             {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
-      FROM embeddings
-    ),
-    stride AS (SELECT GREATEST({SEM_CENTROID_STRIDE},
-                 CAST(CEIL(SQRT((SELECT COUNT(*) FROM v))) AS BIGINT)) AS st),
-    cent AS (
-      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
-      FROM v WHERE vec_id % (SELECT st FROM stride) = 0
-    ),
-    assign AS (
+# shared SemDeDup SQL body: assignment argmax -> intra-cluster pairs ->
+# recursive-CTE connected components -> survivor rule. Expects CTEs `v`
+# (vec_id, e, nrm over ALL embeddings rows) and `cent` (cent_id, ce,
+# cnrm) to be in scope; both the stride-seeded and the k-means-trained
+# variants append it to their own centroid construction.
+_SQL_SEMANTIC_BODY = f"""    assign AS (
       SELECT vec_id, e, nrm, cent_id AS cluster_id, ccos FROM (
         SELECT v.vec_id, v.e, v.nrm, cent.cent_id,
                {_SIM_SQL_DOT.format(a='v.e', b='cent.ce')} / (v.nrm * cent.cnrm)
@@ -1486,6 +1482,20 @@ _SQL_SEMANTIC_CLUSTERS = f"""
     FROM assign a JOIN grp g ON g.vec_id = a.vec_id
 """
 
+_SQL_SEMANTIC_CLUSTERS = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+      FROM embeddings
+    ),
+    stride AS (SELECT GREATEST({SEM_CENTROID_STRIDE},
+                 CAST(CEIL(SQRT((SELECT COUNT(*) FROM v))) AS BIGINT)) AS st),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM v WHERE vec_id % (SELECT st FROM stride) = 0
+    ),
+""" + _SQL_SEMANTIC_BODY
+
 
 @register("dedup_semantic_clusters", oracle=_SQL_SEMANTIC_CLUSTERS)
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,14 +1521,35 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup(v, cent)
 
 
-@register("dedup_semantic_clusters_kmeans")  # iterative training -> rows-only
+_SQL_SEMANTIC_KMEANS = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_SIM_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+      FROM embeddings
+    ),
+    vnn AS (SELECT vec_id, e FROM v WHERE e IS NOT NULL),
+    kparam AS (SELECT GREATEST({_KM_K},
+                 CAST(FLOOR(SQRT(GREATEST(0, (SELECT COUNT(*) FROM v) - 1)::DOUBLE))
+                      AS BIGINT) + 1) AS k),
+    {_sql_kmeans_cte('vnn', '(SELECT k FROM kparam)')},
+    cent AS (
+      SELECT cluster_id AS cent_id, ce,
+             {_SIM_SQL_NORM.format(a='ce')} AS cnrm
+      FROM km WHERE it = {_KM_ITERS}
+    ),
+""" + _SQL_SEMANTIC_BODY
+
+
+@register("dedup_semantic_clusters_kmeans", oracle=_SQL_SEMANTIC_KMEANS)
 def dedup_semantic_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full SemDeDup composition: k-means-TRAINED centroids (Lloyd's
-    rounds — iterative, hence not SQL-expressible; rows-only driver
-    check) feeding the same cluster -> intra-cluster pair -> group ->
-    survivor pipeline as the oracle-checked stride variant. Pipeline
-    invariants (one survivor per group, cluster-local groups, parity
-    with the stride variant under centroid swap) are pinned in
+    """The full SemDeDup composition: k-means-TRAINED centroids feeding
+    the same cluster -> intra-cluster pair -> group -> survivor pipeline
+    as the stride variant. HASH-CHECKED since r13: training uses the
+    deterministic ordered-fold Lloyd's tier (similarity.py), so the
+    oracle replays it via sql_kmeans_cte (dynamic k from the same
+    GREATEST/isqrt arithmetic) ahead of the shared SemDeDup body.
+    Pipeline invariants (one survivor per group, cluster-local groups,
+    parity with the stride variant under centroid swap) are pinned in
     tests/test_quality_metrics.py.
 
     Scale shape: k is NOT fixed — a fixed k means cluster size grows with
@@ -1530,12 +1561,15 @@ def dedup_semantic_clusters_kmeans(spark: SparkSession, sf_dir: str) -> DataFram
     cluster count with corpus size (50k clusters for LAION). Centroids
     stay broadcast-sized (sqrt(100TB-scale N) is ~1e4-1e5 rows of 64
     floats) and the count() that sizes k is a parquet metadata read."""
-    from psql_streamer_spark.operators.similarity import KM_K, kmeans_centroids
+    from psql_streamer_spark.operators.similarity import (
+        _kmeans_train_deterministic,
+    )
 
     raw = _sim_vectors(spark, sf_dir)
-    k = max(KM_K, math.isqrt(max(0, raw.count() - 1)) + 1)
+    k = max(_KM_K, math.isqrt(max(0, raw.count() - 1)) + 1)
     v = raw.withColumn("nrm", _sim_norm(F.col("e")))
-    cent = kmeans_centroids(_sim_vectors(spark, sf_dir), k=k).select(
+    _, km = _kmeans_train_deterministic(spark, sf_dir, k=k)
+    cent = km.select(
         F.col("cluster_id").alias("cent_id"),
         F.col("ce"),
         _sim_norm(F.col("ce")).alias("cnrm"),

@@ -897,24 +897,8 @@ def kmeans_assignments(
     )
 
 
-@register("sim_ivf_kmeans_topk")  # iterative model training -> rows-only
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe search over TRAINED centroids: the index sim_ivf_topk
-    approximates with stride-sampled "centroids" rebuilt on actual cluster
-    structure — k-means cells are tighter, so the same probe budget
-    (IVF_PROBES cells) recovers more true neighbors (recall vs brute force
-    asserted in tests/test_quality_metrics.py alongside the LSH recall).
-    This is the full production IVF loop: train (Lloyd's, broadcast model
-    state) -> assign cells -> probe top-P cells per query -> exact cosine
-    inside probed cells only. Iterative training makes it non-SQL-
-    expressible: rows-only driver check, invariants pinned in tests."""
-    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    cent = kmeans_centroids(_vectors(spark, sf_dir)).select(
-        F.col("cluster_id").alias("cent_id"),
-        F.col("ce"),
-        _norm(F.col("ce")).alias("cnrm"),
-    )
-    return _ivf_probe_topk(v, cent)
+# sim_ivf_kmeans_topk moved below the deterministic trainer (its oracle
+# needs sql_kmeans_cte).
 
 
 # -- deterministic Lloyd's: the hash-checkable k-means tier ---------------
@@ -948,20 +932,21 @@ def _km_d2(e: Column, ce: Column) -> Column:
     )
 
 
-_SQL_KMEANS_CLUSTERS = f"""
-    WITH RECURSIVE v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e
-      FROM embeddings WHERE embedding IS NOT NULL
-    ),
-    km(it, cluster_id, ce) AS (
-      SELECT 0, vec_id::INT, e FROM v WHERE vec_id < {KM_K}
+def sql_kmeans_cte(src: str, k_expr: str, iters: int = KM_ITERS) -> str:
+    """The deterministic Lloyd's recursion as a CTE fragment
+    ``km(it, cluster_id, ce)`` over vector CTE ``src`` (must expose
+    vec_id, e with NULL embeddings already filtered), seeded from
+    vec_id < ``k_expr``. Shared by every hash-checked k-means consumer
+    (cluster profile, trained IVF, SemDeDup)."""
+    return f"""km(it, cluster_id, ce) AS (
+      SELECT 0, vec_id::INT, e FROM {src} WHERE vec_id < {k_expr}
       UNION ALL
       (
-        WITH cur AS (SELECT * FROM km WHERE it < {KM_ITERS}),
+        WITH cur AS (SELECT * FROM km WHERE it < {iters}),
         asg0 AS (
-          SELECT v.vec_id, v.e, c.it, c.cluster_id,
-                 {_SQL_KM_D2.format(dim=EMB_DIM, v='v.e', c='c.ce')} AS d2
-          FROM v, cur c
+          SELECT {src}.vec_id, {src}.e, c.it, c.cluster_id,
+                 {_SQL_KM_D2.format(dim=EMB_DIM, v=f'{src}.e', c='c.ce')} AS d2
+          FROM {src}, cur c
         ),
         a1 AS (
           SELECT * FROM (
@@ -985,7 +970,15 @@ _SQL_KMEANS_CLUSTERS = f"""
         SELECT it + 1, cluster_id, list(m ORDER BY dim)
         FROM upd GROUP BY it, cluster_id
       )
+    )"""
+
+
+_SQL_KMEANS_CLUSTERS = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
+    {sql_kmeans_cte('v', str(KM_K))},
     final AS (SELECT cluster_id, ce FROM km WHERE it = {KM_ITERS}),
     fasg AS (
       SELECT * FROM (
@@ -1089,6 +1082,74 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SQL_IVF_KMEANS_TOPK = f"""
+    WITH RECURSIVE vnn AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    {sql_kmeans_cte('vnn', str(KM_K))},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {_SQL_NORM.format(a='embedding::DOUBLE[]')} AS nrm
+          FROM embeddings),
+    cent AS (SELECT cluster_id AS cent_id, ce,
+                    {_SQL_NORM.format(a='ce')} AS cnrm
+             FROM km WHERE it = {KM_ITERS}),
+    assign AS (
+      SELECT vec_id, e, nrm, cent_id FROM (
+        SELECT v.vec_id, v.e, v.nrm, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_SQL_DOT.format(a='v.e', b='cent.ce')} / (v.nrm * cent.cnrm) DESC,
+                 cent.cent_id ASC) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT v.vec_id, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_SQL_DOT.format(a='v.e', b='cent.ce')} / (v.nrm * cent.cnrm) DESC,
+                 cent.cent_id ASC) AS rn
+        FROM v, cent
+        WHERE v.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_PROBES}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a='q.e', b='c.e')} / (q.nrm * c.nrm) AS cosine
+      FROM v q
+      JOIN probes p ON p.query_id = q.vec_id
+      JOIN assign c ON c.cent_id = p.cent_id AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_ivf_kmeans_topk", oracle=_SQL_IVF_KMEANS_TOPK)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search over TRAINED centroids: the index sim_ivf_topk
+    approximates with stride-sampled "centroids" rebuilt on actual cluster
+    structure — k-means cells are tighter, so the same probe budget
+    (IVF_PROBES cells) recovers more true neighbors (recall vs brute force
+    asserted in tests/test_quality_metrics.py alongside the LSH recall).
+    This is the full production IVF loop: train -> assign cells -> probe
+    top-P cells per query -> exact cosine inside probed cells only.
+    HASH-CHECKED since r13: centroids come from the deterministic
+    ordered-fold trainer, so the oracle replays training (sql_kmeans_cte)
+    plus the identical probe SQL the stride variant already matched."""
+    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    _, km = _kmeans_train_deterministic(spark, sf_dir)
+    cent = km.select(
+        F.col("cluster_id").alias("cent_id"),
+        F.col("ce"),
+        _norm(F.col("ce")).alias("cnrm"),
+    )
+    return _ivf_probe_topk(v, cent)
 
 
 # --------------------------------------------------------------------------
