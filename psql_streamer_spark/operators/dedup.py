@@ -2542,11 +2542,22 @@ def band_index_table(spark: SparkSession, sf_dir: str) -> str:
     appended per batch and compacted (sources/io.compact_parquet); here it
     is written on first use per session (the default in-memory catalog
     scopes table metadata to the session; files land in the gitignored
-    warehouse dir) and reused by every later invocation."""
+    warehouse dir) and reused by every later invocation.
+
+    The table name is APPLICATION-scoped: the in-memory catalog never
+    shared metadata across Spark apps anyway, but two concurrent apps
+    sharing one warehouse dir under a single name DID share files — app B,
+    seeing no catalog entry, would rmtree-and-rewrite the directory app A
+    was actively scanning (observed twice as FAILED_READ_FILE.FILE_NOT_EXIST
+    when pytest and an oracle sweep ran concurrently). Per-app names make
+    the rebuild safe; stale dirs from finished apps are swept by the same
+    first-use clear whenever a name collides, and are bounded litter in a
+    gitignored dir otherwise."""
     import re
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    table = f"band_index_{tag}"
+    app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+    table = f"band_index_{tag}_{app}"
     if not spark.catalog.tableExists(table):
         # the default in-memory catalog forgets the table on session stop
         # but the files survive in the warehouse dir — clear a stale
