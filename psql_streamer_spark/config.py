@@ -322,12 +322,22 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
         # (or silently, depending on the source) — fail fast instead.
         batch_size = None
         if "batchSize" in sc:
+            raw = sc["batchSize"]
+            # honor the stated contract: int() would silently truncate
+            # 400.7 -> 400 (and 0.9 -> 0, misreported as "should be > 0")
+            if isinstance(raw, bool) or (
+                isinstance(raw, float) and not raw.is_integer()
+            ):
+                raise ConfigError(
+                    f"source '{name}': batchSize must be an integer, "
+                    f"got {raw!r}"
+                )
             try:
-                batch_size = int(sc["batchSize"])
+                batch_size = int(raw)
             except (ValueError, TypeError):
                 raise ConfigError(
                     f"source '{name}': batchSize must be an integer, "
-                    f"got {sc['batchSize']!r}"
+                    f"got {raw!r}"
                 ) from None
             if batch_size <= 0:
                 raise ConfigError(

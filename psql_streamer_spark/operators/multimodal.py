@@ -384,9 +384,20 @@ _SQL_MM_DEDUP_EMBEDDING = f"""
                len(list_filter(bg, g -> g = d))::BIGINT) AS h
       FROM (
         SELECT doc_id,
-               list_transform(range(1, length(text)),
-                 i -> (ord(text[i]) * 31 + ord(text[i+1])) % {MM_HIST_DIM}) AS bg
-        FROM documents WHERE length(text) >= 2
+               list_transform(range(1, len(bl)),
+                 i -> (bl[i] * 31 + bl[i+1]) % {MM_HIST_DIM}) AS bg
+        FROM (
+          -- UTF-8 BYTES, not codepoints: the Spark side histograms the
+          -- raw payload bytes (np.frombuffer uint8), so the oracle must
+          -- walk the encoded form — hex() pairs decode to exactly the
+          -- byte sequence, and the length guard counts bytes too. On
+          -- ASCII corpora the two are identical; a multi-byte character
+          -- would silently desync a codepoint-based twin.
+          SELECT doc_id,
+                 list_transform(regexp_extract_all(hex(encode(text)), '..'),
+                                x -> CAST('0x' || x AS BIGINT)) AS bl
+          FROM documents WHERE octet_length(encode(text)) >= 2
+        )
       )
     ),
     tot AS (

@@ -998,13 +998,22 @@ _SQL_KMEANS_CLUSTERS = f"""
 """
 
 
+_KM_DET_MODEL: dict = {}  # (app, corpus, k, iters) memo — the _BPE_MODEL pattern
+
+
 def _kmeans_train_deterministic(
     spark: SparkSession, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
 ):
     """Ordered-fold Lloyd's; returns (v, cents) frames. Model state is
-    still k rows, localCheckpointed per round (lineage never deepens)."""
+    still k rows, localCheckpointed per round (lineage never deepens).
+    Session-memoized: embed_kmeans_clusters and sim_ivf_kmeans_topk share
+    the (KM_K, KM_ITERS) model instead of each retraining it."""
     from pyspark.sql import Window
 
+    key = (spark.sparkContext.applicationId, sf_dir, k, iters)
+    hit = _KM_DET_MODEL.get(key)
+    if hit is not None:
+        return hit
     v = _vectors(spark, sf_dir).filter(F.col("e").isNotNull())
     cents = (
         v.filter(F.col("vec_id") < k)
@@ -1049,6 +1058,7 @@ def _kmeans_train_deterministic(
             )
             .localCheckpoint(eager=True)
         )
+    _KM_DET_MODEL[key] = (v, cents)
     return v, cents
 
 

@@ -806,7 +806,12 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kept lines reassemble in document order via sort_array(collect_list),
     never a global sort. This is RefinedWeb-style line dedup: at 100 TB
     the df table is exactly the heavy-hitter index text_top_ngrams_per_source
-    builds, reused as a drop rule."""
+    builds, reused as a drop rule.
+
+    NULL-text docs emit [nav, footer] on BOTH sides: DuckDB's list_concat
+    treats a NULL list as empty (verified), matching Spark's
+    when(size > 0).otherwise(empty) chunk guard — chrome-only pages are
+    still pages."""
     d = with_words(load_table(spark, "documents", sf_dir))
     n_chunks = F.ceil(F.size("__words") / F.lit(float(BOILER_CHUNK_WORDS)))
     chunks = F.when(
@@ -1761,7 +1766,13 @@ def _qm_features_from(docs: DataFrame) -> DataFrame:
     len_feats = lab.select(
         "doc_id",
         F.lit(FEATURE_HASH_DIMS).alias("dim"),
-        F.least(F.col("nt"), F.lit(QM_LEN_CAP)).cast("bigint").alias("x"),
+        # COALESCE first: a NULL text (malformed ingest record) has
+        # size(NULL-words) = NULL, and the oracle's LEAST(COALESCE(nt,0),
+        # cap) scores it as length 0 — a NULL x here would NULL the whole
+        # margin instead
+        F.least(F.coalesce(F.col("nt"), F.lit(0)), F.lit(QM_LEN_CAP))
+        .cast("bigint")
+        .alias("x"),
         "y",
     )
     bias_feats = lab.select(

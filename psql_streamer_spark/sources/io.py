@@ -388,16 +388,21 @@ def expire_partitions(
         doomed = [n for n in ordered if n.split("=", 1)[1] < cutoff]
 
     removed: list[str] = []
+    if doomed and len(doomed) == len(leaves):
+        # This run will remove the LAST leaf: record the axis BEFORE the
+        # removals, so a crash anywhere in the removal loop (including
+        # after the final rename — the commit point — but before its
+        # rmtree) still leaves the marker behind and the retry converges
+        # to [] instead of raising "no partition leaves". A marker beside
+        # still-live leaves is harmless: it is only consulted when
+        # discovery finds none. Hidden (dot-prefixed) => invisible to
+        # Spark/parquet discovery.
+        with open(marker, "w") as f:
+            f.write(column)
     for n in doomed:
         src = os.path.join(path, n)
         tomb = src + ".__expired__"
         os.rename(src, tomb)  # commit point: leaf leaves discovery here
         shutil.rmtree(tomb)
         removed.append(n)
-    if removed and len(removed) == len(leaves):
-        # Last leaf just left: record the axis so a re-run recognizes the
-        # swept dir as "fully expired", not "never partitioned". Hidden
-        # (dot-prefixed) => invisible to Spark/parquet discovery.
-        with open(marker, "w") as f:
-            f.write(column)
     return removed

@@ -335,9 +335,12 @@ def test_negative_mux_batch_knobs_are_fatal(spark, tmp_path):
     assert "s1" in eng.pipelines
     # malformed (non-numeric) values stay inside the ConfigError contract
     # instead of escaping as bare ValueError/TypeError
-    for bad in ("four hundred", None, {"n": 4}):
+    for bad in ("four hundred", None, {"n": 4}, 400.7, 0.9, True):
         with pytest.raises(ConfigError, match="batchSize must be an integer"):
             compile_config(spark, cfg(batchSize=bad))
+    # integral floats coerce (TOML/JSON numeric round-trip), halves reject
+    eng2 = compile_config(spark, cfg(batchSize=400.0))
+    assert "s1" in eng2.pipelines
     for bad in ("soon", {}, [1]):
         with pytest.raises(
             ConfigError, match="(unparseable|batchFlushInterval)"

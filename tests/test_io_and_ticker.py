@@ -596,3 +596,45 @@ def test_expire_then_compact_preserves_pruning(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert df.count() > 0
+
+
+def test_expire_partitions_full_expiry_survives_crash_mid_removal(
+    spark, tmp_path, monkeypatch
+):
+    """The axis marker is written BEFORE the removal loop: a crash after
+    the final rename (the commit point) but before its rmtree must leave
+    a dir the retry converges on, not one that raises 'no leaves'."""
+    import os
+    import shutil as _shutil
+
+    from psql_streamer_spark.sources.io import expire_partitions
+
+    out = str(tmp_path / "lake")
+    _write_daily_lake(spark, out)
+
+    real_rmtree = _shutil.rmtree
+    state = {"n": 0}
+
+    def crashing_rmtree(p, *a, **kw):
+        state["n"] += 1
+        if state["n"] == 6:  # die on the LAST leaf's tombstone sweep
+            raise OSError("injected crash mid-rmtree")
+        return real_rmtree(p, *a, **kw)
+
+    # expire_partitions imports shutil inside the function body, so patch
+    # the shared module object itself
+    monkeypatch.setattr(_shutil, "rmtree", crashing_rmtree)
+    import pytest
+
+    with pytest.raises(OSError, match="injected crash"):
+        expire_partitions(out, "day", keep_latest=0)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    # post-crash state: no live leaves (last one renamed to tombstone),
+    # marker present from the pre-loop write
+    assert not any(
+        n.startswith("day=") and not n.endswith("__")
+        for n in os.listdir(out)
+    )
+    # the retry sweeps the tombstone and converges
+    assert expire_partitions(out, "day", keep_latest=0) == []
+    assert not any(n.startswith("day=") for n in os.listdir(out))

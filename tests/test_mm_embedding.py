@@ -97,3 +97,53 @@ def test_mm_embedding_mining_is_bucket_local(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hist_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
+    """The oracle walks UTF-8 BYTES (hex pairs), not codepoints — on a
+    non-ASCII corpus its histograms must equal the Spark side's
+    np.frombuffer(uint8) exactly."""
+    import duckdb
+
+    from psql_streamer_spark.operators.multimodal import (
+        _SQL_MM_DEDUP_EMBEDDING,
+        _mm_hist_frame,
+    )
+
+    rows = [
+        (1, "café au lait and a résumé", "xx", "src1", 25),
+        (2, "café au lait and a résumé", "xx", "src1", 25),  # exact dup
+        (3, "naïve approach to tokenization über alles", "xx", "src2", 42),
+        (4, "plain ascii text with no accents at all", "xx", "src3", 40),
+        (5, "é", "xx", "src4", 1),  # 1 char but 2 BYTES: included by bytes
+    ]
+    corpus = str(tmp_path / "nonascii")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{corpus}/documents.parquet")
+
+    got = {r.doc_id: list(r.h) for r in _mm_hist_frame(spark, corpus).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus}/documents.parquet/*.parquet')"
+    )
+    hist_sql = _SQL_MM_DEDUP_EMBEDDING.split("tot AS")[0].rstrip().rstrip(
+        ","
+    ) + (" SELECT doc_id, h FROM hist")
+    want = {int(d): list(h) for d, h in con.execute(hist_sql).fetchall()}
+    assert got == want
+    assert 5 in got  # the 1-char/2-byte doc is histogrammed on both sides
+    # and the full op agrees with its oracle end to end on this corpus
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in __import__(
+            "psql_streamer_spark.operators.multimodal", fromlist=["x"]
+        ).mm_dedup_embedding(spark, corpus).collect()
+    }
+    oracle_pairs = {
+        (int(a), int(b))
+        for a, b, _ in con.execute(_SQL_MM_DEDUP_EMBEDDING).fetchall()
+    }
+    assert pairs == oracle_pairs
+    assert (1, 2) in pairs  # the exact duplicate survives end to end

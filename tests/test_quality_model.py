@@ -121,3 +121,17 @@ def test_calibration_partitions_the_corpus(spark):
         # bin bounds actually live in the bin (decile 9 absorbs 1.0)
         lo, hi = r.score_decile / 10, (r.score_decile + 1) / 10
         assert lo <= r.min_score and (r.max_score < hi or r.score_decile == 9)
+
+
+def test_null_text_scores_as_length_zero(spark):
+    # a malformed ingest record (text=NULL) must featurize as length 0 —
+    # the oracle's LEAST(COALESCE(nt,0),cap) — not a NULL margin
+    from psql_streamer_spark.operators.text import _qm_features_from
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "twenty one words " * 7)], "doc_id long, text string"
+    )
+    f = {(r.doc_id, r.dim): r.x for r in _qm_features_from(docs).collect()}
+    assert f[(1, FEATURE_HASH_DIMS)] == 0  # length feature, not NULL
+    assert f[(1, FEATURE_HASH_DIMS + 1)] == QM_FS  # bias present
+    assert f[(2, FEATURE_HASH_DIMS)] == 21
