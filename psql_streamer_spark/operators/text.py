@@ -2112,3 +2112,51 @@ def text_bpe_encode_oov_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted sampling: the soft curation policy the calibration
+# report justifies. Hard gates (passes_quality) throw away everything
+# below the bar; score-proportional sampling keeps each document with
+# probability equal to its model score — down-weighting dubious text
+# instead of zeroing it (the standard data-mixing move once a quality
+# classifier exists; cf. the sqrt-temperature source mixing in
+# mlprep_source_mixture_weights). Determinism: the coin is
+# md5_bucket(doc_id, 1000) — hash-uniform, stable across engines, runs,
+# retries — compared against floor(score * 1000), so the SAME documents
+# are kept everywhere; there is no rand() anywhere.
+# --------------------------------------------------------------------------
+QSAMPLE_BUCKETS = 1000
+
+
+@register(
+    "mlprep_sample_by_quality",
+    oracle=_SQL_QM_TRAINED
+    + f"""
+    SELECT doc_id, y AS label,
+           {_SQL_QM_P} AS score,
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {QSAMPLE_BUCKETS}
+            < FLOOR({_SQL_QM_P} * {QSAMPLE_BUCKETS})) AS sampled
+    FROM scorez
+    """,
+)
+def mlprep_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: model score and the deterministic keep/drop coin — kept
+    with probability ~score (exact up to the 1/{QSAMPLE_BUCKETS}
+    quantization). One broadcast model join + a hash expression: at
+    100 TB this samples at scan speed with zero shuffle beyond the
+    scoring aggregate, and a re-run (or a second engine) keeps the
+    identical document set."""
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    w, feats = _qm_train(spark, sf_dir)
+    scored = qm_score_features(spark, feats, w)
+    coin = md5_bucket(F.col("doc_id"), QSAMPLE_BUCKETS)
+    thresh = F.floor(F.col("score") * QSAMPLE_BUCKETS)
+    return scored.select(
+        "doc_id",
+        "label",
+        "score",
+        (coin < thresh).alias("sampled"),
+    )

@@ -135,3 +135,33 @@ def test_null_text_scores_as_length_zero(spark):
     assert f[(1, FEATURE_HASH_DIMS)] == 0  # length feature, not NULL
     assert f[(1, FEATURE_HASH_DIMS + 1)] == QM_FS  # bias present
     assert f[(2, FEATURE_HASH_DIMS)] == 21
+
+
+def test_quality_sampling_tracks_scores(spark):
+    from psql_streamer_spark.operators.text import mlprep_sample_by_quality
+
+    rows = mlprep_sample_by_quality(spark, SF_SMALL).collect()
+    assert rows
+    n = len(rows)
+    kept = sum(r.sampled for r in rows)
+    mean_score = sum(r.score for r in rows) / n
+    # the deterministic coin realizes ~score keep probability: the
+    # realized rate must sit near the mean score (binomial-ish bound)
+    assert abs(kept / n - mean_score) < 0.05, (kept / n, mean_score)
+    # determinism: a re-invocation keeps the identical set
+    again = {
+        r.doc_id: r.sampled
+        for r in mlprep_sample_by_quality(spark, SF_SMALL).collect()
+    }
+    assert {r.doc_id: r.sampled for r in rows} == again
+    # the exact rule, recomputed independently: kept iff the md5 coin
+    # lands under floor(score * buckets). (A kept-vs-dropped mean-score
+    # comparison is underpowered here: the rational sigmoid keeps scores
+    # in a narrow band at this sf, which is exactly what the calibration
+    # report exists to show.)
+    import hashlib
+    import math
+
+    for r in rows:
+        coin = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 1000
+        assert r.sampled == (coin < math.floor(r.score * 1000)), r.doc_id
