@@ -2160,3 +2160,122 @@ def mlprep_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (coin < thresh).alias("sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM surprisal: the trained-language-model upgrade of the unigram
+# gate above. CCNet scores documents with a 5-gram KenLM; the registered
+# integer-exact form here is the exact chain rule in WHOLE BITS over a
+# bigram model fit on the corpus itself:
+#   bits(doc) = bits(w1) + sum_i bits(w_{i+1} | w_i)
+#   bits(w1)        = floor(log2(N / cf(w1)))        (unigram start)
+#   bits(w2 | w1)   = floor(log2(cf(w1) / cf(w1,w2)))(conditional)
+# — every quantity is a corpus count, every log2 is bitlength(a div b)-1
+# (exact; see the unigram banner), and self-scoring needs no smoothing
+# because every observed bigram has cf >= 1. Low avg bits = text the
+# corpus LM predicts well (boilerplate, templates); high = novel or noisy
+# sequences — a sharper signal than unigram surprisal, which cannot see
+# word ORDER at all (a shuffled document keeps its unigram score but its
+# bigram score explodes; pinned in tests).
+# --------------------------------------------------------------------------
+_SQL_BIGRAM_PAIRS = (
+    "list_transform(range(1, len(ws)), i -> {'w1': ws[i], 'w2': ws[i+1]})"
+)
+
+_SQL_BIGRAM_SURPRISAL = f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_WORDS.format(t='text')} AS ws FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS w FROM base),
+    freq1 AS (SELECT w, COUNT(*) AS cf FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM freq1),
+    pairs AS (
+      SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+      FROM (SELECT doc_id, unnest({_SQL_BIGRAM_PAIRS}) AS s
+            FROM base WHERE len(ws) >= 2)
+    ),
+    freq2 AS (SELECT w1, w2, COUNT(*) AS cf2 FROM pairs GROUP BY w1, w2),
+    cond AS (
+      SELECT p.doc_id,
+             CAST(SUM(LENGTH(BIN(f1.cf // f2.cf2)) - 1) AS BIGINT) AS cbits
+      FROM pairs p
+      JOIN freq2 f2 USING (w1, w2)
+      JOIN freq1 f1 ON f1.w = p.w1
+      GROUP BY p.doc_id
+    ),
+    head AS (
+      SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(BIN(t.n_total // f1.cf)) - 1 AS BIGINT) AS hbits
+      FROM base b JOIN freq1 f1 ON f1.w = b.ws[1] CROSS JOIN tot t
+      WHERE len(b.ws) >= 1
+    )
+    SELECT h.doc_id,
+           h.n_tokens,
+           h.hbits + COALESCE(c.cbits, 0) AS total_bits,
+           (h.hbits + COALESCE(c.cbits, 0)) * 100 // h.n_tokens
+             AS avg_centibits
+    FROM head h LEFT JOIN cond c USING (doc_id)
+"""
+
+
+@register("text_bigram_surprisal", oracle=_SQL_BIGRAM_SURPRISAL)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc chain-rule bigram-LM surprisal (whole bits) + centibit
+    average. Scale shape: two count tables — unigram (Heaps-bounded) and
+    bigram (bounded by distinct observed pairs, far below vocab²) — then
+    one join per token pair, all map-side-combinable aggregates; the
+    model IS the count tables, so 'training' is the same one corpus pass
+    every freq-based gate here pays."""
+    d = with_words(load_table(spark, "documents", sf_dir))
+    base = d.select("doc_id", F.col("__words").alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    tok = base.select("doc_id", F.explode("ws").alias("w"))
+    freq1 = tok.groupBy("w").agg(F.count("*").alias("cf"))
+    tot = freq1.agg(F.sum("cf").cast("bigint").alias("n_total"))
+    pairs = (
+        base.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-1), i -> "
+                    "struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i+1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    freq2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cf2"))
+    cbits = F.length(F.bin(F.expr("cf div cf2"))) - F.lit(1)
+    cond = (
+        pairs.join(freq2, ["w1", "w2"])
+        .join(freq1.select(F.col("w").alias("w1"), "cf"), "w1")
+        .groupBy("doc_id")
+        .agg(F.sum(cbits).cast("bigint").alias("cbits"))
+    )
+    hbits = F.length(F.bin(F.expr("n_total div cf"))) - F.lit(1)
+    head = (
+        base.select("doc_id", F.size("ws").alias("n_tokens"),
+                    F.element_at("ws", 1).alias("w"))
+        .join(freq1, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            hbits.cast("bigint").alias("hbits"),
+        )
+    )
+    total = F.col("hbits") + F.coalesce(F.col("cbits"), F.lit(0))
+    return (
+        head.join(cond, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            total.alias("total_bits"),
+            F.expr(
+                "(hbits + coalesce(cbits, 0)) * 100 div n_tokens"
+            ).alias("avg_centibits"),
+        )
+    )
