@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2526,6 +2527,11 @@ def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket-local join — the corpus is never re-shuffled, plan-asserted.
 # --------------------------------------------------------------------------
 BAND_INDEX_BUCKETS = 16
+# first-use sweep age gate for dead apps' band-index dirs: generous enough
+# that no live app (pytest session, oracle sweep, bench run — all well under
+# an hour of index lifetime) can be swept mid-scan, tight enough that the
+# warehouse never accumulates more than a few hours of app litter
+BAND_INDEX_SWEEP_AGE_SEC = 6 * 3600
 
 
 def band_index_table(spark: SparkSession, sf_dir: str) -> str:
@@ -2550,9 +2556,15 @@ def band_index_table(spark: SparkSession, sf_dir: str) -> str:
     seeing no catalog entry, would rmtree-and-rewrite the directory app A
     was actively scanning (observed twice as FAILED_READ_FILE.FILE_NOT_EXIST
     when pytest and an oracle sweep ran concurrently). Per-app names make
-    the rebuild safe; stale dirs from finished apps are swept by the same
-    first-use clear whenever a name collides, and are bounded litter in a
-    gitignored dir otherwise."""
+    the rebuild safe; stale dirs from FINISHED apps (names never collide
+    across apps, so a name-collision clear alone would accumulate one dir
+    per app per dataset forever) are swept on first use: any sibling
+    ``band_index_<tag>_*`` dir belonging to another app and older than
+    ``BAND_INDEX_SWEEP_AGE_SEC`` is removed before the new build. The age
+    gate keeps the sweep safe under exactly the concurrency that motivated
+    per-app names — a LIVE sibling app's dir is necessarily younger than
+    the gate (written this session), so only dead apps' leftovers are
+    eligible; growth is bounded by apps-per-window instead of apps-ever."""
     import re
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
@@ -2569,6 +2581,25 @@ def band_index_table(spark: SparkSession, sf_dir: str) -> str:
         stale = os.path.join(warehouse, table)
         if os.path.exists(stale):
             shutil.rmtree(stale)
+        # first-use sweep of dead apps' leftovers for this dataset (see
+        # docstring); age-gated so a concurrently-live app is untouched,
+        # ignore_errors so two sweepers racing on the same corpse is benign
+        prefix = f"band_index_{tag}_"
+        now = time.time()
+        if os.path.isdir(warehouse):
+            for n in os.listdir(warehouse):
+                p = os.path.join(warehouse, n)
+                if (
+                    n.startswith(prefix)
+                    and n != table
+                    and os.path.isdir(p)
+                ):
+                    try:
+                        old = now - os.path.getmtime(p) > BAND_INDEX_SWEEP_AGE_SEC
+                    except OSError:
+                        continue
+                    if old:
+                        shutil.rmtree(p, ignore_errors=True)
         sig = _minhash_signatures(spark, sf_dir)
         bands = F.array(
             *[

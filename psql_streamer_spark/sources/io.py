@@ -347,26 +347,6 @@ def expire_partitions(
         and not _artifact(n)
         and os.path.isdir(os.path.join(path, n))
     ]
-    marker = os.path.join(path, "._expired_layout")
-    if not leaves:
-        # Idempotency at full expiry: a prior run that removed the LAST
-        # leaf left a marker recording the partition axis. A retention
-        # cron re-running after full expiry (keep_latest=0, or a cutoff
-        # above every value) must succeed with [] — it already converged —
-        # not fail as if pointed at a flat dataset.
-        if os.path.isfile(marker):
-            with open(marker) as f:
-                prior = f.read().strip()
-            if prior == column:
-                return []
-            raise ValueError(
-                f"dir {path} previously held {prior}=* leaves, not "
-                f"{prefix}*; refusing to expire across a mixed layout"
-            )
-        raise ValueError(
-            f"no {prefix}* partition leaves under {path}; refusing to "
-            "expire a non-partitioned (or differently-partitioned) dataset"
-        )
     strangers = [
         n
         for n in names
@@ -375,6 +355,41 @@ def expire_partitions(
         and not _artifact(n)
         and os.path.isdir(os.path.join(path, n))
     ]
+    marker = os.path.join(path, "._expired_layout")
+    if not leaves:
+        # Idempotency at full expiry: a prior run that removed the LAST
+        # leaf left a marker recording the partition axis. A retention
+        # cron re-running after full expiry (keep_latest=0, or a cutoff
+        # above every value) must succeed with [] — it already converged —
+        # not fail as if pointed at a flat dataset. But a dir that was
+        # fully expired under this axis and then re-populated under a
+        # DIFFERENT one is a mixed layout, not convergence: the stale
+        # marker must not mask the refusal.
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                prior = f.read().strip()
+            if prior == column and not strangers:
+                return []
+            if strangers:
+                raise ValueError(
+                    f"partition leaves with a different column under "
+                    f"{path}: {strangers[:3]}; refusing to expire across "
+                    "a mixed layout"
+                )
+            raise ValueError(
+                f"dir {path} previously held {prior}=* leaves, not "
+                f"{prefix}*; refusing to expire across a mixed layout"
+            )
+        raise ValueError(
+            f"no {prefix}* partition leaves under {path}; refusing to "
+            "expire a non-partitioned (or differently-partitioned) dataset"
+        )
+    # Live leaves exist: any marker from a prior full expiry is stale —
+    # clear it so it can never mask a future mixed-layout refusal. (If
+    # this very run removes the last leaf again, it re-writes the marker
+    # below, before the removal loop.)
+    if os.path.isfile(marker):
+        os.remove(marker)
     if strangers:
         raise ValueError(
             f"partition leaves with a different column under {path}: "

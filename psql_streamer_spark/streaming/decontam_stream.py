@@ -128,8 +128,10 @@ def start_contamination_stream(
         verdicts = probe_contamination(
             spark, batch_df, words, bench_grams, m_bits
         )
-        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            alert_sink_dir
+        # at-least-once retry safety: epoch replaces itself (EpochParquetSink
+        # idiom); `epoch` reaches readers via partition discovery
+        verdicts.write.mode("overwrite").parquet(
+            f"{alert_sink_dir}/epoch={epoch_id:012d}"
         )
 
     return (

@@ -124,8 +124,10 @@ def start_near_dup_stream(
         alerts = probe_band_index(
             spark, batch_df, index_table, corpus, jaccard_threshold
         )
-        alerts.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
-            alert_sink_dir
+        # at-least-once retry safety: epoch replaces itself (EpochParquetSink
+        # idiom); `epoch` reaches readers via partition discovery
+        alerts.write.mode("overwrite").parquet(
+            f"{alert_sink_dir}/epoch={epoch_id:012d}"
         )
 
     return (

@@ -27,7 +27,6 @@ so the surface is pytest-verified rather than oracle-registered.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from psql_streamer_spark.operators.text import (
     _qm_features_from,
@@ -61,10 +60,14 @@ def start_quality_stream(
     )
 
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried epoch must REPLACE its
+        # prior (possibly committed) output, not append a duplicate set of
+        # verdicts. Same epoch=<id>/overwrite idiom as EpochParquetSink;
+        # readers of the sink dir get `epoch` via partition discovery.
         verdicts = score_quality_batch(spark, batch_df, w)
-        verdicts.withColumn("epoch", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(verdict_sink_dir)
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdict_sink_dir}/epoch={epoch_id:012d}"
+        )
 
     return (
         stream.writeStream.foreachBatch(_score)

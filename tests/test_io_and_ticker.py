@@ -494,6 +494,44 @@ def test_expire_partitions_full_expiry_is_idempotent(spark, tmp_path):
         expire_partitions(str(flat), "day", keep_latest=0)
 
 
+def test_expire_partitions_marker_cleared_when_leaves_reappear(
+    spark, tmp_path
+):
+    """A dir fully expired under column A then RE-POPULATED must not let
+    the stale `._expired_layout` marker mask anything: new A=* leaves
+    clear the marker (the dir is live again), and new B=* leaves make
+    expire(column=A) raise the mixed-layout refusal instead of silently
+    returning [] (a misconfigured retention cron must surface)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.sources.io import expire_partitions
+
+    # case 1: repopulated under a DIFFERENT axis -> refusal, not []
+    out = str(tmp_path / "lake_b")
+    _write_daily_lake(spark, out)
+    assert len(expire_partitions(out, "day", keep_latest=0)) == 6
+    spark.range(4).withColumn("hour", F.col("id") % 2).write.mode(
+        "append"
+    ).partitionBy("hour").parquet(out)
+    with pytest.raises(ValueError, match="different column"):
+        expire_partitions(out, "day", keep_latest=0)
+
+    # case 2: repopulated under the SAME axis -> marker cleared on the
+    # next run, so a later wrong-column call gets the live-dir refusal
+    out2 = str(tmp_path / "lake_a")
+    _write_daily_lake(spark, out2)
+    assert len(expire_partitions(out2, "day", keep_latest=0)) == 6
+    assert os.path.isfile(os.path.join(out2, "._expired_layout"))
+    _write_daily_lake(spark, out2)
+    assert expire_partitions(out2, "day", keep_latest=10) == []
+    assert not os.path.isfile(os.path.join(out2, "._expired_layout"))
+    with pytest.raises(ValueError, match="refusing to expire"):
+        expire_partitions(out2, "hour", keep_latest=0)
+
+
 def test_expire_partitions_refuses_flat_and_mixed_layouts(spark, tmp_path):
     import pytest
     from pyspark.sql import functions as F

@@ -631,6 +631,47 @@ def test_streaming_near_dup_alerts(spark, tmp_path):
     assert got == want
 
 
+def test_band_index_first_use_sweep_removes_only_dead_app_litter(spark):
+    """Per-app band-index names never collide, so without a sweep the
+    warehouse grows one dir per app per dataset forever. First use must
+    remove sibling dirs older than the age gate (dead apps) and keep
+    younger ones (a possibly-live concurrent app)."""
+    import os
+    import re
+    import shutil
+    import time as _time
+    from urllib.parse import urlparse
+
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_SWEEP_AGE_SEC,
+        band_index_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(warehouse, exist_ok=True)
+    tag = re.sub(r"\W+", "_", SF_SMALL.strip("/"))
+    dead = os.path.join(warehouse, f"band_index_{tag}_local_0000_dead")
+    young = os.path.join(warehouse, f"band_index_{tag}_local_0000_live")
+    os.makedirs(dead, exist_ok=True)
+    os.makedirs(young, exist_ok=True)
+    old = _time.time() - BAND_INDEX_SWEEP_AGE_SEC - 120
+    os.utime(dead, (old, old))
+
+    # force the build (=sweep) path even if an earlier test already built
+    # this app's index in the shared session
+    app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+    mine = f"band_index_{tag}_{app}"
+    spark.sql(f"DROP TABLE IF EXISTS {mine}")
+    try:
+        table = band_index_table(spark, SF_SMALL)
+        assert table == mine
+        assert not os.path.exists(dead), "dead app litter must be swept"
+        assert os.path.exists(young), "young sibling (possibly live) kept"
+    finally:
+        shutil.rmtree(young, ignore_errors=True)
+
+
 def test_engine_stop_ordering_and_drain(spark, dirs):
     """Ordered shutdown (main.go:59-96): killing an Engine mid-stream must
     stop sources first, close sinks second, control plane last; no epoch
@@ -1067,3 +1108,19 @@ def test_streaming_quality_gate(spark, tmp_path):
     }
     assert set(got) == set(want)
     assert got == want  # scores bit-equal, not approximately
+
+    # rewind-replay idempotence for the per-epoch overwrite sink idiom all
+    # three ingest gates share: a FRESH checkpoint replays every epoch
+    # (same batch ids from 0), and each must REPLACE its prior output —
+    # the verdict set converges instead of doubling (foreachBatch is
+    # at-least-once; a plain append sink fails this exact assertion)
+    q2 = start_quality_stream(
+        spark,
+        str(src),
+        w,
+        str(tmp_path / "q_verdicts"),
+        str(tmp_path / "ckpt_quality_replay"),
+    )
+    assert q2.awaitTermination(180), "replay stream did not drain"
+    replayed = spark.read.parquet(str(tmp_path / "q_verdicts"))
+    assert replayed.count() == len(got)  # no duplicates from the replay
