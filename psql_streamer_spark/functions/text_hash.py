@@ -63,7 +63,14 @@ def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
     O(words * k) blow-up of the tokenize cost. Measured at sf0.1: the
     shingle explode drops 13.1 s -> 0.6 s once words are a projected
     attribute (computed once per row; CollapseProject keeps multiply-
-    referenced non-cheap aliases materialized)."""
+    referenced non-cheap aliases materialized).
+
+    Idempotent: a frame that already carries `__words` passes through
+    unchanged — this is what lets the fused ingest gate tokenize a
+    micro-batch ONCE (and persist it) while every downstream probe keeps
+    calling with_words defensively."""
+    if "__words" in df.columns:
+        return df
     return df.withColumn("__words", words_expr(text_col))
 
 

@@ -1256,3 +1256,144 @@ def pipeline_corpus_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full corpus-prep report: the composed lineage contract EXTENDED with the
+# trained-model stages. pipeline_corpus_prep_report above predates the
+# trained quality model — its gate is the heuristic word-count floor and
+# it knows nothing of decontamination or score-proportional sampling.
+# This is the r13-complete composition: trained model gate -> benchmark
+# quarantine -> exact dedup (canonical survivor among gate survivors) ->
+# quality-score-proportional sampling -> train/val/test split, with the
+# eval battery itself reported as its own terminal stage (benchmark text
+# is never training data). Every stage reuses the registered operator's
+# EXACT semantics — text_quality_model_scores' predicted bit,
+# decontaminate_bloom_ngrams' exact-hit verdict,
+# dedup_fingerprint's md5-of-lowered-text canonical-survivor rule,
+# mlprep_sample_by_quality's deterministic md5 coin, and
+# split_train_val_test's md5 buckets — so the report cannot drift from
+# the operators it summarizes, and every document lands in EXACTLY ONE
+# terminal stage (pinned in tests).
+#
+# Scale: the model trains once (O(iters * dims), corpus-independent);
+# scoring is a broadcast 66-weight join; the quarantine join is
+# |corpus grams| x |battery grams| with the battery broadcast; dedup is
+# one fingerprint-partition window; sampling and split are hash
+# expressions. No stage is super-linear in the corpus.
+# --------------------------------------------------------------------------
+from psql_streamer_spark.operators.text import (  # noqa: E402
+    _SQL_QM_P,
+    _SQL_QM_TRAINED,
+    QSAMPLE_BUCKETS,
+)
+
+_SQL_PREP_FULL = _SQL_QM_TRAINED + f""",
+    qsc AS (
+      SELECT doc_id, {_SQL_QM_P} AS score, ({_SQL_QM_P} >= 0.5) AS predicted
+      FROM scorez
+    ),
+    prep_bg AS (
+      SELECT DISTINCT unnest({_sql_ngrams("ws", DECONTAM_K)}) AS g
+      FROM (SELECT {_BLOOM_WS} AS ws FROM documents
+            WHERE source = '{DECONTAM_EVAL_SOURCE}')
+    ),
+    prep_contam AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest({_sql_ngrams("ws", DECONTAM_K)}) AS g
+            FROM (SELECT doc_id, {_BLOOM_WS} AS ws FROM documents
+                  WHERE source <> '{DECONTAM_EVAL_SOURCE}'))
+      WHERE g IN (SELECT g FROM prep_bg)
+    ),
+    prep_scored AS (
+      SELECT d.doc_id,
+             len({_SQL_PREP_WS}) AS n_words,
+             md5(concat_ws(' ', lower(text))) AS fp,
+             (d.source = '{DECONTAM_EVAL_SOURCE}') AS is_eval,
+             q.score, q.predicted,
+             d.doc_id IN (SELECT doc_id FROM prep_contam) AS contaminated
+      FROM documents d JOIN qsc q USING (doc_id)
+    ),
+    prep_staged AS (
+      SELECT doc_id, n_words,
+        CASE
+          WHEN is_eval THEN 'eval_battery'
+          WHEN NOT predicted THEN 'rejected_model'
+          WHEN contaminated THEN 'quarantined_contaminated'
+          WHEN doc_id <> MIN(doc_id) FILTER (
+                 WHERE NOT is_eval AND predicted AND NOT contaminated)
+               OVER (PARTITION BY fp) THEN 'dropped_duplicate'
+          WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 % {QSAMPLE_BUCKETS} >= FLOOR(score * {QSAMPLE_BUCKETS})
+            THEN 'dropped_sampling'
+          WHEN {sql_md5_bucket("doc_id", 100)} < 80 THEN 'train'
+          WHEN {sql_md5_bucket("doc_id", 100)} < 90 THEN 'val'
+          ELSE 'test'
+        END AS stage
+      FROM prep_scored
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM prep_staged GROUP BY stage
+"""
+
+
+@register("pipeline_corpus_prep_report_full", oracle=_SQL_PREP_FULL)
+def pipeline_corpus_prep_report_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stage-attrition report of the FULL composed corpus build (see
+    banner): eval_battery | rejected_model | quarantined_contaminated |
+    dropped_duplicate | dropped_sampling | train | val | test — one row
+    per terminal stage with doc and token counts, every document in
+    exactly one stage."""
+    from pyspark.sql import Window
+
+    from psql_streamer_spark.functions.text_hash import with_words
+    from psql_streamer_spark.operators.text import text_quality_model_scores
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    model = text_quality_model_scores(spark, sf_dir).select(
+        "doc_id", "score", "predicted"
+    )
+    contam_ids = (
+        decontaminate_bloom_ngrams(spark, sf_dir)
+        .filter(F.col("n_exact_hits") > 0)
+        .select("doc_id", F.lit(True).alias("contam"))
+    )
+    base = d.select(
+        "doc_id",
+        F.size("__words").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.lower(F.col("text")))).alias("fp"),
+        (F.col("source") == DECONTAM_EVAL_SOURCE).alias("is_eval"),
+    )
+    j = (
+        base.join(model, "doc_id")
+        .join(contam_ids, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce("contam", F.lit(False)))
+    )
+    gate = ~F.col("is_eval") & F.col("predicted") & ~F.col("contaminated")
+    survivor = F.min(F.when(gate, F.col("doc_id"))).over(
+        Window.partitionBy("fp")
+    )
+    coin = md5_bucket(F.col("doc_id"), QSAMPLE_BUCKETS)
+    thresh = F.floor(F.col("score") * QSAMPLE_BUCKETS)
+    b = md5_bucket(F.col("doc_id"), 100)
+    stage = (
+        F.when(F.col("is_eval"), "eval_battery")
+        .when(~F.col("predicted"), "rejected_model")
+        .when(F.col("contaminated"), "quarantined_contaminated")
+        .when(F.col("doc_id") != survivor, "dropped_duplicate")
+        .when(coin >= thresh, "dropped_sampling")
+        .when(b < 80, "train")
+        .when(b < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        j.select("n_words", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+    )

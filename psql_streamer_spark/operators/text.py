@@ -362,7 +362,25 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose working set is the word table, with list_reduce applying each
 # merge exactly like the Spark-side aggregate() fold.
 # --------------------------------------------------------------------------
-BPE_N_MERGES = 40  # fixed iteration count: determinism + bounded driver loop
+BPE_N_MERGES = 40  # merge-count FLOOR: determinism anchor for small corpora
+# Corpus-adaptive sizing (the nprobe-scaling pattern): a fixed 40-merge
+# model measured 2.59 tokens/word on the 31-word test vocab but degraded
+# to 4.94 on a 46x larger (1,438-word) vocabulary — the model must grow
+# with the vocabulary it serves. merges = clamp(ceil(|vocab| / 2),
+# BPE_N_MERGES, BPE_N_MERGES_CAP): proportional to the MEASURED training
+# vocab (one count over the Heaps-bounded word table, a model-sized job),
+# floored at 40 so every oracle-scale corpus (vocab <= 80) trains the
+# byte-identical historical model, capped so the driver-side merge loop
+# stays bounded regardless of corpus. At production scale the cap is the
+# honest knob to raise alongside BPE_VOCAB_CAP (32k-128k); the RULE — not
+# the constant — is what the DuckDB oracle replays (bpe_n CTE below).
+BPE_N_MERGES_CAP = 1024
+
+
+def bpe_adaptive_merges(vocab_n: int) -> int:
+    """clamp(ceil(vocab_n / 2), floor, cap) — mirrored exactly by the
+    oracle's ``bpe_n`` CTE: LEAST(cap, GREATEST(floor, (COUNT(*)+1)//2))."""
+    return min(BPE_N_MERGES_CAP, max(BPE_N_MERGES, (vocab_n + 1) // 2))
 
 # trained-model memo: one entry per (app, corpus, n_merges) — the merges
 # list is N rows and the segmentation frame is the Heaps-bounded vocab
@@ -389,13 +407,19 @@ def _sql_bpe_vocab(vocab_limit: int | None) -> str:
 
 
 _SQL_BPE_BODY = f"""
+    bpe_n AS (
+      SELECT LEAST({BPE_N_MERGES_CAP},
+                   GREATEST({BPE_N_MERGES}, (COUNT(*) + 1) // 2)) AS n
+      FROM bpe_vocab
+    ),
     bpe(it, kind, word, cnt, pieces, lft, rgt, pc) AS (
       SELECT 0, 'w', word, cnt, pieces,
              NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
       FROM bpe_vocab
       UNION ALL
       (
-        WITH cur AS (SELECT * FROM bpe WHERE kind = 'w' AND it < {BPE_N_MERGES}),
+        WITH cur AS (SELECT * FROM bpe
+                     WHERE kind = 'w' AND it < (SELECT n FROM bpe_n)),
         pairs AS (
           SELECT s.lft AS lft, s.rgt AS rgt, SUM(cnt)::BIGINT AS pc
           FROM (
@@ -431,7 +455,7 @@ _SQL_BPE_TRAIN = (
 def _bpe_train(
     spark: SparkSession,
     sf_dir: str,
-    n_merges: int = BPE_N_MERGES,
+    n_merges: int | None = None,
     vocab_cap: int | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Train BPE merges on the corpus word table; returns (merges, final
@@ -443,7 +467,11 @@ def _bpe_train(
 
     ``vocab_cap``: train on only the top-N words by (count desc, word
     asc) — the frequency cutoff that bounds training state at any corpus
-    size; everything below the cut encodes via the OOV merge fold."""
+    size; everything below the cut encodes via the OOV merge fold.
+
+    ``n_merges=None`` (the default) resolves corpus-adaptively via
+    bpe_adaptive_merges over the measured training-vocab size — one
+    count() over the word table, a model-sized job."""
     key = (spark.sparkContext.applicationId, sf_dir, n_merges, vocab_cap)
     hit = _BPE_MODEL.get(key)
     if hit is not None:
@@ -464,6 +492,8 @@ def _bpe_train(
         .coalesce(8)
         .localCheckpoint(eager=True)
     )
+    if n_merges is None:
+        n_merges = bpe_adaptive_merges(words.count())
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         pairs = (

@@ -144,6 +144,118 @@ def test_corpus_prep_report_partitions_every_doc_once(spark):
     assert rows["dropped_duplicate"].n_docs == expected_dups > 0
 
 
+def test_corpus_prep_report_full_partitions_every_doc_once(spark):
+    """The FULL composed report (trained model gate -> quarantine ->
+    dedup -> sampling -> split) must also be a partition of the corpus,
+    its stage set must be exactly the documented terminals, and each
+    stage's count must equal an independent recomputation from the
+    registered operators it composes."""
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        decontaminate_bloom_ngrams,
+        pipeline_corpus_prep_report_full,
+    )
+    from psql_streamer_spark.operators.text import (
+        mlprep_sample_by_quality,
+        text_quality_model_scores,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    rows = {
+        r.stage: r
+        for r in pipeline_corpus_prep_report_full(spark, sf).collect()
+    }
+    d = load_table(spark, "documents", sf)
+    assert sum(r.n_docs for r in rows.values()) == d.count()
+    assert set(rows) <= {
+        "eval_battery",
+        "rejected_model",
+        "quarantined_contaminated",
+        "dropped_duplicate",
+        "dropped_sampling",
+        "train",
+        "val",
+        "test",
+    }
+    # independent recomputation of the first three stages from the
+    # registered ops the report claims to reuse
+    n_eval = d.filter(F.col("source") == DECONTAM_EVAL_SOURCE).count()
+    assert rows["eval_battery"].n_docs == n_eval
+    model = {
+        r.doc_id: r.predicted
+        for r in text_quality_model_scores(spark, sf).collect()
+    }
+    eval_ids = {
+        r.doc_id
+        for r in d.filter(
+            F.col("source") == DECONTAM_EVAL_SOURCE
+        ).select("doc_id").collect()
+    }
+    n_rejected = sum(
+        1 for k, p in model.items() if k not in eval_ids and not p
+    )
+    assert rows["rejected_model"].n_docs == n_rejected
+    contam_ids = {
+        r.doc_id
+        for r in decontaminate_bloom_ngrams(spark, sf)
+        .filter(F.col("n_exact_hits") > 0)
+        .collect()
+    }
+    n_quarantined = sum(
+        1 for k in contam_ids if model.get(k) and k not in eval_ids
+    )
+    got_q = rows.get("quarantined_contaminated")
+    assert (got_q.n_docs if got_q else 0) == n_quarantined
+    # remaining stages recomputed driver-side from the composed ops:
+    # dedup canonical survivor among gate survivors, then
+    # mlprep_sample_by_quality's exact coin, then the md5 split buckets
+    import hashlib
+
+    from psql_streamer_spark.functions.text_hash import with_words
+
+    sampled = {
+        r.doc_id: r.sampled
+        for r in mlprep_sample_by_quality(spark, sf).collect()
+    }
+    fps = {
+        r.doc_id: r.fp
+        for r in with_words(d)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.lower(F.col("text")))).alias("fp"),
+        )
+        .collect()
+    }
+    gate = {
+        k
+        for k, p in model.items()
+        if p and k not in eval_ids and k not in contam_ids
+    }
+    canon: dict = {}
+    for k in sorted(gate):
+        canon.setdefault(fps[k], k)
+    dups = {k for k in gate if canon[fps[k]] != k}
+    after_dedup = gate - dups
+    dropped_sampling = {k for k in after_dedup if not sampled[k]}
+    kept = after_dedup - dropped_sampling
+
+    def bucket(doc_id: int, n: int = 100) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return int(h, 16) % n
+
+    want = {
+        "dropped_duplicate": len(dups),
+        "dropped_sampling": len(dropped_sampling),
+        "train": sum(1 for k in kept if bucket(k) < 80),
+        "val": sum(1 for k in kept if 80 <= bucket(k) < 90),
+        "test": sum(1 for k in kept if bucket(k) >= 90),
+    }
+    for stage_name, n in want.items():
+        got = rows.get(stage_name)
+        assert (got.n_docs if got else 0) == n, (stage_name, n, got)
+    assert want["dropped_duplicate"] > 0, "sf0.1 plants exact duplicates"
+
+
 def test_mm_dedup_binary_flags_planted_duplicates(spark):
     """sf0.1 plants 8 exact-duplicate documents; the binary content-hash
     dedup must flag exactly the non-canonical copies and nothing at the

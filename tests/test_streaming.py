@@ -1002,6 +1002,142 @@ def test_streaming_contamination_gate(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_fused_gate(spark, tmp_path):
+    """The fused ingest gate (one tokenize pass feeding near-dup probe +
+    bloom contamination probe + quality model) must be verdict-identical
+    to each standalone gate on the same documents, and its streaming face
+    must land one admission row per doc with the composite admit bit."""
+    import json as _json
+
+    from psql_streamer_spark.operators.dedup import band_index_table
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+        md5_bucket,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.decontam_stream import (
+        probe_contamination,
+    )
+    from psql_streamer_spark.streaming.dedup_stream import probe_band_index
+    from psql_streamer_spark.streaming.fused_gate import (
+        fused_gate_verdicts,
+        start_fused_gate_stream,
+    )
+    from psql_streamer_spark.streaming.quality_stream import (
+        score_quality_batch,
+    )
+    from tests.conftest import SF_SMALL
+
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+
+    d = load_table(spark, "documents", SF_SMALL)
+    batch = d.filter(md5_bucket(F.col("doc_id"), 4) == 2).select(
+        "doc_id", "text"
+    )
+    assert batch.count() > 0
+
+    table = band_index_table(spark, SF_SMALL)
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+
+    fused = {
+        r.doc_id: r
+        for r in fused_gate_verdicts(
+            spark, batch, table, d, bloom_words, bench_grams, w
+        ).collect()
+    }
+    assert fused
+
+    # leg 1: quality triple == standalone model gate
+    q_want = {
+        r.doc_id: (r.label, r.score, r.predicted)
+        for r in score_quality_batch(spark, batch, w).collect()
+    }
+    assert {k: (v.label, v.score, v.predicted) for k, v in fused.items()} == q_want
+
+    # leg 2: contamination quad == standalone bloom gate
+    c_want = {
+        r.doc_id: (r.n_grams, r.n_bloom_hits, r.n_exact_hits, r.contaminated)
+        for r in probe_contamination(
+            spark, batch, bloom_words, bench_grams
+        ).collect()
+    }
+    assert {
+        k: (v.n_grams, v.n_bloom_hits, v.n_exact_hits, v.contaminated)
+        for k, v in fused.items()
+    } == c_want
+
+    # leg 3: near-dup aggregate == standalone band-index probe
+    alerts = probe_band_index(spark, batch, table, d).collect()
+    n_want: dict = {}
+    for a in alerts:
+        n, j = n_want.get(a.new_doc_id, (0, None))
+        n_want[a.new_doc_id] = (
+            n + 1,
+            a.jaccard if j is None else max(j, a.jaccard),
+        )
+    got_near = {
+        k: (v.n_near_dup, v.max_jaccard)
+        for k, v in fused.items()
+        if v.n_near_dup > 0
+    }
+    assert got_near == n_want
+    # composite admit: pass quality, clean, and no verified near-dup
+    for k, v in fused.items():
+        assert v.admit == (
+            v.predicted == 1 and not v.contaminated and v.n_near_dup == 0
+        )
+
+    # streaming face: drain two micro-batches, one row per doc, and the
+    # per-epoch overwrite sink survives a fresh-checkpoint replay
+    rows = batch.collect()
+    src = tmp_path / "incoming_fused"
+    src.mkdir()
+    half = max(1, len(rows) // 2)
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        if not chunk:
+            continue
+        (src / f"batch{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in chunk
+            )
+            + "\n"
+        )
+    sink = str(tmp_path / "fused_verdicts")
+    q = start_fused_gate_stream(
+        spark,
+        str(src),
+        table,
+        d,
+        bloom_words,
+        bench_grams,
+        w,
+        sink,
+        str(tmp_path / "ckpt_fused"),
+    )
+    assert q.awaitTermination(240), "fused stream did not drain"
+    streamed = {
+        r.doc_id: (r.admit, r.score, r.contaminated, r.n_near_dup)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert streamed == {
+        k: (v.admit, v.score, v.contaminated, v.n_near_dup)
+        for k, v in fused.items()
+    }
+
+
 def test_streaming_lake_retention_leg(spark, dirs):
     """The lake lifecycle's retention leg on the STREAMING-written layout:
     expire_partitions must operate on what ParquetSink actually produces
