@@ -448,6 +448,134 @@ def _run_quality_config(
     }
 
 
+def _run_fused_config(
+    spark, work: str, sf_dir: str, docs_per_file: int, files_per_trigger: int
+) -> dict:
+    """Fused ingest-gate throughput (r14): every arriving document runs
+    ALL THREE admission checks — near-dup probe + contamination gate +
+    quality model — off ONE shared tokenize pass
+    (streaming/fused_gate.fused_gate_verdicts). The amortized state
+    (band index, bloom battery, bench grams, model weights) is built once
+    and reported separately; docs/sec is the events/sec of a complete
+    admission pipeline, to compare against the three standalone gates
+    (whose sum-of-inverses is the unfused cost of the same work)."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.functions.text_hash import (
+        shingles_expr,
+        with_words,
+    )
+    from psql_streamer_spark.operators.dedup import band_index_table
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.fused_gate import fused_gate_verdicts
+
+    t0 = time.time()
+    index_table = band_index_table(spark, sf_dir)
+    corpus = load_table(spark, "documents", sf_dir)
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, sf_dir))
+    bench_grams = (
+        with_words(corpus.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+        .persist()
+    )
+    bench_grams.count()
+    w, _ = _qm_train(spark, sf_dir)
+    state_build_sec = time.time() - t0
+
+    tag = f"fused_{docs_per_file}x{files_per_trigger}"
+    src = os.path.join(work, tag, "src")
+    ckpt = os.path.join(work, tag, "ckpt")
+    out = os.path.join(work, tag, "out")
+    docs = corpus.select("doc_id", "text")
+    n = docs.count()
+    n_files = max(1, (n + docs_per_file - 1) // docs_per_file)
+    docs.repartition(n_files).write.mode("overwrite").json(src)
+
+    batch_times: list[float] = []
+    batch_sizes: list[int] = []
+
+    def _gate(batch_df, epoch_id):
+        batch_df.persist()
+        batch_sizes.append(batch_df.count())
+        t0 = time.time()
+        tokenized = with_words(batch_df).persist()
+        fused_gate_verdicts(
+            spark,
+            tokenized,
+            index_table,
+            corpus,
+            bloom_words,
+            bench_grams,
+            w,
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id:012d}")
+        )
+        batch_times.append(time.time() - t0)
+        tokenized.unpersist()
+        batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .json(src)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    verd = (
+        spark.read.parquet(out).agg(
+            F.count("*").alias("docs"),
+            F.count_if(F.col("admit")).alias("admitted"),
+            F.count_if(F.col("contaminated")).alias("contaminated"),
+            F.count_if(F.col("n_near_dup") > 0).alias("near_dup"),
+            F.count_if(~F.col("predicted")).alias("model_rejects"),
+        ).collect()[0]
+        if batch_times
+        else None
+    )
+    bench_grams.unpersist()
+    lat_ms = sorted(t * 1000 for t in batch_times) or [0.0]
+    sizes = sorted(batch_sizes) or [0]
+    return {
+        "events": n,
+        "state_build_sec": round(state_build_sec, 3),
+        "events_per_batch_measured": {
+            "min": sizes[0],
+            "p50": int(statistics.median(sizes)),
+            "max": sizes[-1],
+        },
+        "batches": len(batch_times),
+        "docs_gated": int(verd.docs) if verd else 0,
+        "admitted": int(verd.admitted) if verd else 0,
+        "rejected_contaminated": int(verd.contaminated) if verd else 0,
+        "rejected_near_dup": int(verd.near_dup) if verd else 0,
+        "rejected_model": int(verd.model_rejects) if verd else 0,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1),
+        "batch_latency_ms": {
+            "p50": round(statistics.median(lat_ms), 1),
+            "mean": round(statistics.fmean(lat_ms), 1),
+            "max": round(lat_ms[-1], 1),
+        },
+    }
+
+
 def main() -> None:
     from psql_streamer_spark.session import get_spark
     from psql_streamer_spark.streaming.sinks import ParquetSink
@@ -538,6 +666,21 @@ def main() -> None:
                 ), 500, 1
             ),
             "quality_gate_bulk": _run_quality_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2
+            ),
+            # fused admission gate (r14): all three checks off one
+            # tokenize pass — the number a real ingest pays per doc. The
+            # bulk point should land near the most expensive standalone
+            # gate (shared scan), far above the sum-of-inverses floor of
+            # running the three gates as separate streams
+            "fused_gate_500": _run_fused_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 500, 1
+            ),
+            "fused_gate_bulk": _run_fused_config(
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
                 ), 2_500, 2

@@ -2534,6 +2534,48 @@ BAND_INDEX_BUCKETS = 16
 BAND_INDEX_SWEEP_AGE_SEC = 6 * 3600
 
 
+
+def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
+    """Shared per-app warehouse-table discipline for build-once bucketed
+    indexes (band_index_table's contract, factored for reuse by the mm
+    bucket index): APPLICATION-scoped name (concurrent apps never rewrite
+    each other's live files), stale same-name dir cleared before rebuild,
+    and a first-use age-gated sweep of dead apps' leftovers under the
+    same ``<base>_`` prefix. ``build(table_name)`` must saveAsTable the
+    content (deterministic, so any app's rebuild is equivalent)."""
+    import re as _re
+    import shutil
+    from urllib.parse import urlparse
+
+    app = _re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+    table = f"{base}_{app}"
+    if not spark.catalog.tableExists(table):
+        # the default in-memory catalog forgets the table on session stop
+        # but the files survive in the warehouse dir — clear a stale
+        # location so the rebuild (deterministic content) can write
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = os.path.join(warehouse, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        # first-use sweep of dead apps' leftovers for this index family;
+        # age-gated so a concurrently-live app is untouched, ignore_errors
+        # so two sweepers racing on the same corpse is benign
+        prefix = f"{base}_"
+        now = time.time()
+        if os.path.isdir(warehouse):
+            for n in os.listdir(warehouse):
+                d = os.path.join(warehouse, n)
+                if n.startswith(prefix) and n != table and os.path.isdir(d):
+                    try:
+                        old = now - os.path.getmtime(d) > BAND_INDEX_SWEEP_AGE_SEC
+                    except OSError:
+                        continue
+                    if old:
+                        shutil.rmtree(d, ignore_errors=True)
+        build(table)
+    return table
+
+
 def band_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once bucketed band-index table for a dataset snapshot.
 
@@ -2568,38 +2610,8 @@ def band_index_table(spark: SparkSession, sf_dir: str) -> str:
     import re
 
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
-    table = f"band_index_{tag}_{app}"
-    if not spark.catalog.tableExists(table):
-        # the default in-memory catalog forgets the table on session stop
-        # but the files survive in the warehouse dir — clear a stale
-        # location so the rebuild (deterministic content) can write
-        import shutil
-        from urllib.parse import urlparse
 
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        stale = os.path.join(warehouse, table)
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-        # first-use sweep of dead apps' leftovers for this dataset (see
-        # docstring); age-gated so a concurrently-live app is untouched,
-        # ignore_errors so two sweepers racing on the same corpse is benign
-        prefix = f"band_index_{tag}_"
-        now = time.time()
-        if os.path.isdir(warehouse):
-            for n in os.listdir(warehouse):
-                p = os.path.join(warehouse, n)
-                if (
-                    n.startswith(prefix)
-                    and n != table
-                    and os.path.isdir(p)
-                ):
-                    try:
-                        old = now - os.path.getmtime(p) > BAND_INDEX_SWEEP_AGE_SEC
-                    except OSError:
-                        continue
-                    if old:
-                        shutil.rmtree(p, ignore_errors=True)
+    def _build(table: str) -> None:
         sig = _minhash_signatures(spark, sf_dir)
         bands = F.array(
             *[
@@ -2619,7 +2631,8 @@ def band_index_table(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .saveAsTable(table)
         )
-    return table
+
+    return app_scoped_bucketed_table(spark, f"band_index_{tag}", _build)
 
 
 def materialized_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,9 +89,11 @@ def fused_gate_verdicts(
         )
         .withColumnRenamed("new_doc_id", "doc_id")
     )
+    # all three verdict frames are micro-batch-sized: broadcast the two
+    # joined sides so assembly adds no exchange stages to the epoch
     return (
-        quality.join(contam, "doc_id")
-        .join(near, "doc_id", "left")
+        quality.join(F.broadcast(contam), "doc_id")
+        .join(F.broadcast(near), "doc_id", "left")
         .select(
             "doc_id",
             "label",
@@ -136,7 +138,10 @@ def start_fused_gate_stream(
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         # ONE tokenize pass: the persisted `__words` frame is scanned by
-        # all three probes inside the single verdict-write action
+        # all three probes inside the single verdict-write action. (A
+        # concurrently-materialized variant was measured SLOWER — the
+        # extra persist/count actions cost more than the stage overlap
+        # bought; see BENCH_NOTES r14.)
         tokenized = with_words(batch_df).persist()
         try:
             fused_gate_verdicts(

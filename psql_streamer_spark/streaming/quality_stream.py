@@ -28,9 +28,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from psql_streamer_spark.functions.text_hash import with_words
 from psql_streamer_spark.operators.text import (
-    _qm_features_from,
-    qm_score_features,
+    FEATURE_HASH_DIMS,
+    QM_FS,
+    QM_LEN_CAP,
+    _qm_p,
 )
 
 
@@ -38,10 +43,80 @@ def score_quality_batch(
     spark: SparkSession, batch_df: DataFrame, w: list[int]
 ) -> DataFrame:
     """One micro-batch of (doc_id, text) under frozen weights ``w``;
-    returns (doc_id, label, score, predicted, correct). Cost is
-    O(|batch| tokens): featurize, broadcast-join 66 weights, one per-doc
-    aggregate — never touches the corpus."""
-    return qm_score_features(spark, _qm_features_from(batch_df), w)
+    returns (doc_id, label, score, predicted, correct), bit-equal to
+    qm_score_features over _qm_features_from on the same docs (pinned by
+    test_streaming_quality_gate against the corpus scorer).
+
+    SHUFFLE-FREE by construction: the batch path explodes tokens and
+    groupBys (doc_id, dim) — right for a corpus, but on a micro-batch
+    every shuffle stage is a fixed latency toll. Here the per-dim hashed
+    TF is folded per document into a FEATURE_HASH_DIMS-slot array with
+    F.aggregate, the 66 frozen weights ride in the expression as
+    literals, and z is one zip_with dot product — the whole scorer is a
+    single narrow projection that runs at scan speed.
+
+    Integer semantics mirrored exactly from _qm_features_from /
+    qm_score_features: x_d = (tf_d * QM_FS) DIV n_tokens (floor on
+    non-negative ints — F.floor of the double ratio is exact here, every
+    operand is far under 2^53), len dim = LEAST(COALESCE(nt,0), cap),
+    bias dim = QM_FS, and the same rational-sigmoid score expression."""
+    d = with_words(batch_df)
+    ws = F.col("__words")
+    nt = F.size(ws)
+    unique_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / nt
+    y = (
+        F.when(nt.between(20, 1000) & (unique_ratio > 0.3), 1)
+        .otherwise(0)
+        .alias("y")
+    )
+    # md5 dim per token, folded into a 64-slot tf array (one pass)
+    dims = F.transform(
+        ws,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % FEATURE_HASH_DIMS
+        ).cast("int"),
+    )
+    zero = F.expr(
+        f"array_repeat(CAST(0 AS BIGINT), {FEATURE_HASH_DIMS})"
+    )
+    tf = F.aggregate(
+        dims,
+        zero,
+        lambda acc, dd: F.transform(
+            acc, lambda v, i: F.when(i == dd, v + 1).otherwise(v)
+        ),
+    )
+    w_tf = F.array(*[F.lit(int(x)).cast("bigint") for x in w[:FEATURE_HASH_DIMS]])
+    # sum_d w[d] * ((tf_d * QM_FS) DIV nt); tf_d = 0 contributes 0, so
+    # folding over all 64 slots equals the batch path's sparse tf rows
+    z_tf = F.aggregate(
+        F.zip_with(
+            tf,
+            w_tf,
+            lambda t, wi: wi
+            * F.floor(t * F.lit(QM_FS) / nt).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    len_x = F.least(F.coalesce(nt, F.lit(0)), F.lit(QM_LEN_CAP)).cast(
+        "bigint"
+    )
+    zint = (
+        F.coalesce(z_tf, F.lit(0).cast("bigint"))
+        + F.lit(int(w[FEATURE_HASH_DIMS])).cast("bigint") * len_x
+        + F.lit(int(w[FEATURE_HASH_DIMS + 1]) * QM_FS).cast("bigint")
+    )
+    scored = d.select("doc_id", y, zint.alias("zint"))
+    p = _qm_p(F.col("zint"))
+    return scored.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        p.alias("score"),
+        (p >= F.lit(0.5)).alias("predicted"),
+        ((p >= F.lit(0.5)) == (F.col("y") == 1)).alias("correct"),
+    )
 
 
 def start_quality_stream(

@@ -147,3 +147,62 @@ def test_hist_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
     }
     assert pairs == oracle_pairs
     assert (1, 2) in pairs  # the exact duplicate survives end to end
+
+
+def test_mm_incremental_equals_full_miner_on_delta_pairs(spark):
+    """The incremental probe (materialized posting table + bucket-local
+    delta join + candidate-only verify) must emit exactly the full
+    miner's pairs that touch the ingest delta — same pairs, same cosines
+    (identical raw-histogram verify expression)."""
+    from psql_streamer_spark.operators.dedup import (
+        DELTA_BUCKET,
+        DELTA_BUCKETS,
+    )
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+    from psql_streamer_spark.operators.multimodal import (
+        mm_dedup_embedding,
+        mm_dedup_embedding_incremental,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"  # smallest SF with delta-touching pairs
+    full = mm_dedup_embedding(spark, sf).collect()
+    delta_ids = {
+        r.doc_id
+        for r in load_table(spark, "documents", sf)
+        .select("doc_id")
+        .filter(md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET)
+        .collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in full
+        if r.doc_a in delta_ids or r.doc_b in delta_ids
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in mm_dedup_embedding_incremental(spark, sf).collect()
+    }
+    assert got == want
+    assert got, "sf0.01 must have delta-touching near-dup pairs"
+
+
+def test_mm_incremental_candidate_screen_is_bucket_local(spark):
+    """Delta candidate mining must screen bucket-local on the posting
+    table: the skey groupBy rides the table's own bucketing (no exchange
+    between the bucketed scan and the pandas screen — the corpus index is
+    never re-shuffled), and the only exchange in the candidate frame is
+    the |survivors|-sized pair distinct."""
+    from psql_streamer_spark.operators.multimodal import (
+        mm_incremental_candidates,
+    )
+
+    cand = mm_incremental_candidates(spark, SF_SMALL)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) == 1, plan
+    assert "doc_a" in shuffles[0] and "skey" not in shuffles[0], shuffles
+    assert plan.count("Bucketed: true") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
