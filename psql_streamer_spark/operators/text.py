@@ -1229,6 +1229,216 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TRAINED language ID: character-bigram Naive Bayes in WHOLE BITS — the
+# trained-classifier upgrade of the marker heuristic above, completing the
+# trained-model trio (BPE tokenizer, quality classifier, langid). The
+# heuristic can only ever name the three languages its marker lists know;
+# this trains one cost table per LABELED language from the corpus itself
+# and classifies by minimum total cost. Integer-exact, so it
+# hash-verifies cross-engine like the quality model and the bigram LM:
+#
+#   cost(g | L) = floor(log2((tot_L + V) / (cf_L(g) + 1)))   [Laplace]
+#   prior(L)    = floor(log2(N_docs / n_docs_L))
+#   cost(doc,L) = prior(L) + sum over doc's bigram occurrences cost(g|L)
+#   predict     = argmin cost, ties to the lexicographically first lang
+#
+# every floor(log2 a/b) is bitlength(a div b) - 1 (see the unigram
+# surprisal banner for why that identity is exact). Scale shape: the
+# model is |langs| x V rows (V <= alphabet^2 — broadcastable at any
+# corpus size); training is one groupBy over corpus char-bigrams;
+# scoring is per-doc bigram counts joined against the broadcast model.
+# --------------------------------------------------------------------------
+_SQL_LANGID_NB = f"""
+    WITH tokl AS (
+      SELECT doc_id, lang, unnest({{words}}) AS w FROM documents
+    ),
+    nb_bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(cs)),
+                                   i -> cs[i] || cs[i+1])) AS g
+      FROM (SELECT doc_id, lang, string_split(w, '') AS cs FROM tokl)
+    ),
+    nb_vocab AS (SELECT DISTINCT g FROM nb_bg),
+    nb_v AS (SELECT COUNT(*) AS v FROM nb_vocab),
+    nb_cls AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+    nb_n AS (SELECT COUNT(*) AS n FROM documents),
+    nb_cf AS (SELECT lang, g, COUNT(*) AS c FROM nb_bg GROUP BY lang, g),
+    nb_tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM nb_cf GROUP BY lang),
+    nb_model AS (
+      SELECT c.lang, vo.g,
+             LENGTH(BIN((t.t + nv.v) // (COALESCE(cf.c, 0) + 1))) - 1
+               AS bits
+      FROM nb_cls c
+      CROSS JOIN nb_vocab vo
+      CROSS JOIN nb_v nv
+      JOIN nb_tot t ON t.lang = c.lang
+      LEFT JOIN nb_cf cf ON cf.lang = c.lang AND cf.g = vo.g
+    ),
+    nb_prior AS (
+      SELECT c.lang, LENGTH(BIN(n.n // c.nd)) - 1 AS pbits
+      FROM nb_cls c CROSS JOIN nb_n n
+    ),
+    nb_doc_cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM nb_bg GROUP BY doc_id, g
+    ),
+    nb_docsum AS (
+      SELECT d.doc_id, m.lang, CAST(SUM(d.c * m.bits) AS BIGINT) AS gbits
+      FROM nb_doc_cnt d JOIN nb_model m ON m.g = d.g
+      GROUP BY d.doc_id, m.lang
+    ),
+    nb_scores AS (
+      SELECT doc.doc_id, doc.lang AS labeled_lang, p.lang AS cand_lang,
+             COALESCE(ds.gbits, 0) + p.pbits AS cost_bits
+      FROM documents doc
+      CROSS JOIN nb_prior p
+      LEFT JOIN nb_docsum ds
+        ON ds.doc_id = doc.doc_id AND ds.lang = p.lang
+    ),
+    nb_best AS (
+      SELECT doc_id, labeled_lang, cand_lang, cost_bits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cost_bits ASC, cand_lang ASC)
+               AS rn
+      FROM nb_scores
+    )
+""".format(words=SQL_WORDS.format(t='text'))
+
+
+def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, labeled_lang, predicted_lang, cost_bits) under the
+    corpus-trained char-bigram NB (see banner)."""
+    from pyspark.sql import Window
+
+    d = with_words(load_table(spark, "documents", sf_dir))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode("__words").alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            # guard like shingles_expr: Spark's sequence(1, 0) DESCENDS
+            # ([1, 0]) instead of being empty, so a 1-char word would
+            # emit two phantom "bigrams" the oracle's range(1, 1) never
+            # produces
+            F.expr(
+                "CASE WHEN char_length(w) >= 2 THEN "
+                "transform(sequence(1, char_length(w) - 1), "
+                "i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    vocab = bg.select("g").distinct()
+    v = vocab.count()  # model-sized driver scalar, like IVF's cell count
+    cls = d.groupBy("lang").agg(F.count("*").alias("nd"))
+    n_docs = d.count()
+    cf = bg.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    tot = cf.groupBy("lang").agg(F.sum("c").alias("t"))
+    model = (
+        cls.select("lang")
+        .join(tot, "lang")
+        .crossJoin(vocab)
+        .join(cf, ["lang", "g"], "left")
+        .select(
+            "lang",
+            "g",
+            (
+                F.length(
+                    F.bin(
+                        F.expr(f"(t + {v}) div (coalesce(c, 0) + 1)")
+                    )
+                )
+                - F.lit(1)
+            ).alias("bits"),
+        )
+    )
+    prior = cls.select(
+        "lang",
+        (
+            F.length(F.bin(F.expr(f"{n_docs} div nd"))) - F.lit(1)
+        ).alias("pbits"),
+    )
+    doc_cnt = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    docsum = (
+        doc_cnt.join(F.broadcast(model), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("bits")).cast("bigint").alias("gbits"))
+    )
+    scores = (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .crossJoin(F.broadcast(prior.withColumnRenamed("lang", "cand_lang")))
+        .join(
+            docsum.withColumnRenamed("lang", "cand_lang"),
+            ["doc_id", "cand_lang"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "labeled_lang",
+            "cand_lang",
+            (F.coalesce("gbits", F.lit(0)) + F.col("pbits")).alias(
+                "cost_bits"
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("cost_bits", "cand_lang")
+    )
+    return (
+        scores.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.col("cand_lang").alias("predicted_lang"),
+            "cost_bits",
+        )
+    )
+
+
+@register(
+    "text_langid_model_scores",
+    oracle=_SQL_LANGID_NB
+    + """
+    SELECT doc_id, labeled_lang, cand_lang AS predicted_lang, cost_bits
+    FROM nb_best WHERE rn = 1
+    """,
+)
+def text_langid_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verdicts of the TRAINED char-bigram NB language classifier
+    (see banner): labeled lang, predicted lang, and the winning whole-bit
+    cost. Unlike the marker heuristic, the label set is learned from the
+    corpus — languages the heuristic cannot name (fr, zh here) become
+    predictable classes."""
+    return _langid_nb_scores(spark, sf_dir)
+
+
+@register(
+    "text_langid_model_confusion",
+    oracle=_SQL_LANGID_NB
+    + """
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM (SELECT labeled_lang, cand_lang AS predicted_lang
+          FROM nb_best WHERE rn = 1)
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_model_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusion cells for the trained NB langid — the measured-delta
+    counterpart of text_langid_confusion (the heuristic's matrix), so
+    every round records whether training still beats the markers."""
+    return (
+        _langid_nb_scores(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM surprisal: the CCNet-style perplexity quality filter, in
 # integer-exact form. CCNet ranks documents by the perplexity of a
 # language model over them and keeps the low-perplexity head; the
