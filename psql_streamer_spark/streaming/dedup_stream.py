@@ -37,6 +37,31 @@ from psql_streamer_spark.functions.text_hash import (
 )
 
 
+def batch_band_postings(batch_df: DataFrame) -> DataFrame:
+    """(doc_id, bkey) band postings for a (doc_id, text) frame — the SAME
+    deterministic expressions operators.dedup.band_index_table builds the
+    corpus index from. Shared by the per-batch probe (signature
+    compatibility is what makes a probe valid) and the ingest loop's
+    admit-time index append (an admitted document must be discoverable by
+    the NEXT batch's probe)."""
+    hashed = with_words(batch_df).select(
+        "doc_id", F.explode(shingles_expr(F.col("__words"))).alias("shingle")
+    ).select("doc_id", h32(F.col("shingle")).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(*minhash_agg_columns())
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+            for b, key in band_key_exprs()
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.col("bk.band").cast("string"), F.col("bk.band_key")
+        ).alias("bkey"),
+    )
+
+
 def probe_band_index(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -54,21 +79,8 @@ def probe_band_index(
     batch side is micro-batch-sized and shuffles trivially. Verification
     re-shingles ONLY the colliding corpus docs plus the batch docs.
     """
-    hashed = with_words(batch_df).select(
-        "doc_id", F.explode(shingles_expr(F.col("__words"))).alias("shingle")
-    ).select("doc_id", h32(F.col("shingle")).alias("h"))
-    sig = hashed.groupBy("doc_id").agg(*minhash_agg_columns())
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
-            for b, key in band_key_exprs()
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(bands).alias("bk")).select(
-        F.col("doc_id").alias("new_doc_id"),
-        F.concat_ws(
-            "|", F.col("bk.band").cast("string"), F.col("bk.band_key")
-        ).alias("bkey"),
+    banded = batch_band_postings(batch_df).select(
+        F.col("doc_id").alias("new_doc_id"), "bkey"
     )
     index = spark.table(index_table)
     collisions = (

@@ -166,3 +166,114 @@ def start_fused_gate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_fused_ingest_loop(
+    spark: SparkSession,
+    source_dir: str,
+    index_table: str,
+    corpus: DataFrame,
+    bloom_words: list[int],
+    bench_grams: DataFrame,
+    weights: list[int],
+    verdict_sink_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.8,
+    m_bits: int = BLOOM_M_BITS,
+):
+    """The CLOSED ingest loop: the fused gate whose near-dup state GROWS
+    with every admission. start_fused_gate_stream screens each batch
+    against a frozen corpus snapshot — correct for a backfill, wrong for
+    a live feed, where a document admitted at epoch N must reject its
+    near-copy arriving at epoch N+1. Per epoch:
+
+    1. probe against the CURRENT state — the bucketed band index (base
+       corpus + all prior admissions) for collisions, base corpus plus
+       the admitted-docs store for the exact-Jaccard verify;
+    2. write the fused verdict (per-epoch overwrite sink, idempotent);
+    3. write admitted (doc_id, text) into ``admitted_dir/epoch=N``
+       (overwrite — idempotent) and APPEND the admitted docs' band
+       postings into ``index_table`` (``insertInto`` preserves the
+       bucket spec, so probes stay bucket-local as the index grows).
+
+    Semantics and caveats, stated rather than hidden:
+    - dedup granularity is the EPOCH: two near-copies arriving in the
+      same micro-batch are both admitted (neither was indexed when the
+      batch was probed) — the same granularity every batch-admission
+      system has; shrink maxFilesPerTrigger to tighten it;
+    - the posting append is at-least-once: a retried epoch re-appends
+      its admitted postings. Duplicate postings cannot change any later
+      verdict — the probe's collision set is DISTINCT and the verify is
+      per unique (new, corpus) pair — they only cost index space, until
+      the next compaction rewrite (sources/io.compact_parquet);
+    - rejected documents leave NO trace in the index or the admitted
+      store: a contaminated or low-quality document must not become
+      dedup state (its near-copy arriving later is judged on its own
+      merits — the copy of a REJECTED doc may still be admissible).
+
+    Pass an index table the loop may own (e.g. a copy of
+    band_index_table's output) — the appends mutate it."""
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(source_dir)
+    )
+
+    def _gate(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            admitted_so_far = (
+                spark.read.option("basePath", admitted_dir)
+                .parquet(admitted_dir + "/epoch=*")
+                .select("doc_id", "text")
+            )
+            live_corpus = corpus.select("doc_id", "text").unionByName(
+                admitted_so_far
+            )
+        except AnalysisException:  # no admissions yet
+            live_corpus = corpus.select("doc_id", "text")
+
+        tokenized = with_words(batch_df).persist()
+        try:
+            verdicts = fused_gate_verdicts(
+                spark,
+                tokenized,
+                index_table,
+                live_corpus,
+                bloom_words,
+                bench_grams,
+                weights,
+                jaccard_threshold,
+                m_bits,
+            ).persist()
+            verdicts.write.mode("overwrite").parquet(
+                f"{verdict_sink_dir}/epoch={epoch_id:012d}"
+            )
+            admitted = tokenized.join(
+                F.broadcast(
+                    verdicts.filter(F.col("admit")).select("doc_id")
+                ),
+                "doc_id",
+            )
+            admitted.select("doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(f"{admitted_dir}/epoch={epoch_id:012d}")
+            from psql_streamer_spark.streaming.dedup_stream import (
+                batch_band_postings,
+            )
+
+            batch_band_postings(admitted).write.insertInto(
+                index_table, overwrite=False
+            )
+            verdicts.unpersist()
+        finally:
+            tokenized.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

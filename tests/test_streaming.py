@@ -1138,6 +1138,144 @@ def test_streaming_fused_gate(spark, tmp_path):
     }
 
 
+def test_fused_ingest_loop_admissions_become_dedup_state(spark, tmp_path):
+    """The closed ingest loop: a document ADMITTED at epoch N must reject
+    its near-copy at epoch N+1 (admission appends band postings + the
+    text store), while a REJECTED document leaves no trace (its later
+    near-copy is judged on its own merits)."""
+    import json as _json
+
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_BUCKETS,
+        band_index_table,
+    )
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.fused_gate import (
+        start_fused_ingest_loop,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, "documents", SF_SMALL)
+    # a PRIVATE index copy the loop may mutate (the shared app-scoped
+    # band index must stay pristine for other tests in this session)
+    base = band_index_table(spark, SF_SMALL)
+    loop_tbl = "fused_loop_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+    (
+        spark.table(base)
+        .write.bucketBy(BAND_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .saveAsTable(loop_tbl)
+    )
+    base_rows = spark.table(loop_tbl).count()
+
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+
+    # fixture texts from the corpus vocabulary: A passes the gate and is
+    # near nothing in the corpus (scrambled word order kills 3-gram
+    # overlap); B is A with the LAST word changed (near-dup of A);
+    # C quality-passes but leaks a battery 5-gram (contaminated);
+    # D is C's near-copy.
+    vocab = sorted(
+        r.word
+        for r in with_words(d)
+        .select(F.explode("__words").alias("word"))
+        .distinct()
+        .collect()
+    )
+    a_words = [vocab[(7 * i + 3) % len(vocab)] for i in range(40)]
+    b_words = a_words[:-1] + [vocab[(len(a_words) * 9) % len(vocab)]]
+    eval_doc = (
+        d.filter(F.col("source") == DECONTAM_EVAL_SOURCE)
+        .select("text")
+        .first()
+        .text
+    )
+    leak = " ".join(eval_doc.lower().split()[:DECONTAM_K])
+    c_words = a_words[::-1][:20] + leak.split() + a_words[5:15]
+    d_words = c_words[:-1] + [vocab[1]]
+
+    src = tmp_path / "loop_src"
+    src.mkdir()
+    (src / "e0.json").write_text(
+        _json.dumps({"doc_id": 9001, "text": " ".join(a_words)})
+        + "\n"
+        + _json.dumps({"doc_id": 9003, "text": " ".join(c_words)})
+        + "\n"
+    )
+    (src / "e1.json").write_text(
+        _json.dumps({"doc_id": 9002, "text": " ".join(b_words)})
+        + "\n"
+        + _json.dumps({"doc_id": 9004, "text": " ".join(d_words)})
+        + "\n"
+    )
+
+    verdict_dir = str(tmp_path / "loop_verdicts")
+    admitted_dir = str(tmp_path / "loop_admitted")
+    try:
+        q = start_fused_ingest_loop(
+            spark,
+            str(src),
+            loop_tbl,
+            d,
+            bloom_words,
+            bench_grams,
+            w,
+            verdict_dir,
+            admitted_dir,
+            str(tmp_path / "ckpt_loop"),
+        )
+        assert q.awaitTermination(240), "loop did not drain"
+
+        v = {
+            r.doc_id: r
+            for r in spark.read.parquet(verdict_dir).collect()
+        }
+        assert set(v) == {9001, 9002, 9003, 9004}
+        # epochs are processed in file order; whichever of A/B landed
+        # first was admitted and must reject the other as ITS near-dup
+        first, second = (9001, 9002) if v[9001].admit else (9002, 9001)
+        assert v[first].admit and v[first].n_near_dup == 0
+        assert not v[second].admit
+        assert v[second].n_near_dup > 0
+        assert v[second].max_jaccard >= 0.8
+        # C rejected for contamination (not near-dup), leaves NO trace:
+        # D shares C's leak (also contaminated) but is near-dup of NOTHING
+        assert v[9003].contaminated and not v[9003].admit
+        assert v[9004].contaminated and v[9004].n_near_dup == 0
+        # state artifacts: admitted store holds exactly the admitted doc,
+        # and the index grew by its postings only
+        admitted = spark.read.parquet(admitted_dir)
+        assert {r.doc_id for r in admitted.collect()} == {first}
+        grown = spark.table(loop_tbl).count()
+        assert grown > base_rows
+        assert (
+            spark.table(loop_tbl)
+            .filter(F.col("doc_id") == second)
+            .count()
+            == 0
+        ), "a rejected doc's postings must never enter the index"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+
+
 def test_streaming_lake_retention_leg(spark, dirs):
     """The lake lifecycle's retention leg on the STREAMING-written layout:
     expire_partitions must operate on what ParquetSink actually produces
