@@ -576,6 +576,93 @@ def _run_fused_config(
     }
 
 
+def _run_mm_neardup_config(
+    spark, work: str, sf_dir: str, docs_per_file: int, files_per_trigger: int
+) -> dict:
+    """Ingest-time MEDIA near-dup alerting throughput (r14): every
+    arriving payload is histogrammed, signed under the posting table's
+    stored centering model, screened bucket-locally against only its
+    touched buckets, and exact-cosine verified
+    (streaming/mm_dedup_stream.probe_mm_bucket_index). The posting table
+    is materialized once (index_build_sec, ingest-amortized)."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.operators.multimodal import (
+        mm_bucket_index_table,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.mm_dedup_stream import (
+        probe_mm_bucket_index,
+    )
+
+    t0 = time.time()
+    index_table = mm_bucket_index_table(spark, sf_dir)
+    index_build_sec = time.time() - t0
+
+    tag = f"mm_neardup_{docs_per_file}x{files_per_trigger}"
+    src = os.path.join(work, tag, "src")
+    ckpt = os.path.join(work, tag, "ckpt")
+    out = os.path.join(work, tag, "out")
+    docs = load_table(spark, "documents", sf_dir).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    n = docs.count()
+    n_files = max(1, (n + docs_per_file - 1) // docs_per_file)
+    docs.repartition(n_files).write.mode("overwrite").json(src)
+
+    batch_times: list[float] = []
+    batch_sizes: list[int] = []
+
+    def _probe(batch_df, epoch_id):
+        batch_df.persist()
+        batch_sizes.append(batch_df.count())
+        t0 = time.time()
+        media = batch_df.select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        probe_mm_bucket_index(spark, media, index_table).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"epoch={epoch_id:012d}"))
+        batch_times.append(time.time() - t0)
+        batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .json(src)
+    )
+    t0 = time.time()
+    q = (
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    n_alerts = spark.read.parquet(out).count() if batch_times else 0
+    lat_ms = sorted(t * 1000 for t in batch_times) or [0.0]
+    sizes = sorted(batch_sizes) or [0]
+    return {
+        "events": n,
+        "index_build_sec": round(index_build_sec, 3),
+        "events_per_batch_measured": {
+            "min": sizes[0],
+            "p50": int(statistics.median(sizes)),
+            "max": sizes[-1],
+        },
+        "batches": len(batch_times),
+        "alerts": n_alerts,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1),
+        "batch_latency_ms": {
+            "p50": round(statistics.median(lat_ms), 1),
+            "mean": round(statistics.fmean(lat_ms), 1),
+            "max": round(lat_ms[-1], 1),
+        },
+    }
+
+
 def main() -> None:
     from psql_streamer_spark.session import get_spark
     from psql_streamer_spark.streaming.sinks import ParquetSink
@@ -681,6 +768,13 @@ def main() -> None:
                 ), 500, 1
             ),
             "fused_gate_bulk": _run_fused_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2
+            ),
+            # ingest-time MEDIA near-dup probe (r14): payloads signed
+            # under the posting table's stored model, bucket-local screen
+            "mm_neardup_bulk": _run_mm_neardup_config(
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
                 ), 2_500, 2

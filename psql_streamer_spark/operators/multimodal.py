@@ -636,9 +636,23 @@ def mm_bucket_index_table(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .saveAsTable(table)
         )
+        # the centering model rides beside the postings: a STREAMING
+        # probe must sign brand-new payloads with the same (n, S, mask)
+        # the index was built under — signature compatibility, the same
+        # contract as the band index's shared expressions
+        spark.createDataFrame(
+            [(n_docs, S, _mm_planes(n_docs))],
+            "n_docs long, s array<long>, planes int",
+        ).write.mode("overwrite").saveAsTable(f"{table}__model")
         hist.unpersist()
 
     return app_scoped_bucketed_table(spark, f"mm_bucket_index_{tag}", _build)
+
+
+def mm_bucket_index_model(spark: SparkSession, table: str) -> tuple:
+    """(n_docs, S, planes) the posting table was signed under."""
+    r = spark.table(f"{table}__model").head()
+    return int(r.n_docs), [int(x) for x in r.s], int(r.planes)
 
 
 def mm_incremental_candidates(
@@ -664,6 +678,19 @@ def mm_incremental_candidates(
         bucket = _MM_DELTA_BUCKET
     is_new = md5_bucket(F.col("doc_id"), _MM_DELTA_BUCKETS) == bucket
     posts = idx.select("skey", "doc_id", "e", is_new.alias("is_new"))
+    return screen_delta_posts(posts)
+
+
+def screen_delta_posts(posts: DataFrame) -> DataFrame:
+    """Bucket-local delta-vs-bucket cosine screen over a
+    (skey, doc_id, e, is_new) posting frame: one numpy matmul per skey
+    group of its is_new rows against the whole group, pairs at
+    MM_COSINE_DUP - 1e-6 (the full miner's screen threshold, strictly
+    below the verify threshold so screening is lossless). Shared by the
+    incremental miner (delta = an md5 bucket of the index) and the
+    streaming probe (delta = a micro-batch's fresh postings)."""
+    import numpy as np
+
     screen_thr = MM_COSINE_DUP - 1e-6
 
     def _delta_screen(pdf: pd.DataFrame) -> pd.DataFrame:

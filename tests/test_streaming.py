@@ -1138,6 +1138,80 @@ def test_streaming_fused_gate(spark, tmp_path):
     }
 
 
+def test_streaming_mm_near_dup_alerts(spark, tmp_path):
+    """Ingest-time MEDIA near-dup: brand-new payloads streamed in
+    micro-batches probe the materialized posting table under its stored
+    centering model. A streamed byte-copy of corpus doc X must alert on
+    exactly {X} ∪ {y : (X, y) is a batch-miner pair} — the exact-dup
+    guarantee plus neighborhood parity with mm_dedup_embedding."""
+    import json as _json
+
+    from psql_streamer_spark.operators.dedup import (
+        DELTA_BUCKET,
+        DELTA_BUCKETS,
+    )
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+    from psql_streamer_spark.operators.multimodal import (
+        mm_bucket_index_table,
+        mm_dedup_embedding,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.mm_dedup_stream import (
+        start_mm_near_dup_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"  # smallest SF with near-dup pairs
+    d = load_table(spark, "documents", sf)
+    # stream byte-copies of the delta-bucket docs under OFFSET ids
+    OFFSET = 10_000_000
+    incoming = (
+        d.filter(md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert incoming
+    src = tmp_path / "mm_incoming"
+    src.mkdir()
+    half = max(1, len(incoming) // 2)
+    for i, chunk in enumerate([incoming[:half], incoming[half:]]):
+        if not chunk:
+            continue
+        (src / f"b{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": r.doc_id + OFFSET, "text": r.text})
+                for r in chunk
+            )
+            + "\n"
+        )
+
+    table = mm_bucket_index_table(spark, sf)
+    q = start_mm_near_dup_stream(
+        spark,
+        str(src),
+        table,
+        str(tmp_path / "mm_alerts"),
+        str(tmp_path / "ckpt_mm"),
+    )
+    assert q.awaitTermination(240), "mm stream did not drain"
+
+    alerts: dict = {}
+    for r in spark.read.parquet(str(tmp_path / "mm_alerts")).collect():
+        alerts.setdefault(r.new_doc_id - OFFSET, set()).add(r.corpus_doc_id)
+
+    full = mm_dedup_embedding(spark, sf).collect()
+    want: dict = {}
+    for r in incoming:
+        # the byte-copy must at minimum find its own original ...
+        want[r.doc_id] = {r.doc_id}
+    for p in full:
+        # ... plus every batch-miner neighbor of the original
+        if p.doc_a in want:
+            want[p.doc_a].add(p.doc_b)
+        if p.doc_b in want:
+            want[p.doc_b].add(p.doc_a)
+    assert alerts == want
+
+
 def test_fused_ingest_loop_admissions_become_dedup_state(spark, tmp_path):
     """The closed ingest loop: a document ADMITTED at epoch N must reject
     its near-copy at epoch N+1 (admission appends band postings + the
