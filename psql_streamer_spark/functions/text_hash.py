@@ -65,11 +65,14 @@ def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
     attribute (computed once per row; CollapseProject keeps multiply-
     referenced non-cheap aliases materialized).
 
-    Idempotent: a frame that already carries `__words` passes through
-    unchanged — this is what lets the fused ingest gate tokenize a
-    micro-batch ONCE (and persist it) while every downstream probe keeps
-    calling with_words defensively."""
-    if "__words" in df.columns:
+    Idempotent for the DEFAULT column: a frame that already carries
+    `__words` passes through unchanged — this is what lets the fused
+    ingest gate tokenize a micro-batch ONCE (and persist it) while every
+    downstream probe keeps calling with_words defensively. A
+    non-default ``text_col`` always recomputes (withColumn replaces the
+    stale `__words`), so asking for a different column can never be
+    silently served the old tokens."""
+    if text_col == "text" and "__words" in df.columns:
         return df
     return df.withColumn("__words", words_expr(text_col))
 

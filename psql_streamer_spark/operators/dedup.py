@@ -2535,6 +2535,27 @@ BAND_INDEX_SWEEP_AGE_SEC = 6 * 3600
 
 
 
+def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
+    """Refresh the warehouse-dir mtime of an app-scoped index table.
+
+    The first-use litter sweep's age gate treats a RECENT mtime as "a
+    live app owns this" — but reads never update mtime, so a >gate-lived
+    READ-ONLY consumer (a streaming probe running for hours against an
+    index built at startup) would look dead to a newly starting app.
+    Probes call this once per invocation (one utime syscall on the local
+    FS the warehouse mechanism targets); failures are ignored — worst
+    case the gate's age protection is all that's left, as before."""
+    from urllib.parse import urlparse
+
+    try:
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        os.utime(os.path.join(warehouse, table), None)
+    except OSError:
+        pass
+
+
 def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
     """Shared per-app warehouse-table discipline for build-once bucketed
     indexes (band_index_table's contract, factored for reuse by the mm
@@ -2542,7 +2563,15 @@ def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
     each other's live files), stale same-name dir cleared before rebuild,
     and a first-use age-gated sweep of dead apps' leftovers under the
     same ``<base>_`` prefix. ``build(table_name)`` must saveAsTable the
-    content (deterministic, so any app's rebuild is equivalent)."""
+    content (deterministic, so any app's rebuild is equivalent).
+
+    Sweep safety: the age gate is the guard — a live WRITER's dir is
+    younger than the gate by construction, and long-lived READ-ONLY
+    consumers keep their dir young via touch_app_table_liveness (called
+    by every probe). The prefix match may also catch a sibling dataset
+    whose tag extends this one ('..._sf0_1' vs '..._sf0_1_extra');
+    that's still litter-vs-live decided by the same age+liveness gate,
+    never a correctness issue."""
     import re as _re
     import shutil
     from urllib.parse import urlparse

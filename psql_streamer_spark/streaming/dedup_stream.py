@@ -79,6 +79,11 @@ def probe_band_index(
     batch side is micro-batch-sized and shuffles trivially. Verification
     re-shingles ONLY the colliding corpus docs plus the batch docs.
     """
+    from psql_streamer_spark.operators.dedup import (
+        touch_app_table_liveness,
+    )
+
+    touch_app_table_liveness(spark, index_table)  # see its docstring
     banded = batch_band_postings(batch_df).select(
         F.col("doc_id").alias("new_doc_id"), "bkey"
     )

@@ -223,11 +223,21 @@ def start_fused_ingest_loop(
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        # Replay idempotence: a retried epoch (crash AFTER the posting
+        # append, BEFORE the checkpoint commit) finds its OWN prior
+        # admissions in both the index and the admitted store. Excluding
+        # the batch's doc_ids from the verify corpus makes those ghosts
+        # inert — ghost postings still band-collide, but a collision
+        # whose partner has no verify text is dropped, so the replay
+        # reproduces the first attempt's verdicts exactly (pinned by
+        # test_fused_ingest_loop_replay_reproduces_verdicts).
+        batch_ids = batch_df.select("doc_id").distinct()
         try:
             admitted_so_far = (
                 spark.read.option("basePath", admitted_dir)
                 .parquet(admitted_dir + "/epoch=*")
                 .select("doc_id", "text")
+                .join(F.broadcast(batch_ids), "doc_id", "anti")
             )
             live_corpus = corpus.select("doc_id", "text").unionByName(
                 admitted_so_far
@@ -236,6 +246,7 @@ def start_fused_ingest_loop(
             live_corpus = corpus.select("doc_id", "text")
 
         tokenized = with_words(batch_df).persist()
+        verdicts = None
         try:
             verdicts = fused_gate_verdicts(
                 spark,
@@ -267,8 +278,9 @@ def start_fused_ingest_loop(
             batch_band_postings(admitted).write.insertInto(
                 index_table, overwrite=False
             )
-            verdicts.unpersist()
         finally:
+            if verdicts is not None:
+                verdicts.unpersist()
             tokenized.unpersist()
 
     return (

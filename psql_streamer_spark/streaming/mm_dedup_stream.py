@@ -22,6 +22,10 @@ anything indexed" — answered at arrival. The shape:
 - alerts are (new_doc_id, corpus_doc_id, cosine) at MM_COSINE_DUP, with
   byte-identical payloads found with probability 1 (identical payload =>
   identical histogram => identical signature under the shared model).
+  Scope of the guarantee: payloads under 2 bytes yield no bigram
+  histogram and are skipped by the extractor — on BOTH the index and
+  probe sides, exactly as the batch miner skips them — so a sub-2-byte
+  payload is out of the near-dup domain entirely, never half-indexed.
 
 Batch-internal pairs (two new near-copies in one micro-batch) are NOT
 emitted — the same epoch granularity as the text probe; shrink
@@ -99,6 +103,11 @@ def probe_mm_bucket_index(
     touched buckets) — the semi-join prunes the index scan to the batch's
     skeys before the screen, and the verify joins vectors carried by the
     batch frame and the postings (no corpus read)."""
+    from psql_streamer_spark.operators.dedup import (
+        touch_app_table_liveness,
+    )
+
+    touch_app_table_liveness(spark, index_table)  # see its docstring
     new_posts = batch_mm_postings(spark, batch_df, index_table)
     idx = spark.table(index_table)
     touched = new_posts.select("skey").distinct()

@@ -1300,6 +1300,13 @@ def test_fused_ingest_loop_admissions_become_dedup_state(spark, tmp_path):
         + _json.dumps({"doc_id": 9004, "text": " ".join(d_words)})
         + "\n"
     )
+    # FileStreamSource orders by modification time: pin e0 before e1
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "e0.json", (now - 120, now - 120))
+    _os.utime(src / "e1.json", (now - 60, now - 60))
 
     verdict_dir = str(tmp_path / "loop_verdicts")
     admitted_dir = str(tmp_path / "loop_admitted")
@@ -1346,6 +1353,140 @@ def test_fused_ingest_loop_admissions_become_dedup_state(spark, tmp_path):
             .count()
             == 0
         ), "a rejected doc's postings must never enter the index"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+
+
+def test_fused_ingest_loop_replay_reproduces_verdicts(spark, tmp_path):
+    """The loop's retry/rewind contract: a FULL replay (fresh checkpoint,
+    same sinks, index already holding the first run's appended postings)
+    must reproduce the first run's verdicts exactly. The trap this pins:
+    epoch N's own prior admissions are ghosts during its replay — two
+    same-epoch near-copies admitted together must BOTH stay admitted on
+    replay (the batch-id exclusion makes ghost collisions unverifiable),
+    not flip to mutual rejection."""
+    import json as _json
+    import shutil
+
+    from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_BUCKETS,
+        band_index_table,
+    )
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.fused_gate import (
+        start_fused_ingest_loop,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, "documents", SF_SMALL)
+    base = band_index_table(spark, SF_SMALL)
+    loop_tbl = "fused_loop_replay_test"
+    spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+    (
+        spark.table(base)
+        .write.bucketBy(BAND_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .saveAsTable(loop_tbl)
+    )
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+
+    vocab = sorted(
+        r.word
+        for r in with_words(d)
+        .select(F.explode("__words").alias("word"))
+        .distinct()
+        .collect()
+    )
+    x_words = [vocab[(11 * i + 5) % len(vocab)] for i in range(40)]
+    y_words = x_words[:-1] + [vocab[2]]  # same-epoch near-copy of X
+    z_words = x_words[:-2] + [vocab[3], vocab[4]]  # next-epoch near-copy
+
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    (src / "e0.json").write_text(
+        _json.dumps({"doc_id": 9101, "text": " ".join(x_words)})
+        + "\n"
+        + _json.dumps({"doc_id": 9102, "text": " ".join(y_words)})
+        + "\n"
+    )
+    (src / "e1.json").write_text(
+        _json.dumps({"doc_id": 9103, "text": " ".join(z_words)}) + "\n"
+    )
+    # FileStreamSource orders by modification time: pin e0 strictly
+    # before e1 so "same-epoch" / "next-epoch" mean what the test says
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "e0.json", (now - 120, now - 120))
+    _os.utime(src / "e1.json", (now - 60, now - 60))
+    verdict_dir = str(tmp_path / "replay_verdicts")
+    admitted_dir = str(tmp_path / "replay_admitted")
+
+    def run(ckpt: str) -> dict:
+        q = start_fused_ingest_loop(
+            spark,
+            str(src),
+            loop_tbl,
+            d,
+            bloom_words,
+            bench_grams,
+            w,
+            verdict_dir,
+            admitted_dir,
+            ckpt,
+        )
+        assert q.awaitTermination(240), "loop did not drain"
+        return {
+            r.doc_id: (r.admit, r.n_near_dup, r.contaminated)
+            for r in spark.read.parquet(verdict_dir).collect()
+        }
+
+    try:
+        first = run(str(tmp_path / "ckpt_a"))
+        # same-epoch near-copies: both admitted (epoch granularity);
+        # the next-epoch copy rejects against the indexed admissions
+        assert first[9101][0] and first[9102][0], first
+        assert not first[9103][0] and first[9103][1] > 0, first
+        rows_after_first = spark.table(loop_tbl).count()
+
+        # full replay: fresh checkpoint, same sinks, ghost postings live
+        shutil.rmtree(str(tmp_path / "ckpt_a"))
+        second = run(str(tmp_path / "ckpt_b"))
+        assert second == first  # verdict-identical, ghosts inert
+        # admitted store converged (overwrite), index grew only by the
+        # replay's re-appended postings of the SAME admitted docs
+        admitted = spark.read.parquet(admitted_dir)
+        assert {r.doc_id for r in admitted.collect()} == {9101, 9102}
+        assert (
+            spark.table(loop_tbl)
+            .filter(F.col("doc_id").isin(9101, 9102))
+            .select("doc_id", "bkey")
+            .distinct()
+            .count()
+            == spark.table(loop_tbl)
+            .filter(F.col("doc_id").isin(9101, 9102))
+            .count()
+            // 2
+        ), "replay re-appends duplicates of the same postings, nothing new"
+        assert spark.table(loop_tbl).count() > rows_after_first
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
 
