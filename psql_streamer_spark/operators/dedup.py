@@ -2535,6 +2535,66 @@ BAND_INDEX_SWEEP_AGE_SEC = 6 * 3600
 
 
 
+# the hot-bucket reporting threshold for the index-stats diagnostic: a
+# bucket bigger than this contributes O(cap^2) candidate pairs on its
+# own — the same magnitude minhash_lsh_candidates' optional guard exists
+# for (its callers pick the enforcement cap per corpus; this constant
+# only defines what the REPORT counts as hot, shared with its oracle)
+BAND_BUCKET_CAP = 64
+
+_SQL_BAND_INDEX_STATS = f"""
+    WITH {_SQL_SHINGLE_CTE},
+    hashed AS (SELECT doc_id, {SQL_H32.format(s='shingle')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sql_minhash_aggs()} FROM hashed GROUP BY doc_id),
+    banded AS ({_band_selects}),
+    buckets AS (
+      SELECT band, band_key, COUNT(*) AS cnt
+      FROM banded GROUP BY band, band_key
+    )
+    SELECT band,
+           CAST(SUM(cnt) AS BIGINT) AS n_postings,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+           CAST(COUNT(*) FILTER (WHERE cnt > {BAND_BUCKET_CAP})
+                AS BIGINT) AS n_hot_buckets
+    FROM buckets GROUP BY band
+"""
+
+
+@register("dedup_band_index_stats", oracle=_SQL_BAND_INDEX_STATS)
+def dedup_band_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band occupancy profile of the LSH band index: postings,
+    distinct buckets, the largest bucket, and how many buckets exceed
+    BAND_BUCKET_CAP (the hot-bucket guard's threshold). This is the
+    skew diagnostic an index OWNER runs before the index hurts: a band
+    whose max_bucket explodes means boilerplate keys are concentrating
+    (the failure mode the cap, the df-capped tiers, and the r14 screened
+    mm probe all exist for) — watch it per ingest day, re-shard or cap
+    when it trends. One aggregate over the banded frame; |bands| output
+    rows at any corpus scale."""
+    sig = _minhash_signatures(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+            for b, key in band_key_exprs()
+        ]
+    )
+    banded = sig.select(F.explode(bands).alias("bk")).select(
+        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.count("*").alias("cnt")
+    )
+    return buckets.groupBy("band").agg(
+        F.sum("cnt").cast("bigint").alias("n_postings"),
+        F.count("*").alias("n_buckets"),
+        F.max("cnt").cast("bigint").alias("max_bucket"),
+        F.count_if(F.col("cnt") > BAND_BUCKET_CAP)
+        .cast("bigint")
+        .alias("n_hot_buckets"),
+    )
+
+
 def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
     """Refresh the warehouse-dir mtime of an app-scoped index table.
 

@@ -758,3 +758,76 @@ def mm_dedup_embedding_incremental(
         .filter(F.col("cosine") >= MM_COSINE_DUP)
     )
     return persist_for(cand, result)
+
+
+from psql_streamer_spark.operators.dedup import (  # noqa: E402
+    BAND_BUCKET_CAP as _MM_HOT_CAP,
+)
+
+_SQL_MM_INDEX_STATS = (
+    _SQL_MM_PREFIX
+    + f""",
+    skeyed AS (
+      SELECT tbl, tbl::VARCHAR || '|' || bucket::VARCHAR AS skey
+      FROM sig
+    ),
+    occ AS (SELECT tbl, skey, COUNT(*) AS cnt FROM skeyed GROUP BY tbl, skey)
+    SELECT tbl,
+           CAST(SUM(cnt) AS BIGINT) AS n_postings,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+           CAST(COUNT(*) FILTER (WHERE cnt > {_MM_HOT_CAP})
+                AS BIGINT) AS n_hot_buckets
+    FROM occ GROUP BY tbl
+"""
+)
+
+
+@register("mm_index_stats", oracle=_SQL_MM_INDEX_STATS)
+def mm_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table occupancy profile of the mm posting index — the media
+    twin of dedup_band_index_stats, and the diagnostic that PREDICTED
+    this round's incremental-probe rework: hot hyperplane buckets (the
+    replica payloads sharing buckets) made a raw delta-vs-bucket join
+    explode to 15.5M pairs; max_bucket / n_hot_buckets is the number an
+    index owner watches to know the screen (not a join) must do the
+    mining. One aggregate over the signature frame; |tables| output rows
+    at any corpus scale."""
+    hist = _mm_hist_frame(spark, sf_dir).persist()
+    n_docs = hist.count()
+    sums = (
+        hist.select(F.posexplode("h").alias("d", "c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
+    S = [0] * MM_HIST_DIM
+    for r in sums:
+        S[r.d] = r.s
+    s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
+    ec = F.zip_with(
+        F.col("h"), s_lit, lambda x, s: (x * F.lit(n_docs) - s).cast("double")
+    )
+    v = hist.select("doc_id", ec.alias("ec"))
+    mask = (1 << _mm_planes(n_docs)) - 1
+    sig = None
+    for t in range(_MM_TABLES):
+        part = v.select(
+            F.lit(t).alias("tbl"),
+            _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        sig = part if sig is None else sig.unionByName(part)
+    occ = sig.groupBy("tbl", "bucket").agg(F.count("*").alias("cnt"))
+    out = occ.groupBy("tbl").agg(
+        F.sum("cnt").cast("bigint").alias("n_postings"),
+        F.count("*").alias("n_buckets"),
+        F.max("cnt").cast("bigint").alias("max_bucket"),
+        F.count_if(F.col("cnt") > _MM_HOT_CAP)
+        .cast("bigint")
+        .alias("n_hot_buckets"),
+    )
+    from psql_streamer_spark.caching import persist_for
+
+    return persist_for(hist, out)
