@@ -2570,17 +2570,18 @@ def dedup_band_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose max_bucket explodes means boilerplate keys are concentrating
     (the failure mode the cap, the df-capped tiers, and the r14 screened
     mm probe all exist for) — watch it per ingest day, re-shard or cap
-    when it trends. One aggregate over the banded frame; |bands| output
-    rows at any corpus scale."""
-    sig = _minhash_signatures(spark, sf_dir)
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
-            for b, key in band_key_exprs()
-        ]
-    )
-    banded = sig.select(F.explode(bands).alias("bk")).select(
-        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    when it trends.
+
+    Profiles the MATERIALIZED posting table itself (band_index_table's
+    bkey folds '<band>|<key>' bijectively, so the band parses back out)
+    rather than re-signing the corpus: the stat reads what the probes
+    actually probe, reuses the build-once artifact, and costs one
+    aggregate over the bucketed scan — |bands| output rows at any
+    corpus scale."""
+    idx = spark.table(band_index_table(spark, sf_dir))
+    banded = idx.select(
+        F.split(F.col("bkey"), r"\|", 2).getItem(0).cast("int").alias("band"),
+        F.col("bkey").alias("band_key"),
     )
     buckets = banded.groupBy("band", "band_key").agg(
         F.count("*").alias("cnt")
@@ -2602,9 +2603,13 @@ def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
     live app owns this" — but reads never update mtime, so a >gate-lived
     READ-ONLY consumer (a streaming probe running for hours against an
     index built at startup) would look dead to a newly starting app.
-    Probes call this once per invocation (one utime syscall on the local
-    FS the warehouse mechanism targets); failures are ignored — worst
-    case the gate's age protection is all that's left, as before."""
+    Called on EVERY app_scoped_bucketed_table resolution (the tableExists
+    fast path every batch consumer goes through) and once per streaming
+    probe invocation (probes receive the table NAME, not the resolver).
+    One utime syscall on the local FS the warehouse mechanism targets; a
+    failure falls back to the age gate alone — and is WARNED once per
+    table, because a silently absent liveness signal would re-open the
+    sweep race for >gate-lived readers."""
     from urllib.parse import urlparse
 
     try:
@@ -2612,8 +2617,21 @@ def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
             spark.conf.get("spark.sql.warehouse.dir")
         ).path
         os.utime(os.path.join(warehouse, table), None)
-    except OSError:
-        pass
+    except OSError as exc:
+        if table not in _TOUCH_WARNED:
+            _TOUCH_WARNED.add(table)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "liveness touch failed for warehouse table %s (%s): "
+                "only the %ss age gate protects it from litter sweeps",
+                table,
+                exc,
+                BAND_INDEX_SWEEP_AGE_SEC,
+            )
+
+
+_TOUCH_WARNED: set = set()
 
 
 def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
@@ -2627,8 +2645,10 @@ def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
 
     Sweep safety: the age gate is the guard — a live WRITER's dir is
     younger than the gate by construction, and long-lived READ-ONLY
-    consumers keep their dir young via touch_app_table_liveness (called
-    by every probe). The prefix match may also catch a sibling dataset
+    consumers keep their dir young via touch_app_table_liveness
+    (refreshed on every resolver fast-path hit here, and once per
+    invocation by the streaming probes, which receive the table name
+    rather than resolving it). The prefix match may also catch a sibling dataset
     whose tag extends this one ('..._sf0_1' vs '..._sf0_1_extra');
     that's still litter-vs-live decided by the same age+liveness gate,
     never a correctness issue."""
@@ -2662,6 +2682,11 @@ def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
                     if old:
                         shutil.rmtree(d, ignore_errors=True)
         build(table)
+    else:
+        # fast path = an existing consumer resolving its table: refresh
+        # liveness here so EVERY batch consumer (not just the streaming
+        # probes) keeps its dir younger than the sweep gate
+        touch_app_table_liveness(spark, table)
     return table
 
 

@@ -379,6 +379,56 @@ def _mm_hist_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm_hist_from(_media_frame(spark, sf_dir))
 
 
+def _mm_model_of(hist: DataFrame) -> tuple:
+    """(n_docs, S) centering model of a histogram frame: the corpus doc
+    count and per-dimension column sums (model-sized driver state, the
+    k-means discipline)."""
+    n_docs = hist.count()
+    sums = (
+        hist.select(F.posexplode("h").alias("d", "c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
+    S = [0] * MM_HIST_DIM
+    for r in sums:
+        S[r.d] = r.s
+    return n_docs, S
+
+
+def _mm_signed_postings(
+    hist: DataFrame, n_docs: int, S: list, planes: int
+) -> DataFrame:
+    """(doc_id, tbl, bucket, e) hyperplane postings of a histogram frame
+    under the centering model (n_docs, S) with ``planes`` signature bits
+    — THE single definition of the center->sign->mask pipeline, shared by
+    the full miner, the posting-index build, the streaming batch signer,
+    and the occupancy diagnostic (a drifted copy of this block would make
+    an index and its probes silently incompatible)."""
+    s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
+    ec = F.zip_with(
+        F.col("h"), s_lit, lambda x, s: (x * F.lit(n_docs) - s).cast("double")
+    )
+    v = hist.select(
+        "doc_id",
+        ec.alias("ec"),
+        F.col("h").cast("array<double>").alias("e"),
+    )
+    mask = (1 << planes) - 1
+    sig = None
+    for t in range(_MM_TABLES):
+        part = v.select(
+            "doc_id",
+            F.lit(t).alias("tbl"),
+            _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+            "e",
+        )
+        sig = part if sig is None else sig.unionByName(part)
+    return sig
+
+
 _mm_pair_selects = " UNION ALL ".join(
     f"SELECT doc_id, {t} AS tbl,"
     f" ({_mm_signature_sql(t, 'ec', _MM_MAX_PLANES)})"
@@ -490,39 +540,13 @@ def mm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from psql_streamer_spark.caching import persist_for
 
     hist = _mm_hist_frame(spark, sf_dir).persist()
-    n_docs = hist.count()  # also materializes the persist
-    sums = (
-        hist.select(F.posexplode("h").alias("d", "c"))
-        .groupBy("d")
-        .agg(F.sum("c").alias("s"))
-        .collect()
-    )
-    S = [0] * MM_HIST_DIM
-    for r in sums:
-        S[r.d] = r.s
-    s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
-    ec = F.zip_with(
-        F.col("h"), s_lit, lambda x, s: (x * F.lit(n_docs) - s).cast("double")
-    )
+    n_docs, S = _mm_model_of(hist)  # count also materializes the persist
     v = hist.select(
         "doc_id",
         F.col("h").cast("array<double>").alias("e"),
-        ec.alias("ec"),
     ).withColumn("nrm", _mm_norm(F.col("e")))
-
-    mask = (1 << _mm_planes(n_docs)) - 1
     screen_thr = MM_COSINE_DUP - 1e-6
-    sig = None
-    for t in range(_MM_TABLES):
-        part = v.select(
-            "doc_id",
-            "e",
-            F.lit(t).alias("tbl"),
-            _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
-            .bitwiseAND(F.lit(mask))
-            .alias("bucket"),
-        )
-        sig = part if sig is None else sig.unionByName(part)
+    sig = _mm_signed_postings(hist, n_docs, S, _mm_planes(n_docs))
 
     def _bucket_screen(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -589,47 +613,21 @@ def mm_bucket_index_table(spark: SparkSession, sf_dir: str) -> str:
 
     def _build(table: str) -> None:
         hist = _mm_hist_frame(spark, sf_dir).persist()
-        n_docs = hist.count()
-        sums = (
-            hist.select(F.posexplode("h").alias("d", "c"))
-            .groupBy("d")
-            .agg(F.sum("c").alias("s"))
-            .collect()
-        )
-        S = [0] * MM_HIST_DIM
-        for r in sums:
-            S[r.d] = r.s
-        s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
-        ec = F.zip_with(
-            F.col("h"),
-            s_lit,
-            lambda x, s: (x * F.lit(n_docs) - s).cast("double"),
-        )
-        v = hist.select(
+        n_docs, S = _mm_model_of(hist)
+        # the RAW histogram rides with every posting: the bucket screen
+        # and the exact rescore both read vectors straight from the
+        # index — a delta probe never re-reads the corpus
+        sig = _mm_signed_postings(
+            hist, n_docs, S, _mm_planes(n_docs)
+        ).select(
             "doc_id",
-            ec.alias("ec"),
-            # the RAW histogram rides with every posting: the bucket
-            # screen and the exact rescore both read vectors straight
-            # from the index — a delta probe never re-reads the corpus
-            F.col("h").cast("array<double>").alias("e"),
+            F.concat_ws(
+                "|",
+                F.col("tbl").cast("string"),
+                F.col("bucket").cast("string"),
+            ).alias("skey"),
+            "e",
         )
-        mask = (1 << _mm_planes(n_docs)) - 1
-        sig = None
-        for t in range(_MM_TABLES):
-            part = v.select(
-                "doc_id",
-                F.concat_ws(
-                    "|",
-                    F.lit(t).cast("string"),
-                    _mm_signature(
-                        t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM
-                    )
-                    .bitwiseAND(F.lit(mask))
-                    .cast("string"),
-                ).alias("skey"),
-                "e",
-            )
-            sig = part if sig is None else sig.unionByName(part)
         (
             sig.write.bucketBy(MM_BUCKET_INDEX_BUCKETS, "skey")
             .sortBy("skey")
@@ -761,7 +759,7 @@ def mm_dedup_embedding_incremental(
 
 
 from psql_streamer_spark.operators.dedup import (  # noqa: E402
-    BAND_BUCKET_CAP as _MM_HOT_CAP,
+    BAND_BUCKET_CAP as _MM_HOT_CAP,  # reporting threshold shared with text
 )
 
 _SQL_MM_INDEX_STATS = (
@@ -794,31 +792,10 @@ def mm_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining. One aggregate over the signature frame; |tables| output rows
     at any corpus scale."""
     hist = _mm_hist_frame(spark, sf_dir).persist()
-    n_docs = hist.count()
-    sums = (
-        hist.select(F.posexplode("h").alias("d", "c"))
-        .groupBy("d")
-        .agg(F.sum("c").alias("s"))
-        .collect()
-    )
-    S = [0] * MM_HIST_DIM
-    for r in sums:
-        S[r.d] = r.s
-    s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
-    ec = F.zip_with(
-        F.col("h"), s_lit, lambda x, s: (x * F.lit(n_docs) - s).cast("double")
-    )
-    v = hist.select("doc_id", ec.alias("ec"))
-    mask = (1 << _mm_planes(n_docs)) - 1
-    sig = None
-    for t in range(_MM_TABLES):
-        part = v.select(
-            F.lit(t).alias("tbl"),
-            _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
-            .bitwiseAND(F.lit(mask))
-            .alias("bucket"),
-        )
-        sig = part if sig is None else sig.unionByName(part)
+    n_docs, S = _mm_model_of(hist)
+    sig = _mm_signed_postings(
+        hist, n_docs, S, _mm_planes(n_docs)
+    ).select("tbl", "bucket")
     occ = sig.groupBy("tbl", "bucket").agg(F.count("*").alias("cnt"))
     out = occ.groupBy("tbl").agg(
         F.sum("cnt").cast("bigint").alias("n_postings"),

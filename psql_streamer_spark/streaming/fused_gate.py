@@ -226,18 +226,24 @@ def start_fused_ingest_loop(
         # Replay idempotence: a retried epoch (crash AFTER the posting
         # append, BEFORE the checkpoint commit) finds its OWN prior
         # admissions in both the index and the admitted store. Excluding
-        # the batch's doc_ids from the verify corpus makes those ghosts
-        # inert — ghost postings still band-collide, but a collision
-        # whose partner has no verify text is dropped, so the replay
-        # reproduces the first attempt's verdicts exactly (pinned by
-        # test_fused_ingest_loop_replay_reproduces_verdicts).
-        batch_ids = batch_df.select("doc_id").distinct()
+        # exactly THIS epoch's admitted partition from the verify corpus
+        # makes those ghosts inert — ghost postings still band-collide,
+        # but a collision whose partner has no verify text is dropped, so
+        # the replay reproduces the first attempt's verdicts exactly
+        # (pinned by test_fused_ingest_loop_replay_reproduces_verdicts).
+        # Scoped by EPOCH, not by the batch's doc_ids: a cross-epoch
+        # doc_id reappearing in a later batch must NOT mask the earlier
+        # admission it should be verified against. Strictly-prior epochs
+        # (epoch < N) is exactly the state the FIRST attempt of epoch N
+        # saw — correct for a single-epoch retry and for a full rewind
+        # (where later epochs' sink partitions still exist on disk but
+        # must not time-travel into an earlier epoch's verdicts).
         try:
             admitted_so_far = (
                 spark.read.option("basePath", admitted_dir)
                 .parquet(admitted_dir + "/epoch=*")
+                .filter(F.col("epoch") < F.lit(epoch_id))
                 .select("doc_id", "text")
-                .join(F.broadcast(batch_ids), "doc_id", "anti")
             )
             live_corpus = corpus.select("doc_id", "text").unionByName(
                 admitted_so_far

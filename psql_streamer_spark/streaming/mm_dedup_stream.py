@@ -42,14 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from psql_streamer_spark.operators.multimodal import (
-    _MM_MAX_PLANES,
-    _MM_TABLES,
     MM_COSINE_DUP,
-    MM_HIST_DIM,
     _mm_dot,
     _mm_hist_from,
     _mm_norm,
-    _mm_signature,
+    _mm_signed_postings,
     mm_bucket_index_model,
     screen_delta_posts,
 )
@@ -62,34 +59,17 @@ def batch_mm_postings(
     signed under ``index_table``'s stored centering model — the exact
     expressions mm_bucket_index_table built the corpus postings with."""
     n_docs, S, planes = mm_bucket_index_model(spark, index_table)
-    hist = _mm_hist_from(batch_df)
-    s_lit = F.array(*[F.lit(int(x)).cast("bigint") for x in S])
-    ec = F.zip_with(
-        F.col("h"),
-        s_lit,
-        lambda x, s: (x * F.lit(n_docs) - s).cast("double"),
-    )
-    v = hist.select(
+    return _mm_signed_postings(
+        _mm_hist_from(batch_df), n_docs, S, planes
+    ).select(
         "doc_id",
-        ec.alias("ec"),
-        F.col("h").cast("array<double>").alias("e"),
+        F.concat_ws(
+            "|",
+            F.col("tbl").cast("string"),
+            F.col("bucket").cast("string"),
+        ).alias("skey"),
+        "e",
     )
-    mask = (1 << planes) - 1
-    sig = None
-    for t in range(_MM_TABLES):
-        part = v.select(
-            "doc_id",
-            F.concat_ws(
-                "|",
-                F.lit(t).cast("string"),
-                _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
-                .bitwiseAND(F.lit(mask))
-                .cast("string"),
-            ).alias("skey"),
-            "e",
-        )
-        sig = part if sig is None else sig.unionByName(part)
-    return sig
 
 
 def probe_mm_bucket_index(

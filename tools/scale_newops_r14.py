@@ -1,6 +1,6 @@
 """Scale check for the round-14 operators: wall time + output rows at
-sf0.1 and the inflated .scale corpora (sf1 = 50k docs, sf10d = 500k docs,
-sf1e = 200k vectors). Growth curves answer "would this survive 100x", the
+sf0.1 and the inflated .scale document corpora (sf1 = 50k docs, sf10d =
+500k docs). Growth curves answer "would this survive 100x", the
 same protocol as SCALE_r13_newops.
 
 Usage: python tools/scale_newops_r14.py [out.json]
@@ -23,16 +23,11 @@ DOC_OPS = [
     "text_langid_model_confusion",
     "mm_dedup_embedding_incremental",
 ]
-EMB_OPS: list = []
 
 DOC_DIRS = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", "/root/repo/.scale/sf1"),
     ("sf10d", "/root/repo/.scale/sf10d"),
-]
-EMB_DIRS = [
-    ("sf0.1", "/root/testdata/sf0.1"),
-    ("sf1e", "/root/repo/.scale/sf1e"),
 ]
 
 
@@ -51,25 +46,23 @@ def main() -> None:
 
     qs = all_queries()
     results: list[dict] = []
-    for name, dirs in (("doc", DOC_DIRS), ("emb", EMB_DIRS)):
-        ops = DOC_OPS if name == "doc" else EMB_OPS
-        for label, d in dirs:
-            if not os.path.isdir(d):
-                continue
-            for op in ops:
-                t0 = time.monotonic()
-                try:
-                    n = qs[op](spark, d).count()
-                    wall = round(time.monotonic() - t0, 2)
-                    results.append(
-                        {"op": op, "sf": label, "rows": n, "sec": wall}
-                    )
-                    print(f"{op} @ {label}: {n} rows in {wall}s", flush=True)
-                except Exception as e:
-                    results.append(
-                        {"op": op, "sf": label, "err": str(e)[:300]}
-                    )
-                    print(f"{op} @ {label}: ERR {str(e)[:120]}", flush=True)
+    for label, d in DOC_DIRS:
+        if not os.path.isdir(d):
+            continue
+        for op in DOC_OPS:
+            t0 = time.monotonic()
+            try:
+                n = qs[op](spark, d).count()
+                wall = round(time.monotonic() - t0, 2)
+                results.append(
+                    {"op": op, "sf": label, "rows": n, "sec": wall}
+                )
+                print(f"{op} @ {label}: {n} rows in {wall}s", flush=True)
+            except Exception as e:
+                results.append(
+                    {"op": op, "sf": label, "err": str(e)[:300]}
+                )
+                print(f"{op} @ {label}: ERR {str(e)[:120]}", flush=True)
     with open(out_path, "w") as f:
         json.dump({"rows": results}, f, indent=1)
     spark.stop()
