@@ -1397,3 +1397,79 @@ def pipeline_corpus_prep_report_full(
             F.sum("n_words").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the ONE-ROW summary a corpus build ships with (the
+# "datasheet for datasets" practice) — total size, what each curation
+# stage removed, and the final per-split token budgets. Pure aggregation
+# of the full composed report, so it can never disagree with the lineage
+# frame it summarizes; a scheduler diffs this row day-over-day to catch a
+# curation regression (quarantine-rate spike, collapsed train share)
+# before training consumes the output.
+# --------------------------------------------------------------------------
+_SQL_DATASET_CARD = f"""
+    WITH rep AS ({_SQL_PREP_FULL})
+    SELECT
+      CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'eval_battery'), 0)
+           AS BIGINT) AS eval_docs,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'rejected_model'), 0)
+           AS BIGINT) AS rejected_model_docs,
+      CAST(COALESCE(SUM(n_docs)
+             FILTER (WHERE stage = 'quarantined_contaminated'), 0)
+           AS BIGINT) AS quarantined_docs,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'dropped_duplicate'), 0)
+           AS BIGINT) AS duplicate_docs,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'dropped_sampling'), 0)
+           AS BIGINT) AS sampled_out_docs,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'train'), 0)
+           AS BIGINT) AS train_docs,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'val'), 0)
+           AS BIGINT) AS val_docs,
+      CAST(COALESCE(SUM(n_docs) FILTER (WHERE stage = 'test'), 0)
+           AS BIGINT) AS test_docs,
+      CAST(COALESCE(SUM(n_tokens) FILTER (WHERE stage = 'train'), 0)
+           AS BIGINT) AS train_tokens,
+      CAST(COALESCE(SUM(n_tokens) FILTER (WHERE stage = 'val'), 0)
+           AS BIGINT) AS val_tokens,
+      CAST(COALESCE(SUM(n_tokens) FILTER (WHERE stage = 'test'), 0)
+           AS BIGINT) AS test_tokens
+    FROM rep
+"""
+
+
+@register("mlprep_dataset_card", oracle=_SQL_DATASET_CARD)
+def mlprep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card over the FULL composed corpus build (see
+    banner): corpus totals, per-curation-stage attrition, final split
+    budgets. Aggregates pipeline_corpus_prep_report_full's 8-row stage
+    frame, so the card and the lineage report are definitionally
+    consistent."""
+    rep = pipeline_corpus_prep_report_full(spark, sf_dir)
+
+    def stage(col: str, s: str, name: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("stage") == s, F.col(col))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return rep.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        stage("n_docs", "eval_battery", "eval_docs"),
+        stage("n_docs", "rejected_model", "rejected_model_docs"),
+        stage("n_docs", "quarantined_contaminated", "quarantined_docs"),
+        stage("n_docs", "dropped_duplicate", "duplicate_docs"),
+        stage("n_docs", "dropped_sampling", "sampled_out_docs"),
+        stage("n_docs", "train", "train_docs"),
+        stage("n_docs", "val", "val_docs"),
+        stage("n_docs", "test", "test_docs"),
+        stage("n_tokens", "train", "train_tokens"),
+        stage("n_tokens", "val", "val_tokens"),
+        stage("n_tokens", "test", "test_tokens"),
+    )
