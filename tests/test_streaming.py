@@ -672,6 +672,33 @@ def test_band_index_first_use_sweep_removes_only_dead_app_litter(spark):
         shutil.rmtree(young, ignore_errors=True)
 
 
+def test_app_scoped_fast_path_refreshes_liveness(spark):
+    """Every batch consumer resolves its index through
+    app_scoped_bucketed_table's tableExists fast path — that resolution
+    must refresh the dir mtime, or a >sweep-gate-lived batch session
+    becomes sweepable by a newly starting app (the review-found hole the
+    r14 liveness protocol closes)."""
+    import os
+    import time as _time
+    from urllib.parse import urlparse
+
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_SWEEP_AGE_SEC,
+        band_index_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    table = band_index_table(spark, SF_SMALL)  # build (or reuse)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    d = os.path.join(warehouse, table)
+    old = _time.time() - BAND_INDEX_SWEEP_AGE_SEC - 120
+    os.utime(d, (old, old))
+    assert band_index_table(spark, SF_SMALL) == table  # fast path
+    assert _time.time() - os.path.getmtime(d) < 60, (
+        "fast-path resolution must refresh liveness"
+    )
+
+
 def test_engine_stop_ordering_and_drain(spark, dirs):
     """Ordered shutdown (main.go:59-96): killing an Engine mid-stream must
     stop sources first, close sinks second, control plane last; no epoch
