@@ -51,7 +51,9 @@ def words_expr(text_col: str = "text") -> Column:
     )
 
 
-def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_words(
+    df: DataFrame, text_col: str = "text", fresh: bool = False
+) -> DataFrame:
     """Materialize the token array into a `__words` column BEFORE handing
     it to shingles_expr.
 
@@ -71,10 +73,27 @@ def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
     downstream probe keeps calling with_words defensively. A
     non-default ``text_col`` always recomputes (withColumn replaces the
     stale `__words`), so asking for a different column can never be
-    silently served the old tokens."""
+    silently served the old tokens.
+
+    CONTRACT: `__words` is an OWNED derived column — it is only ever
+    written by this function and is assumed to be `words_expr("text")`
+    of the CURRENT `text` column. Any operator that rewrites or
+    normalizes `text` on a frame that may already be tokenized must
+    call drop_words() first (or pass ``fresh=True`` here); otherwise
+    the fast path would serve stale tokens silently."""
+    if fresh:
+        return df.withColumn("__words", words_expr(text_col))
     if text_col == "text" and "__words" in df.columns:
         return df
     return df.withColumn("__words", words_expr(text_col))
+
+
+def drop_words(df: DataFrame) -> DataFrame:
+    """Invalidate the owned `__words` cache column (see with_words'
+    CONTRACT). Call before/after any transformation that rewrites the
+    `text` column on a possibly-tokenized frame, so the next with_words
+    re-tokenizes instead of serving stale tokens."""
+    return df.drop("__words") if "__words" in df.columns else df
 
 
 def shingles_expr(words: Column, k: int = 3) -> Column:

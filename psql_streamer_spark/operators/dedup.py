@@ -2609,7 +2609,15 @@ def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
     One utime syscall on the local FS the warehouse mechanism targets; a
     failure falls back to the age gate alone — and is WARNED once per
     table, because a silently absent liveness signal would re-open the
-    sweep race for >gate-lived readers."""
+    sweep race for >gate-lived readers.
+
+    Also refreshes the ``<table>__model`` companion dir when present:
+    indexes that carry a trained sidecar (mm_bucket_index_table writes
+    its centering model as ``{table}__model``) match the same sweep
+    prefix, so a >gate-lived probe that only touched the posting dir
+    would keep the postings alive while a newly starting app's sweep
+    removed the model out from under it — the exact race this function
+    exists to prevent."""
     from urllib.parse import urlparse
 
     try:
@@ -2617,6 +2625,9 @@ def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
             spark.conf.get("spark.sql.warehouse.dir")
         ).path
         os.utime(os.path.join(warehouse, table), None)
+        model_dir = os.path.join(warehouse, table + "__model")
+        if os.path.isdir(model_dir):
+            os.utime(model_dir, None)
     except OSError as exc:
         if table not in _TOUCH_WARNED:
             _TOUCH_WARNED.add(table)
@@ -2677,6 +2688,18 @@ def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
                 if n.startswith(prefix) and n != table and os.path.isdir(d):
                     try:
                         old = now - os.path.getmtime(d) > BAND_INDEX_SWEEP_AGE_SEC
+                        # a trained-sidecar dir (X__model) is live iff its
+                        # base table X is live: liveness touches refresh
+                        # both, but an old touch path (or a probe that only
+                        # refreshed the base) must not strand the model —
+                        # defer to the SIBLING's age when it exists
+                        if old and n.endswith("__model"):
+                            sib = os.path.join(warehouse, n[: -len("__model")])
+                            if os.path.isdir(sib):
+                                old = (
+                                    now - os.path.getmtime(sib)
+                                    > BAND_INDEX_SWEEP_AGE_SEC
+                                )
                     except OSError:
                         continue
                     if old:

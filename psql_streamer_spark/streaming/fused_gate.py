@@ -91,9 +91,14 @@ def fused_gate_verdicts(
     )
     # all three verdict frames are micro-batch-sized: broadcast the two
     # joined sides so assembly adds no exchange stages to the epoch
+    # coalesce the left-join count ONCE, then derive admit from the
+    # coalesced column — an isNull() on the pre-coalesce join column in
+    # the same select would be correct but fragile (a refactor to
+    # withColumn chaining would silently resolve it against the alias)
     return (
         quality.join(F.broadcast(contam), "doc_id")
         .join(F.broadcast(near), "doc_id", "left")
+        .withColumn("n_near_dup", F.coalesce("n_near_dup", F.lit(0)))
         .select(
             "doc_id",
             "label",
@@ -103,12 +108,12 @@ def fused_gate_verdicts(
             "n_bloom_hits",
             "n_exact_hits",
             "contaminated",
-            F.coalesce("n_near_dup", F.lit(0)).alias("n_near_dup"),
+            "n_near_dup",
             "max_jaccard",
             (
                 F.col("predicted")
                 & ~F.col("contaminated")
-                & F.col("n_near_dup").isNull()
+                & (F.col("n_near_dup") == 0)
             ).alias("admit"),
         )
     )

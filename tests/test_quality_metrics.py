@@ -691,3 +691,30 @@ def test_langid_nb_separates_planted_character_distributions(spark, tmp_path):
         ).fetchall()
     }
     assert got == want  # whole-bit costs identical across engines
+
+
+def test_with_words_owned_column_contract(spark):
+    """`__words` is an OWNED derived column (with_words' CONTRACT, advice
+    item r15): the default fast path serves cached tokens, drop_words
+    invalidates them after a text rewrite, and fresh=True forces
+    re-tokenization through the cache."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.functions.text_hash import (
+        drop_words,
+        with_words,
+    )
+
+    d = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    tok = with_words(d)
+    # fast path: already-tokenized frame passes through unchanged
+    assert with_words(tok) is tok
+    # a text rewrite WITHOUT invalidation would serve stale tokens —
+    # drop_words is the contract-mandated invalidation
+    rewritten = tok.withColumn("text", F.lit("gamma"))
+    stale = with_words(rewritten).head()["__words"]
+    assert stale == ["alpha", "beta"]  # the documented hazard, pinned
+    assert with_words(drop_words(rewritten)).head()["__words"] == ["gamma"]
+    assert with_words(rewritten, fresh=True).head()["__words"] == ["gamma"]
+    # drop_words on an untokenized frame is a no-op passthrough
+    assert drop_words(d) is d

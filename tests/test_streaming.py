@@ -699,6 +699,81 @@ def test_app_scoped_fast_path_refreshes_liveness(spark):
     )
 
 
+def test_liveness_touch_refreshes_model_sibling(spark, tmp_path):
+    """A liveness touch on an index table must also refresh its
+    ``<table>__model`` sidecar dir (mm_bucket_index_table's centering
+    model): the sidecar matches the same sweep prefix, so a >gate-lived
+    probe that kept only the posting dir young would let a newly
+    starting app's sweep rmtree the live model (advice item, r15). Also
+    pins the sweep-side backstop: an aged ``X__model`` whose sibling X
+    is YOUNG is skipped by the first-use sweep."""
+    import os
+    import re
+    import shutil
+    import time as _time
+    from urllib.parse import urlparse
+
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_SWEEP_AGE_SEC,
+        app_scoped_bucketed_table,
+        touch_app_table_liveness,
+    )
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    app = re.sub(r"\W+", "_", spark.sparkContext.applicationId)
+    table = f"livenessmodel_test_{app}"
+    d = os.path.join(warehouse, table)
+    model = d + "__model"
+    os.makedirs(d, exist_ok=True)
+    os.makedirs(model, exist_ok=True)
+    old = _time.time() - BAND_INDEX_SWEEP_AGE_SEC - 120
+    try:
+        os.utime(d, (old, old))
+        os.utime(model, (old, old))
+        touch_app_table_liveness(spark, table)
+        assert _time.time() - os.path.getmtime(d) < 60
+        assert _time.time() - os.path.getmtime(model) < 60, (
+            "liveness touch must refresh the __model sidecar too"
+        )
+
+        # sweep backstop: another (concurrent, live) app's posting dir is
+        # YOUNG but its __model sidecar aged out (e.g. liveness touched
+        # through an old code path) — a first-use sweep must keep the
+        # model because the sibling is young; an orphan old model with NO
+        # sibling is still reaped
+        live_base = os.path.join(warehouse, "livenessmodel_test_liveapp")
+        live_model = live_base + "__model"
+        orphan_model = os.path.join(
+            warehouse, "livenessmodel_test_deadapp__model"
+        )
+        os.makedirs(live_base, exist_ok=True)
+        os.makedirs(live_model, exist_ok=True)
+        os.makedirs(orphan_model, exist_ok=True)
+        os.utime(live_model, (old, old))
+        os.utime(orphan_model, (old, old))
+        spark.sql(f"DROP TABLE IF EXISTS livenessmodel_test_{app}")
+
+        def _build(name):
+            spark.range(1).write.saveAsTable(name)
+
+        try:
+            app_scoped_bucketed_table(spark, "livenessmodel_test", _build)
+            assert os.path.isdir(live_model), (
+                "sweep must not reap an aged __model whose base is live"
+            )
+            assert not os.path.isdir(orphan_model), (
+                "orphan aged __model (no sibling) must still be swept"
+            )
+        finally:
+            shutil.rmtree(live_base, ignore_errors=True)
+            shutil.rmtree(live_model, ignore_errors=True)
+            shutil.rmtree(orphan_model, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(model, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS livenessmodel_test_{app}")
+
+
 def test_engine_stop_ordering_and_drain(spark, dirs):
     """Ordered shutdown (main.go:59-96): killing an Engine mid-stream must
     stop sources first, close sinks second, control plane last; no epoch
