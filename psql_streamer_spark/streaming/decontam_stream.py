@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psql_streamer_spark.streaming.sinks import EpochParquetSink
+
 from psql_streamer_spark.functions.text_hash import shingles_expr, with_words
 from psql_streamer_spark.operators.mlprep import (
     BLOOM_M_BITS,
@@ -124,15 +126,15 @@ def start_contamination_stream(
         .json(source_dir)
     )
 
+    sink = EpochParquetSink(alert_sink_dir, name="decontam_alerts")
+
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         verdicts = probe_contamination(
             spark, batch_df, words, bench_grams, m_bits
         )
-        # at-least-once retry safety: epoch replaces itself (EpochParquetSink
-        # idiom); `epoch` reaches readers via partition discovery
-        verdicts.write.mode("overwrite").parquet(
-            f"{alert_sink_dir}/epoch={epoch_id:012d}"
-        )
+        # at-least-once retry safety: EpochParquetSink's epoch-overwrite
+        # contract; `epoch` reaches readers via partition discovery
+        sink.write(verdicts, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(_probe)

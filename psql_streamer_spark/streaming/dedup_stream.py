@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psql_streamer_spark.streaming.sinks import EpochParquetSink
+
 from psql_streamer_spark.functions.text_hash import (
     band_key_exprs,
     h32,
@@ -137,15 +139,15 @@ def start_near_dup_stream(
         .json(source_dir)
     )
 
+    sink = EpochParquetSink(alert_sink_dir, name="dedup_alerts")
+
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         alerts = probe_band_index(
             spark, batch_df, index_table, corpus, jaccard_threshold
         )
-        # at-least-once retry safety: epoch replaces itself (EpochParquetSink
-        # idiom); `epoch` reaches readers via partition discovery
-        alerts.write.mode("overwrite").parquet(
-            f"{alert_sink_dir}/epoch={epoch_id:012d}"
-        )
+        # at-least-once retry safety: EpochParquetSink's epoch-overwrite
+        # contract; `epoch` reaches readers via partition discovery
+        sink.write(alerts, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(_probe)

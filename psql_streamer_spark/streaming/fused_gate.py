@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psql_streamer_spark.streaming.sinks import EpochParquetSink
+
 from psql_streamer_spark.functions.text_hash import with_words
 from psql_streamer_spark.operators.mlprep import BLOOM_M_BITS
 from psql_streamer_spark.streaming.decontam_stream import probe_contamination
@@ -140,6 +142,7 @@ def start_fused_gate_stream(
         .option("maxFilesPerTrigger", "1")
         .json(source_dir)
     )
+    sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         # ONE tokenize pass: the persisted `__words` frame is scanned by
@@ -149,18 +152,19 @@ def start_fused_gate_stream(
         # bought; see BENCH_NOTES r14.)
         tokenized = with_words(batch_df).persist()
         try:
-            fused_gate_verdicts(
-                spark,
-                tokenized,
-                index_table,
-                corpus,
-                bloom_words,
-                bench_grams,
-                weights,
-                jaccard_threshold,
-                m_bits,
-            ).write.mode("overwrite").parquet(
-                f"{verdict_sink_dir}/epoch={epoch_id:012d}"
+            sink.write(
+                fused_gate_verdicts(
+                    spark,
+                    tokenized,
+                    index_table,
+                    corpus,
+                    bloom_words,
+                    bench_grams,
+                    weights,
+                    jaccard_threshold,
+                    m_bits,
+                ),
+                epoch_id,
             )
         finally:
             tokenized.unpersist()
@@ -224,6 +228,8 @@ def start_fused_ingest_loop(
         .option("maxFilesPerTrigger", "1")
         .json(source_dir)
     )
+    verdict_sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
+    admitted_sink = EpochParquetSink(admitted_dir, name="fused_admitted")
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -245,8 +251,7 @@ def start_fused_ingest_loop(
         # must not time-travel into an earlier epoch's verdicts).
         try:
             admitted_so_far = (
-                spark.read.option("basePath", admitted_dir)
-                .parquet(admitted_dir + "/epoch=*")
+                admitted_sink.read(spark)
                 .filter(F.col("epoch") < F.lit(epoch_id))
                 .select("doc_id", "text")
             )
@@ -270,18 +275,14 @@ def start_fused_ingest_loop(
                 jaccard_threshold,
                 m_bits,
             ).persist()
-            verdicts.write.mode("overwrite").parquet(
-                f"{verdict_sink_dir}/epoch={epoch_id:012d}"
-            )
+            verdict_sink.write(verdicts, epoch_id)
             admitted = tokenized.join(
                 F.broadcast(
                     verdicts.filter(F.col("admit")).select("doc_id")
                 ),
                 "doc_id",
             )
-            admitted.select("doc_id", "text").write.mode(
-                "overwrite"
-            ).parquet(f"{admitted_dir}/epoch={epoch_id:012d}")
+            admitted_sink.write(admitted.select("doc_id", "text"), epoch_id)
             from psql_streamer_spark.streaming.dedup_stream import (
                 batch_band_postings,
             )

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from psql_streamer_spark.streaming.sinks import EpochParquetSink
+
 from psql_streamer_spark.operators.multimodal import (
     MM_COSINE_DUP,
     _mm_dot,
@@ -160,15 +162,15 @@ def start_mm_near_dup_stream(
         .json(source_dir)
     )
 
+    sink = EpochParquetSink(alert_sink_dir, name="mm_dedup_alerts")
+
     def _probe(batch_df: DataFrame, epoch_id: int) -> None:
         media = batch_df.select(
             "doc_id", F.encode("text", "utf-8").alias("payload")
         )
         alerts = probe_mm_bucket_index(spark, media, index_table)
-        # at-least-once retry safety: epoch replaces itself
-        alerts.write.mode("overwrite").parquet(
-            f"{alert_sink_dir}/epoch={epoch_id:012d}"
-        )
+        # at-least-once retry safety: EpochParquetSink's epoch-overwrite
+        sink.write(alerts, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(_probe)

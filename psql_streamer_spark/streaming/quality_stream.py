@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from psql_streamer_spark.streaming.sinks import EpochParquetSink
+
 from psql_streamer_spark.functions.text_hash import with_words
 from psql_streamer_spark.operators.text import (
     FEATURE_HASH_DIMS,
@@ -134,15 +136,15 @@ def start_quality_stream(
         .json(source_dir)
     )
 
+    sink = EpochParquetSink(verdict_sink_dir, name="quality_verdicts")
+
     def _score(batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch is at-least-once: a retried epoch must REPLACE its
         # prior (possibly committed) output, not append a duplicate set of
-        # verdicts. Same epoch=<id>/overwrite idiom as EpochParquetSink;
-        # readers of the sink dir get `epoch` via partition discovery.
+        # verdicts — EpochParquetSink's epoch-overwrite contract; readers
+        # of the sink dir get `epoch` via partition discovery.
         verdicts = score_quality_batch(spark, batch_df, w)
-        verdicts.write.mode("overwrite").parquet(
-            f"{verdict_sink_dir}/epoch={epoch_id:012d}"
-        )
+        sink.write(verdicts, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(_score)
