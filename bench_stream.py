@@ -449,7 +449,12 @@ def _run_quality_config(
 
 
 def _run_fused_config(
-    spark, work: str, sf_dir: str, docs_per_file: int, files_per_trigger: int
+    spark,
+    work: str,
+    sf_dir: str,
+    docs_per_file: int,
+    files_per_trigger: int,
+    with_langid: bool = False,
 ) -> dict:
     """Fused ingest-gate throughput (r14): every arriving document runs
     ALL THREE admission checks — near-dup probe + contamination gate +
@@ -458,7 +463,13 @@ def _run_fused_config(
     (band index, bloom battery, bench grams, model weights) is built once
     and reported separately; docs/sec is the events/sec of a complete
     admission pipeline, to compare against the three standalone gates
-    (whose sum-of-inverses is the unfused cost of the same work)."""
+    (whose sum-of-inverses is the unfused cost of the same work).
+
+    ``with_langid=True`` (r15) adds the trained char-bigram NB as the
+    FOURTH signal, tag-only (allowed_langs=None): the model trains once
+    (counted into state_build_sec, materialized to a local relation so
+    epochs never re-train), and every verdict additionally carries
+    (predicted_lang, lang_admit) scored off the same tokenize pass."""
     from pyspark.sql import functions as F
 
     from psql_streamer_spark.functions.text_hash import (
@@ -490,9 +501,21 @@ def _run_fused_config(
     )
     bench_grams.count()
     w, _ = _qm_train(spark, sf_dir)
+    langid_model = None
+    if with_langid:
+        from psql_streamer_spark.operators.text import langid_nb_train
+
+        m, p = langid_nb_train(with_words(corpus))
+        # materialize the (bounded, see LANGID_BIGRAM_CAP) model to local
+        # relations: each epoch broadcasts the trained table, never the
+        # training plan
+        langid_model = (
+            spark.createDataFrame(m.collect(), m.schema),
+            spark.createDataFrame(p.collect(), p.schema),
+        )
     state_build_sec = time.time() - t0
 
-    tag = f"fused_{docs_per_file}x{files_per_trigger}"
+    tag = f"fused{'4' if with_langid else ''}_{docs_per_file}x{files_per_trigger}"
     src = os.path.join(work, tag, "src")
     ckpt = os.path.join(work, tag, "ckpt")
     out = os.path.join(work, tag, "out")
@@ -517,6 +540,7 @@ def _run_fused_config(
             bloom_words,
             bench_grams,
             w,
+            langid_model=langid_model,
         ).write.mode("overwrite").parquet(
             os.path.join(out, f"epoch={epoch_id:012d}")
         )
@@ -549,11 +573,17 @@ def _run_fused_config(
         if batch_times
         else None
     )
+    n_langs = (
+        spark.read.parquet(out).select("predicted_lang").distinct().count()
+        if with_langid and batch_times
+        else None
+    )
     bench_grams.unpersist()
     lat_ms = sorted(t * 1000 for t in batch_times) or [0.0]
     sizes = sorted(batch_sizes) or [0]
     return {
         "events": n,
+        **({"langid_signal": True, "n_predicted_langs": n_langs} if with_langid else {}),
         "state_build_sec": round(state_build_sec, 3),
         "events_per_batch_measured": {
             "min": sizes[0],
@@ -771,6 +801,14 @@ def main() -> None:
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
                 ), 2_500, 2
+            ),
+            # 4-signal gate (r15): + trained langid off the same tokenize
+            # pass, tag-only. The delta vs fused_gate_bulk is the marginal
+            # cost of language classification inside the fused admission
+            "fused_gate4_bulk": _run_fused_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2, with_langid=True
             ),
             # ingest-time MEDIA near-dup probe (r14): payloads signed
             # under the posting table's stored model, bucket-local screen

@@ -328,20 +328,47 @@ from psql_streamer_spark.operators.dedup import (  # noqa: E402
     DELTA_BUCKET as _MM_DELTA_BUCKET,
     DELTA_BUCKETS as _MM_DELTA_BUCKETS,
     EMB_PAIR_BUCKET as _MM_BUCKET,
-    EMB_PAIR_MAX_PLANES as _MM_MAX_PLANES,
-    _emb_pair_planes as _mm_planes,
+    EMB_PAIR_MIN_PLANES as _MM_MIN_PLANES,
     _sim_signature as _mm_signature,
     _sim_signature_sql as _mm_signature_sql,
     _SIM_SQL_DOT as _MM_SQL_DOT,
     _SIM_SQL_NORM as _MM_SQL_NORM,
     _SQL_DELTA_PRED as _SQL_MM_DELTA_PRED,
-    _sql_emb_planes as _mm_sql_planes,
     app_scoped_bucketed_table,
 )
 from psql_streamer_spark.operators.similarity import (  # noqa: E402
     LSH_TABLES as _MM_TABLES,
     _dot as _mm_dot,
     _norm as _mm_norm,
+)
+
+# Corpus-adaptive mm signature width (r15): the embedding-pair sizing rule
+# (expected bucket ~ _MM_BUCKET via m = ceil-div(N, _MM_BUCKET);
+# p = clamp(min..max, smallest t: 2^t >= m) — see the dedup.py banner for
+# why both engines compute p from pure-integer comparisons) with an
+# mm-OWNED max. The embedding miner's 12-plane cap binds at
+# 250 * 2^12 ~ 1M vectors; a media posting INDEX is the build-once
+# artifact a growing ingest feed probes for months, so its occupancy
+# envelope must extend further: 18 planes holds expected bucket <= 250 up
+# to ~65M media docs. The extra planes cost one dot product each at
+# build/sign time (linear, measured) and nothing at probe time; for any
+# corpus below the old cap the low-p mask makes buckets BIT-IDENTICAL to
+# the r14 layout (p is unchanged until m > 2^12), so small-SF oracles,
+# recall floors, and the stored-model protocol are untouched. max_bucket
+# above the expected envelope is REPLICA skew (byte-identical payloads
+# share all planes) — that is what the probe's numpy screen is for, and
+# what mm_index_stats watches.
+MM_MAX_PLANES = 18
+
+
+def _mm_planes(n: int) -> int:
+    m = (n + _MM_BUCKET - 1) // _MM_BUCKET
+    return max(_MM_MIN_PLANES, min(MM_MAX_PLANES, (m - 1).bit_length()))
+
+
+_mm_sql_planes = " ".join(
+    f"WHEN m <= {1 << t} THEN {t}"
+    for t in range(_MM_MIN_PLANES, MM_MAX_PLANES)
 )
 
 
@@ -420,7 +447,7 @@ def _mm_signed_postings(
         part = v.select(
             "doc_id",
             F.lit(t).alias("tbl"),
-            _mm_signature(t, F.col("ec"), _MM_MAX_PLANES, dim=MM_HIST_DIM)
+            _mm_signature(t, F.col("ec"), MM_MAX_PLANES, dim=MM_HIST_DIM)
             .bitwiseAND(F.lit(mask))
             .alias("bucket"),
             "e",
@@ -431,7 +458,7 @@ def _mm_signed_postings(
 
 _mm_pair_selects = " UNION ALL ".join(
     f"SELECT doc_id, {t} AS tbl,"
-    f" ({_mm_signature_sql(t, 'ec', _MM_MAX_PLANES)})"
+    f" ({_mm_signature_sql(t, 'ec', MM_MAX_PLANES)})"
     f" & ((1::BIGINT << (SELECT p FROM pp)) - 1) AS bucket FROM v"
     for t in range(_MM_TABLES)
 )
@@ -478,7 +505,7 @@ _SQL_MM_PREFIX = f"""
       FROM hist, model
     ),
     pm AS (SELECT (COUNT(*) + {_MM_BUCKET - 1}) // {_MM_BUCKET} AS m FROM v),
-    pp AS (SELECT CASE {_mm_sql_planes} ELSE {_MM_MAX_PLANES} END AS p FROM pm),
+    pp AS (SELECT CASE {_mm_sql_planes} ELSE {MM_MAX_PLANES} END AS p FROM pm),
     sig AS ({_mm_pair_selects})
 """
 

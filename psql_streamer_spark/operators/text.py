@@ -1244,10 +1244,23 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # every floor(log2 a/b) is bitlength(a div b) - 1 (see the unigram
 # surprisal banner for why that identity is exact). Scale shape: the
-# model is |langs| x V rows (V <= alphabet^2 — broadcastable at any
-# corpus size); training is one groupBy over corpus char-bigrams;
-# scoring is per-doc bigram counts joined against the broadcast model.
+# model is |langs| x min(V, LANGID_BIGRAM_CAP) rows; training is one
+# groupBy over corpus char-bigrams; scoring is per-doc bigram counts
+# joined against the broadcast model.
+#
+# The vocabulary is CAPPED at the LANGID_BIGRAM_CAP most frequent
+# bigrams (ties: lexicographically first gram wins — deterministic in
+# both engines). On real text V is alphabet^2-bounded and the cap never
+# binds; on synthetic/hashed corpora V grows with the corpus (the r14
+# 100x scale point measured 24x wall from exactly this — SCALE_r14),
+# and the cap is what keeps the model — and the langs x V densify that
+# builds it — broadcastable under ANY corpus. Grams outside the capped
+# vocabulary contribute no cost (inner join against the model), and the
+# Laplace V is the CAPPED vocabulary size; both rules are replayed
+# verbatim by the oracle CTE (the BPE vocab-cap pattern).
 # --------------------------------------------------------------------------
+LANGID_BIGRAM_CAP = 2048
+
 _SQL_LANGID_NB = f"""
     WITH tokl AS (
       SELECT doc_id, lang, unnest({{words}}) AS w FROM documents
@@ -1258,11 +1271,21 @@ _SQL_LANGID_NB = f"""
                                    i -> cs[i] || cs[i+1])) AS g
       FROM (SELECT doc_id, lang, string_split(w, '') AS cs FROM tokl)
     ),
-    nb_vocab AS (SELECT DISTINCT g FROM nb_bg),
+    nb_gcnt AS (SELECT g, COUNT(*) AS gc FROM nb_bg GROUP BY g),
+    nb_vocab AS (
+      SELECT g FROM (
+        SELECT g, ROW_NUMBER() OVER (ORDER BY gc DESC, g ASC) AS grn
+        FROM nb_gcnt
+      ) WHERE grn <= {LANGID_BIGRAM_CAP}
+    ),
     nb_v AS (SELECT COUNT(*) AS v FROM nb_vocab),
     nb_cls AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
     nb_n AS (SELECT COUNT(*) AS n FROM documents),
-    nb_cf AS (SELECT lang, g, COUNT(*) AS c FROM nb_bg GROUP BY lang, g),
+    nb_cf AS (
+      SELECT b.lang, b.g, COUNT(*) AS c
+      FROM nb_bg b JOIN nb_vocab vo ON vo.g = b.g
+      GROUP BY b.lang, b.g
+    ),
     nb_tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM nb_cf GROUP BY lang),
     nb_model AS (
       SELECT c.lang, vo.g,
@@ -1304,19 +1327,12 @@ _SQL_LANGID_NB = f"""
 """.format(words=SQL_WORDS.format(t='text'))
 
 
-def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, labeled_lang, predicted_lang, cost_bits) under the
-    corpus-trained char-bigram NB (see banner)."""
-    from pyspark.sql import Window
-
-    d = with_words(load_table(spark, "documents", sf_dir))
-    bg = d.select(
-        "doc_id",
-        "lang",
-        F.explode("__words").alias("w"),
-    ).select(
-        "doc_id",
-        "lang",
+def langid_char_bigrams(d: DataFrame, cols: list[str]) -> DataFrame:
+    """(``cols``..., g) char-bigram occurrences of a tokenized frame —
+    the shared feature extractor of NB training and scoring (training
+    passes [doc_id, lang], a label-less scorer passes [doc_id])."""
+    return d.select(*cols, F.explode("__words").alias("w")).select(
+        *cols,
         F.explode(
             # guard like shingles_expr: Spark's sequence(1, 0) DESCENDS
             # ([1, 0]) instead of being empty, so a 1-char word would
@@ -1330,11 +1346,36 @@ def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    vocab = bg.select("g").distinct()
-    v = vocab.count()  # model-sized driver scalar, like IVF's cell count
+
+
+def langid_nb_train(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the char-bigram NB on a labeled tokenized corpus frame
+    (doc_id, lang, __words): returns (model, prior) — model is
+    (lang, g, bits) over the LANGID_BIGRAM_CAP-capped vocabulary, prior
+    is (lang, pbits). Both are model-sized and broadcastable (the
+    banner's whole point); the fused ingest gate trains once and scores
+    every micro-batch against the broadcast pair."""
+    bg = langid_char_bigrams(d, ["doc_id", "lang"])
+    # top-LANGID_BIGRAM_CAP most frequent grams (ties: g ASC) — orderBy +
+    # limit is a TakeOrdered, no global sort; the capped vocab (and hence
+    # the langs x V densified model below) stays broadcastable under any
+    # corpus, see the banner. vocab.count() is a model-sized driver
+    # scalar, like IVF's cell count.
+    vocab = (
+        bg.groupBy("g")
+        .agg(F.count("*").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("g"))
+        .limit(LANGID_BIGRAM_CAP)
+        .select("g")
+    )
+    v = vocab.count()
     cls = d.groupBy("lang").agg(F.count("*").alias("nd"))
     n_docs = d.count()
-    cf = bg.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    cf = (
+        bg.join(F.broadcast(vocab), "g")
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+    )
     tot = cf.groupBy("lang").agg(F.sum("c").alias("t"))
     model = (
         cls.select("lang")
@@ -1360,6 +1401,25 @@ def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.bin(F.expr(f"{n_docs} div nd"))) - F.lit(1)
         ).alias("pbits"),
     )
+    return model, prior
+
+
+def langid_nb_score(
+    d: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *carry, predicted_lang, cost_bits) of a tokenized frame
+    under a trained (model, prior) pair — min total cost, ties to the
+    lexicographically first lang. Grams outside the model's capped
+    vocabulary contribute no cost (the inner model join, see banner).
+    ``carry`` columns of ``d`` ride the per-doc plan for free (no extra
+    join back against the input — the corpus query carries its label
+    this way)."""
+    from pyspark.sql import Window
+
+    bg = langid_char_bigrams(d, ["doc_id"])
     doc_cnt = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     docsum = (
         doc_cnt.join(F.broadcast(model), "g")
@@ -1367,7 +1427,7 @@ def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("bits")).cast("bigint").alias("gbits"))
     )
     scores = (
-        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        d.select("doc_id", *carry)
         .crossJoin(F.broadcast(prior.withColumnRenamed("lang", "cand_lang")))
         .join(
             docsum.withColumnRenamed("lang", "cand_lang"),
@@ -1376,7 +1436,7 @@ def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "labeled_lang",
+            *carry,
             "cand_lang",
             (F.coalesce("gbits", F.lit(0)) + F.col("pbits")).alias(
                 "cost_bits"
@@ -1391,10 +1451,24 @@ def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(
             "doc_id",
-            "labeled_lang",
+            *carry,
             F.col("cand_lang").alias("predicted_lang"),
             "cost_bits",
         )
+    )
+
+
+def _langid_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, labeled_lang, predicted_lang, cost_bits) under the
+    corpus-trained char-bigram NB (see banner) — train + score on the
+    same corpus, the registered queries' shape."""
+    d = with_words(load_table(spark, "documents", sf_dir))
+    model, prior = langid_nb_train(d)
+    return langid_nb_score(
+        d.withColumn("labeled_lang", F.col("lang")),
+        model,
+        prior,
+        carry=("labeled_lang",),
     )
 
 

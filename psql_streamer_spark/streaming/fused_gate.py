@@ -55,14 +55,17 @@ def fused_gate_verdicts(
     weights: list[int],
     jaccard_threshold: float = 0.8,
     m_bits: int = BLOOM_M_BITS,
+    langid_model: tuple[DataFrame, DataFrame] | None = None,
+    allowed_langs: list[str] | None = None,
 ) -> DataFrame:
-    """One micro-batch of (doc_id, text) through all three admission
-    checks; returns ONE row per document:
+    """One micro-batch of (doc_id, text) through the admission checks;
+    returns ONE row per document:
 
     (doc_id, label, score, predicted,            -- quality model
      n_grams, n_bloom_hits, n_exact_hits,
      contaminated,                               -- decontamination
      n_near_dup, max_jaccard,                    -- verified near-dups
+     [predicted_lang, lang_admit,]               -- trained langid (opt)
      admit)                                      -- the composite gate
 
     Pass a pre-tokenized (with_words) and persisted frame to share the
@@ -74,7 +77,21 @@ def fused_gate_verdicts(
     probe_contamination's (anchored on every batch doc, gram-less docs
     report n_grams=0 / clean), and the near-dup pair aggregates
     probe_band_index's verified alerts (0 / NULL max_jaccard when no
-    corpus collision verified above the threshold)."""
+    corpus collision verified above the threshold).
+
+    The FOURTH signal (r15): pass ``langid_model`` — langid_nb_train's
+    (model, prior) pair, both broadcastable by the LANGID_BIGRAM_CAP
+    bound — and each verdict gains ``predicted_lang`` (langid_nb_score's
+    argmin, computed off the SAME tokenize pass; per-doc parity with
+    text_langid_model_scores is pinned in tests) and ``lang_admit``.
+    ADMIT-BIT SEMANTICS: ``lang_admit`` is true iff ``predicted_lang``
+    is in ``allowed_langs``; with ``allowed_langs=None`` the model runs
+    TAG-ONLY (``lang_admit`` always true — the language rides the
+    verdict for routing but never gates). The composite ``admit`` is
+    quality-pass AND not-contaminated AND no-verified-near-dup AND
+    ``lang_admit``; without a model the two columns are ABSENT and
+    ``admit`` keeps its three-signal definition, so existing sinks and
+    consumers are byte-unchanged."""
     tokenized = with_words(batch_df)
     quality = score_quality_batch(spark, tokenized, weights)
     contam = probe_contamination(
@@ -91,33 +108,51 @@ def fused_gate_verdicts(
         )
         .withColumnRenamed("new_doc_id", "doc_id")
     )
-    # all three verdict frames are micro-batch-sized: broadcast the two
-    # joined sides so assembly adds no exchange stages to the epoch
+    # all verdict frames are micro-batch-sized: broadcast the joined
+    # sides so assembly adds no exchange stages to the epoch.
     # coalesce the left-join count ONCE, then derive admit from the
     # coalesced column — an isNull() on the pre-coalesce join column in
     # the same select would be correct but fragile (a refactor to
     # withColumn chaining would silently resolve it against the alias)
-    return (
+    joined = (
         quality.join(F.broadcast(contam), "doc_id")
         .join(F.broadcast(near), "doc_id", "left")
         .withColumn("n_near_dup", F.coalesce("n_near_dup", F.lit(0)))
-        .select(
-            "doc_id",
-            "label",
-            "score",
-            "predicted",
-            "n_grams",
-            "n_bloom_hits",
-            "n_exact_hits",
-            "contaminated",
-            "n_near_dup",
-            "max_jaccard",
-            (
-                F.col("predicted")
-                & ~F.col("contaminated")
-                & (F.col("n_near_dup") == 0)
-            ).alias("admit"),
+    )
+    admit = (
+        F.col("predicted")
+        & ~F.col("contaminated")
+        & (F.col("n_near_dup") == 0)
+    )
+    lang_cols: list[str] = []
+    if langid_model is not None:
+        from psql_streamer_spark.operators.text import langid_nb_score
+
+        model, prior = langid_model
+        lang = langid_nb_score(tokenized, model, prior).select(
+            "doc_id", "predicted_lang"
         )
+        joined = joined.join(F.broadcast(lang), "doc_id").withColumn(
+            "lang_admit",
+            F.col("predicted_lang").isin(allowed_langs)
+            if allowed_langs is not None
+            else F.lit(True),
+        )
+        admit = admit & F.col("lang_admit")
+        lang_cols = ["predicted_lang", "lang_admit"]
+    return joined.select(
+        "doc_id",
+        "label",
+        "score",
+        "predicted",
+        "n_grams",
+        "n_bloom_hits",
+        "n_exact_hits",
+        "contaminated",
+        "n_near_dup",
+        "max_jaccard",
+        *lang_cols,
+        admit.alias("admit"),
     )
 
 
@@ -133,10 +168,14 @@ def start_fused_gate_stream(
     checkpoint_dir: str,
     jaccard_threshold: float = 0.8,
     m_bits: int = BLOOM_M_BITS,
+    langid_model: tuple[DataFrame, DataFrame] | None = None,
+    allowed_langs: list[str] | None = None,
 ):
     """readStream over a document drop-dir -> one fused admission verdict
     per doc per micro-batch -> per-epoch parquet sink. Returns the
-    StreamingQuery (caller stops it)."""
+    StreamingQuery (caller stops it). Optional ``langid_model`` /
+    ``allowed_langs`` switch on the 4-signal verdict (see
+    fused_gate_verdicts for the admit-bit semantics)."""
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -146,7 +185,7 @@ def start_fused_gate_stream(
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         # ONE tokenize pass: the persisted `__words` frame is scanned by
-        # all three probes inside the single verdict-write action. (A
+        # all probes inside the single verdict-write action. (A
         # concurrently-materialized variant was measured SLOWER — the
         # extra persist/count actions cost more than the stage overlap
         # bought; see BENCH_NOTES r14.)
@@ -163,6 +202,8 @@ def start_fused_gate_stream(
                     weights,
                     jaccard_threshold,
                     m_bits,
+                    langid_model,
+                    allowed_langs,
                 ),
                 epoch_id,
             )

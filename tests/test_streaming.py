@@ -1240,6 +1240,107 @@ def test_streaming_fused_gate(spark, tmp_path):
     }
 
 
+def test_fused_gate_langid_fourth_signal(spark, tmp_path):
+    """The trained langid as the fused gate's FOURTH signal: with a
+    langid_model passed, every verdict carries (predicted_lang,
+    lang_admit), predicted_lang is per-doc identical to the registered
+    text_langid_model_scores (same corpus-trained model, same tokenize
+    pass), lang_admit == predicted_lang IN allowed_langs, the composite
+    admit gains the AND, and tag-only mode (allowed_langs=None) never
+    gates. Without a model the 3-signal verdict is schema- and
+    value-unchanged."""
+    from psql_streamer_spark.operators.dedup import band_index_table
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+        md5_bucket,
+    )
+    from psql_streamer_spark.operators.text import (
+        _qm_train,
+        langid_nb_train,
+        text_langid_model_scores,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.fused_gate import fused_gate_verdicts
+    from tests.conftest import SF_SMALL
+
+    from psql_streamer_spark.functions.text_hash import (
+        shingles_expr,
+        with_words,
+    )
+
+    d = load_table(spark, "documents", SF_SMALL)
+    batch = d.filter(md5_bucket(F.col("doc_id"), 4) == 2).select(
+        "doc_id", "text"
+    )
+    table = band_index_table(spark, SF_SMALL)
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+    model, prior = langid_nb_train(with_words(d))
+
+    base = {
+        r.doc_id: r
+        for r in fused_gate_verdicts(
+            spark, batch, table, d, bloom_words, bench_grams, w
+        ).collect()
+    }
+    assert base and "predicted_lang" not in next(iter(base.values())).asDict()
+
+    # per-doc parity with the REGISTERED trained-langid query
+    want_lang = {
+        r.doc_id: r.predicted_lang
+        for r in text_langid_model_scores(spark, SF_SMALL).collect()
+        if r.doc_id in base
+    }
+    langs = sorted(set(want_lang.values()))
+    allowed = langs[:1]  # gate on one language: both bit values exercised
+    fused4 = {
+        r.doc_id: r
+        for r in fused_gate_verdicts(
+            spark,
+            batch,
+            table,
+            d,
+            bloom_words,
+            bench_grams,
+            w,
+            langid_model=(model, prior),
+            allowed_langs=allowed,
+        ).collect()
+    }
+    assert {k: v.predicted_lang for k, v in fused4.items()} == want_lang
+    for k, v in fused4.items():
+        assert v.lang_admit == (v.predicted_lang in allowed)
+        assert v.admit == (base[k].admit and v.lang_admit)
+
+    # tag-only mode: the language rides the verdict but never gates
+    tagged = {
+        r.doc_id: r
+        for r in fused_gate_verdicts(
+            spark,
+            batch,
+            table,
+            d,
+            bloom_words,
+            bench_grams,
+            w,
+            langid_model=(model, prior),
+        ).collect()
+    }
+    for k, v in tagged.items():
+        assert v.lang_admit is True
+        assert v.admit == base[k].admit
+
+
 def test_streaming_mm_near_dup_alerts(spark, tmp_path):
     """Ingest-time MEDIA near-dup: brand-new payloads streamed in
     micro-batches probe the materialized posting table under its stored
