@@ -33,6 +33,8 @@ oracle-registered.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -218,6 +220,126 @@ def start_fused_gate_stream(
     )
 
 
+_BASE_POINTER = "_BASE_BOUND"
+
+
+def _admitted_base_bound(admitted_dir: str) -> int:
+    """Exclusive epoch bound of the admitted store's compacted base
+    (0 = no compaction has run)."""
+    try:
+        with open(os.path.join(admitted_dir, _BASE_POINTER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _admitted_base_dir(admitted_dir: str, bound: int) -> str:
+    return os.path.join(admitted_dir, "_base", f"v={bound:012d}")
+
+
+def compact_admitted_store(
+    spark: SparkSession, admitted_dir: str, upto_epoch: int
+) -> bool:
+    """Fold the admitted store's per-epoch partitions strictly below
+    ``upto_epoch`` (plus any prior base) into ONE compacted base
+    generation, advance the pointer atomically, and sweep the folded
+    partitions. Returns True when a fold ran.
+
+    This is what bounds the closed loop's two O(epochs) terms: the
+    per-epoch ``epoch=*`` partition LISTING (swept dirs stop being
+    listed) and the verify-corpus union's file count (one repartitioned
+    base instead of one small parquet per epoch). The base PRESERVES
+    each row's ``epoch`` — that provenance is what keeps the loop's
+    replay/rewind contract intact after a fold: a replayed epoch N still
+    reads exactly the strictly-prior admissions by filtering
+    ``epoch < N`` on the base just like on the live partitions.
+    Crash-safe by ordering: base write -> pointer rename (os.replace,
+    atomic) -> sweep. A crash before the rename leaves the old pointer
+    and the old partitions (next compaction re-folds — the
+    overwrite-mode base write is idempotent); a crash after it leaves
+    already-excluded stale dirs (``epoch >= bound`` filters them) that
+    the next compaction sweeps. Re-invoking with the same ``upto_epoch``
+    (an epoch REPLAY that crossed the cadence) is a no-op — bound ==
+    upto returns False, so a replayed epoch sees exactly the state its
+    first attempt saw."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    bound = _admitted_base_bound(admitted_dir)
+    if upto_epoch <= bound:
+        return False
+    frames = []
+    old_base = _admitted_base_dir(admitted_dir, bound)
+    if bound > 0 and os.path.isdir(old_base):
+        frames.append(
+            spark.read.parquet(old_base).select("doc_id", "text", "epoch")
+        )
+    try:
+        frames.append(
+            EpochParquetSink(admitted_dir)
+            .read(spark)
+            .filter(
+                (F.col("epoch") >= F.lit(bound))
+                & (F.col("epoch") < F.lit(upto_epoch))
+            )
+            .select("doc_id", "text", F.col("epoch").cast("long").alias("epoch"))
+        )
+    except AnalysisException:
+        pass  # no epoch partitions yet
+    if not frames:
+        return False  # nothing on disk to fold — nothing to bound either
+    new_base = _admitted_base_dir(admitted_dir, upto_epoch)
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    # one hash layout, bounded file count — the base is the verify
+    # corpus' big side, so its scan parallelism should match cores
+    merged.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).write.mode("overwrite").parquet(new_base)
+    tmp = os.path.join(admitted_dir, f".{_BASE_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(upto_epoch))
+    os.replace(tmp, os.path.join(admitted_dir, _BASE_POINTER))
+    # sweep folded epoch partitions and superseded base generations
+    for name in os.listdir(admitted_dir):
+        if name.startswith("epoch="):
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e < upto_epoch:
+                shutil.rmtree(
+                    os.path.join(admitted_dir, name), ignore_errors=True
+                )
+    base_root = os.path.join(admitted_dir, "_base")
+    for name in os.listdir(base_root):
+        if name.startswith("v=") and name != f"v={upto_epoch:012d}":
+            shutil.rmtree(os.path.join(base_root, name), ignore_errors=True)
+    return True
+
+
+def compact_loop_index(spark: SparkSession, index_table: str) -> None:
+    """Rewrite the loop's band-posting table DISTINCT, preserving its
+    bucket spec — the duplicate-posting reclaim the loop's at-least-once
+    appends accumulate toward (duplicates are verdict-inert, they only
+    cost index bytes and probe-side collision rows). localCheckpoint
+    materializes the deduped postings BEFORE the overwrite drops the
+    files being read (the repo's read-then-overwrite idiom); at cluster
+    scale the same fold writes a new generation and swaps names
+    instead."""
+    from psql_streamer_spark.operators.dedup import BAND_INDEX_BUCKETS
+
+    deduped = spark.table(index_table).distinct().localCheckpoint()
+    (
+        deduped.write.bucketBy(BAND_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .saveAsTable(index_table)
+    )
+
+
 def start_fused_ingest_loop(
     spark: SparkSession,
     source_dir: str,
@@ -231,6 +353,7 @@ def start_fused_ingest_loop(
     checkpoint_dir: str,
     jaccard_threshold: float = 0.8,
     m_bits: int = BLOOM_M_BITS,
+    compact_every: int | None = None,
 ):
     """The CLOSED ingest loop: the fused gate whose near-dup state GROWS
     with every admission. start_fused_gate_stream screens each batch
@@ -262,8 +385,26 @@ def start_fused_ingest_loop(
       dedup state (its near-copy arriving later is judged on its own
       merits — the copy of a REJECTED doc may still be admissible).
 
+    COMPACTION CADENCE (r15): with ``compact_every=K``, every K-th epoch
+    first folds the admitted store's per-epoch partitions into one
+    compacted base (compact_admitted_store) and rewrites the posting
+    table DISTINCT (compact_loop_index) — bounding the two O(epochs)
+    growth terms the r14 design left unwired: the per-epoch partition
+    listing/union and the duplicate postings of at-least-once appends.
+    Replay idempotence survives the fold: a replayed epoch N re-runs its
+    cadence check, compact_admitted_store(upto=N) is a no-op when the
+    first attempt already advanced the bound, and because the base
+    PRESERVES per-row epoch provenance the verify corpus
+    (base + tail, both filtered to epoch < N; tail additionally
+    epoch >= bound so a rewind's rewritten early partitions never
+    double-count against their folded copies) is exactly the
+    strictly-prior state the first attempt saw — a FULL rewind (fresh
+    checkpoint, epochs restarting at 0) reproduces verdicts under a
+    compacted store too, pinned in tests.
+
     Pass an index table the loop may own (e.g. a copy of
-    band_index_table's output) — the appends mutate it."""
+    band_index_table's output) — the appends (and with compact_every,
+    the distinct rewrites) mutate it."""
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
@@ -287,20 +428,37 @@ def start_fused_ingest_loop(
         # doc_id reappearing in a later batch must NOT mask the earlier
         # admission it should be verified against. Strictly-prior epochs
         # (epoch < N) is exactly the state the FIRST attempt of epoch N
-        # saw — correct for a single-epoch retry and for a full rewind
-        # (where later epochs' sink partitions still exist on disk but
-        # must not time-travel into an earlier epoch's verdicts).
-        try:
-            admitted_so_far = (
-                admitted_sink.read(spark)
+        # saw — correct for a single-epoch retry and for a rewind to any
+        # epoch >= the compacted base bound (later epochs' sink
+        # partitions still exist on disk but must not time-travel into
+        # an earlier epoch's verdicts; pre-bound rewinds fail loudly —
+        # see the docstring).
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            if compact_admitted_store(spark, admitted_dir, epoch_id):
+                compact_loop_index(spark, index_table)
+        bound = _admitted_base_bound(admitted_dir)
+        live_corpus = corpus.select("doc_id", "text")
+        base_dir = _admitted_base_dir(admitted_dir, bound)
+        if bound > 0 and os.path.isdir(base_dir):
+            # per-row epoch provenance: a rewound epoch N < bound still
+            # sees exactly its strictly-prior admissions
+            live_corpus = live_corpus.unionByName(
+                spark.read.parquet(base_dir)
                 .filter(F.col("epoch") < F.lit(epoch_id))
                 .select("doc_id", "text")
             )
-            live_corpus = corpus.select("doc_id", "text").unionByName(
-                admitted_so_far
+        try:
+            admitted_so_far = (
+                admitted_sink.read(spark)
+                .filter(
+                    (F.col("epoch") >= F.lit(bound))
+                    & (F.col("epoch") < F.lit(epoch_id))
+                )
+                .select("doc_id", "text")
             )
-        except AnalysisException:  # no admissions yet
-            live_corpus = corpus.select("doc_id", "text")
+            live_corpus = live_corpus.unionByName(admitted_so_far)
+        except AnalysisException:  # no tail partitions yet
+            pass
 
         tokenized = with_words(batch_df).persist()
         verdicts = None

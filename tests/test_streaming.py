@@ -1694,6 +1694,164 @@ def test_fused_ingest_loop_replay_reproduces_verdicts(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
 
 
+def test_fused_ingest_loop_compaction(spark, tmp_path):
+    """The loop's wired compaction cadence (compact_every=K): at epoch K
+    the admitted store's per-epoch partitions fold into ONE base
+    generation (pointer advanced atomically, folded partitions swept)
+    and the posting table is rewritten DISTINCT — while verdicts stay
+    IDENTICAL to an uncompacted run: pre-fold admissions still reject
+    their post-fold near-copies (the base is in the verify corpus), a
+    FULL rewind reproduces all verdicts (base rows carry per-epoch
+    provenance, so epoch N still excludes epoch >= N admissions), and a
+    post-replay compact_loop_index reclaims the ghost-duplicate
+    postings the replay re-appended."""
+    import json as _json
+    import os as _os
+    import shutil
+    import time as _time
+
+    from psql_streamer_spark.functions.text_hash import (
+        shingles_expr,
+        with_words,
+    )
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_BUCKETS,
+        band_index_table,
+    )
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.fused_gate import (
+        _admitted_base_bound,
+        compact_loop_index,
+        start_fused_ingest_loop,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = load_table(spark, "documents", SF_SMALL)
+    base = band_index_table(spark, SF_SMALL)
+    loop_tbl = "fused_loop_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+    (
+        spark.table(base)
+        .write.bucketBy(BAND_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .saveAsTable(loop_tbl)
+    )
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias("g")
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+
+    vocab = sorted(
+        r.word
+        for r in with_words(d)
+        .select(F.explode("__words").alias("word"))
+        .distinct()
+        .collect()
+    )
+    x_words = [vocab[(13 * i + 7) % len(vocab)] for i in range(40)]
+    z_words = x_words[:-1] + [vocab[6]]  # epoch-1 near-copy of X
+    w_words = [vocab[(17 * i + 2) % len(vocab)] for i in range(40)]
+    v_words = w_words[:-1] + [vocab[8]]  # epoch-3 near-copy of W
+    u_words = x_words[:-2] + [vocab[9], vocab[10]]  # epoch-3 copy of X
+    #                                                 (X is FOLDED by then)
+    src = tmp_path / "compact_src"
+    src.mkdir()
+    epochs = [
+        [(9201, x_words)],
+        [(9202, z_words)],
+        [(9203, w_words)],
+        [(9204, v_words), (9205, u_words)],
+    ]
+    now = _time.time()
+    for i, docs in enumerate(epochs):
+        p = src / f"e{i}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": did, "text": " ".join(ws)})
+                for did, ws in docs
+            )
+            + "\n"
+        )
+        _os.utime(p, (now - 240 + 60 * i, now - 240 + 60 * i))
+
+    verdict_dir = str(tmp_path / "compact_verdicts")
+    admitted_dir = str(tmp_path / "compact_admitted")
+
+    def run(ckpt: str) -> dict:
+        q = start_fused_ingest_loop(
+            spark,
+            str(src),
+            loop_tbl,
+            d,
+            bloom_words,
+            bench_grams,
+            w,
+            verdict_dir,
+            admitted_dir,
+            ckpt,
+            compact_every=2,
+        )
+        assert q.awaitTermination(240), "loop did not drain"
+        return {
+            r.doc_id: (r.admit, r.n_near_dup)
+            for r in spark.read.parquet(verdict_dir).collect()
+        }
+
+    try:
+        first = run(str(tmp_path / "ckpt_c1"))
+        # X, W admitted; Z rejects against live X; V rejects against
+        # post-fold admission W; U rejects against the FOLDED X (the
+        # base is in the verify corpus)
+        assert first[9201][0] and first[9203][0], first
+        for rejected in (9202, 9204, 9205):
+            assert not first[rejected][0], (rejected, first)
+            assert first[rejected][1] > 0, (rejected, first)
+
+        # the fold ran at epoch 2: pointer advanced, folded partitions
+        # swept, base generation holds the pre-fold admissions
+        assert _admitted_base_bound(admitted_dir) == 2
+        names = set(_os.listdir(admitted_dir))
+        assert "epoch=000000000000" not in names
+        assert "epoch=000000000001" not in names
+        assert {"epoch=000000000002", "epoch=000000000003"} <= names
+        base_df = spark.read.parquet(
+            _os.path.join(admitted_dir, "_base", "v=000000000002")
+        )
+        assert {(r.doc_id, r.epoch) for r in base_df.collect()} == {(9201, 0)}
+        rows_after_first = spark.table(loop_tbl).count()
+        distinct_after_first = spark.table(loop_tbl).distinct().count()
+        assert rows_after_first == distinct_after_first  # clean first run
+
+        # FULL rewind under the compacted store: fresh checkpoint must
+        # reproduce every verdict (base provenance keeps epoch N from
+        # seeing epoch >= N admissions)
+        second = run(str(tmp_path / "ckpt_c2"))
+        assert second == first
+        # the replay's re-appended ghost postings persist until the next
+        # fold; compact_loop_index reclaims them and probes still serve
+        assert spark.table(loop_tbl).count() > rows_after_first
+        compact_loop_index(spark, loop_tbl)
+        assert spark.table(loop_tbl).count() == distinct_after_first
+        third = run(str(tmp_path / "ckpt_c3"))
+        assert third == first
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+        shutil.rmtree(admitted_dir, ignore_errors=True)
+
+
 def test_streaming_lake_retention_leg(spark, dirs):
     """The lake lifecycle's retention leg on the STREAMING-written layout:
     expire_partitions must operate on what ParquetSink actually produces
