@@ -1512,6 +1512,71 @@ def text_langid_model_confusion(
     )
 
 
+_SQL_LANGID_VOCAB_STATS = f"""
+    WITH tokl AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w FROM documents
+    ),
+    vbg AS (
+      SELECT unnest(list_transform(range(1, len(cs)),
+                                   i -> cs[i] || cs[i+1])) AS g
+      FROM (SELECT string_split(w, '') AS cs FROM tokl)
+    ),
+    vgcnt AS (SELECT g, COUNT(*) AS gc FROM vbg GROUP BY g),
+    vcap AS (
+      SELECT gc FROM (
+        SELECT gc, ROW_NUMBER() OVER (ORDER BY gc DESC, g ASC) AS grn
+        FROM vgcnt
+      ) WHERE grn <= {LANGID_BIGRAM_CAP}
+    )
+    SELECT (SELECT COUNT(*) FROM vgcnt) AS full_vocab,
+           (SELECT COUNT(*) FROM vcap) AS capped_vocab,
+           (SELECT COALESCE(SUM(gc), 0)::BIGINT FROM vgcnt)
+             AS total_occurrences,
+           (SELECT COALESCE(SUM(gc), 0)::BIGINT FROM vcap)
+             AS covered_occurrences
+"""
+
+
+@register("text_langid_vocab_stats", oracle=_SQL_LANGID_VOCAB_STATS)
+def text_langid_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row occupancy report of the LANGID_BIGRAM_CAP vocabulary cap:
+    full char-bigram vocabulary size, the capped size, and how many of
+    the corpus' bigram OCCURRENCES the capped vocabulary still covers —
+    the number that says what the cap costs (OOV grams contribute no NB
+    cost, see the langid banner). On real text full_vocab is
+    alphabet^2-bounded and coverage is ~100%; a synthetic/hashed corpus
+    whose vocab outgrows the cap shows its coverage drop HERE before
+    anyone wonders why langid confidence sagged — the model owner's
+    watch number, the same role mm_index_stats / dedup_band_index_stats
+    play for the index tiers. One aggregate over the corpus bigrams;
+    one output row at any scale."""
+    d = with_words(load_table(spark, "documents", sf_dir))
+    gcnt = (
+        langid_char_bigrams(d, ["doc_id"])
+        .groupBy("g")
+        .agg(F.count("*").alias("gc"))
+    )
+    capped = gcnt.orderBy(F.desc("gc"), F.asc("g")).limit(LANGID_BIGRAM_CAP)
+    full = gcnt.agg(
+        F.count("*").alias("full_vocab"),
+        F.coalesce(F.sum("gc"), F.lit(0))
+        .cast("bigint")
+        .alias("total_occurrences"),
+    )
+    cov = capped.agg(
+        F.count("*").alias("capped_vocab"),
+        F.coalesce(F.sum("gc"), F.lit(0))
+        .cast("bigint")
+        .alias("covered_occurrences"),
+    )
+    return full.crossJoin(cov).select(
+        "full_vocab",
+        "capped_vocab",
+        "total_occurrences",
+        "covered_occurrences",
+    )
+
+
 # --------------------------------------------------------------------------
 # Unigram-LM surprisal: the CCNet-style perplexity quality filter, in
 # integer-exact form. CCNet ranks documents by the perplexity of a
