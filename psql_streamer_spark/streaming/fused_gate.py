@@ -16,9 +16,10 @@ duplicated scan work, not the probe-specific joins). The fused gate:
   score_quality_batch all defer to the shared cached tokens (parity with
   each standalone gate is therefore structural, and additionally pinned
   by tests/test_streaming.py::test_streaming_fused_gate);
-- one verdict row per document carries all three signals plus the
+- one verdict row per document carries all the signals plus the
   composite `admit` bit (quality-pass AND not contaminated AND no
-  verified near-dup) — the single row a curation pipeline routes on;
+  verified near-dup AND — when a trained langid model is passed, r15 —
+  language-allowed) — the single row a curation pipeline routes on;
 - the sink uses the per-epoch overwrite idiom (EpochParquetSink), so
   foreachBatch retries replace rather than duplicate.
 
@@ -354,6 +355,8 @@ def start_fused_ingest_loop(
     jaccard_threshold: float = 0.8,
     m_bits: int = BLOOM_M_BITS,
     compact_every: int | None = None,
+    langid_model=None,
+    allowed_langs: list[str] | None = None,
 ):
     """The CLOSED ingest loop: the fused gate whose near-dup state GROWS
     with every admission. start_fused_gate_stream screens each batch
@@ -401,6 +404,10 @@ def start_fused_ingest_loop(
     strictly-prior state the first attempt saw — a FULL rewind (fresh
     checkpoint, epochs restarting at 0) reproduces verdicts under a
     compacted store too, pinned in tests.
+
+    Optional ``langid_model`` / ``allowed_langs`` switch on the
+    4-signal verdict (fused_gate_verdicts' admit-bit semantics); a
+    language-rejected document leaves no trace, like any other reject.
 
     Pass an index table the loop may own (e.g. a copy of
     band_index_table's output) — the appends (and with compact_every,
@@ -473,6 +480,8 @@ def start_fused_ingest_loop(
                 weights,
                 jaccard_threshold,
                 m_bits,
+                langid_model,
+                allowed_langs,
             ).persist()
             verdict_sink.write(verdicts, epoch_id)
             admitted = tokenized.join(
