@@ -964,3 +964,25 @@ def test_corpus_prep_report_single_window_no_join(spark, queries):
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
     assert "Window" in plan
+
+
+def test_langid_score_model_join_is_broadcast(spark, queries):
+    """The trained-langid scorer's model and prior joins must be
+    broadcasts: the model is LANGID_BIGRAM_CAP-bounded by construction
+    (the r15 cap's whole point), so no per-doc exchange may appear for
+    the model side — the only shuffles in the scoring plan are the
+    per-doc aggregates/window. Guards both the registered query and the
+    fused gate's fourth signal (same scoring function)."""
+    plan = _physical(queries["text_langid_model_scores"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE shuffle join is legitimate: the per-doc assembly of
+    # (docs x priors) against the per-doc gram-cost sums, keyed
+    # (doc_id, cand_lang) — both sides are doc-sized. Any other
+    # sort-merge means a model-sized side stopped broadcasting.
+    smj = [
+        ln for ln in plan.splitlines() if "SortMergeJoin" in ln
+    ]
+    assert len(smj) <= 1, smj
+    for ln in smj:
+        assert "doc_id" in ln, f"non-doc-keyed shuffle join: {ln}"
+    assert "EvalPython" not in plan  # whole pipeline stays JVM-side
