@@ -1328,9 +1328,13 @@ _SQL_LANGID_NB = f"""
 
 
 def langid_char_bigrams(d: DataFrame, cols: list[str]) -> DataFrame:
-    """(``cols``..., g) char-bigram occurrences of a tokenized frame —
-    the shared feature extractor of NB training and scoring (training
-    passes [doc_id, lang], a label-less scorer passes [doc_id])."""
+    """(``cols``..., g) char-bigram occurrences of a (doc_id, text)
+    frame — the shared feature extractor of NB training and scoring
+    (training passes [doc_id, lang], a label-less scorer passes
+    [doc_id]). with_words is applied defensively (idempotent — an
+    already-tokenized frame's cached tokens are reused, the fused
+    gate's shared-scan contract)."""
+    d = with_words(d)
     return d.select(*cols, F.explode("__words").alias("w")).select(
         *cols,
         F.explode(
