@@ -1420,9 +1420,17 @@ def langid_nb_score(
     vocabulary contribute no cost (the inner model join, see banner).
     ``carry`` columns of ``d`` ride the per-doc plan for free (no extra
     join back against the input — the corpus query carries its label
-    this way)."""
-    from pyspark.sql import Window
+    this way).
 
+    Plan shape (r15): the per-doc costs fold into ONE projection. The
+    prior is collected to the driver (|langs| rows — model-sized, the
+    bounded-collect discipline) and the argmin becomes
+    array_min(array(struct(cost_L, L)...)) over a per-doc lang->gbits
+    map: struct ordering compares cost first then lang, which IS the
+    (cost_bits ASC, cand_lang ASC) tie-break the oracle's ROW_NUMBER
+    replays. vs the windowed form this drops the docs x langs row
+    inflation, the (doc_id, lang)-keyed shuffle join, and the window
+    exchange — one groupBy and one doc-keyed join remain."""
     bg = langid_char_bigrams(d, ["doc_id"])
     doc_cnt = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     docsum = (
@@ -1430,34 +1438,39 @@ def langid_nb_score(
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("c") * F.col("bits")).cast("bigint").alias("gbits"))
     )
-    scores = (
-        d.select("doc_id", *carry)
-        .crossJoin(F.broadcast(prior.withColumnRenamed("lang", "cand_lang")))
-        .join(
-            docsum.withColumnRenamed("lang", "cand_lang"),
-            ["doc_id", "cand_lang"],
-            "left",
-        )
-        .select(
-            "doc_id",
-            *carry,
-            "cand_lang",
-            (F.coalesce("gbits", F.lit(0)) + F.col("pbits")).alias(
-                "cost_bits"
-            ),
-        )
+    gmap = docsum.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", "gbits"))
+        ).alias("gm")
     )
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("cost_bits", "cand_lang")
+    pri = sorted(
+        (r.lang, int(r.pbits)) for r in prior.collect()
+    )  # model-sized driver state
+    cand = F.array(
+        *[
+            F.struct(
+                (
+                    F.coalesce(
+                        F.element_at(F.col("gm"), F.lit(lang)), F.lit(0)
+                    )
+                    + F.lit(pbits)
+                )
+                .cast("bigint")
+                .alias("c"),
+                F.lit(lang).alias("l"),
+            )
+            for lang, pbits in pri
+        ]
     )
+    best = F.array_min(cand)
     return (
-        scores.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
+        d.select("doc_id", *carry)
+        .join(gmap, "doc_id", "left")
         .select(
             "doc_id",
             *carry,
-            F.col("cand_lang").alias("predicted_lang"),
-            "cost_bits",
+            best.getField("l").alias("predicted_lang"),
+            best.getField("c").alias("cost_bits"),
         )
     )
 
