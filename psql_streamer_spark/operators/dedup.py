@@ -2428,6 +2428,70 @@ _SQL_INCREMENTAL_LSH = f"""
 """
 
 
+_SQL_EXACT_INCREMENTAL = f"""
+    WITH newdocs AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE {_SQL_DELTA_PRED}
+    ),
+    prior AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+      WHERE NOT ({_SQL_DELTA_PRED})
+    )
+    SELECT n.doc_id AS new_doc_id,
+           MIN(p.doc_id) AS canonical_doc_id,
+           COUNT(p.doc_id) AS n_prior_copies
+    FROM newdocs n LEFT JOIN prior p ON p.fp = n.fp
+    GROUP BY n.doc_id
+"""
+
+
+@register("dedup_exact_incremental", oracle=_SQL_EXACT_INCREMENTAL)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate verdict for the ingest delta: ONE row per
+    "arrived today" document (the md5-bucket delta convention shared by
+    all incremental tiers) with the count of byte-identical PRIOR-corpus
+    copies and the earliest one as canonical (NULL / 0 when the arrival
+    is novel) — the cheapest and most common production admission check
+    ("is this already in the lake"), the degenerate-threshold sibling of
+    dedup_incremental_lsh_pairs, and per-arrival-shaped like the fused
+    gate's verdicts so it composes as an admission signal.
+
+    Plan shape: TWO broadcast joins, zero corpus shuffles. An outer join
+    that keeps the delta side cannot broadcast (the preserved side must
+    stream), so the novel rows are recovered in a second delta-sized
+    step: (1) prior INNER JOIN broadcast(delta fingerprints) → grouped
+    prior-copy stats, delta-sized; (2) delta LEFT JOIN broadcast(those
+    stats). The prior corpus is one scan-side hash probe either way. At
+    100 TB the fingerprint is computed at ingest and the prior side is
+    a bucketed fingerprint index (the band-index discipline); this op
+    expresses the probe's join shape."""
+    d = load_table(spark, "documents", sf_dir)
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    is_delta = md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    new = fp.filter(is_delta).select(
+        F.col("doc_id").alias("new_doc_id"), "fp"
+    )
+    prior = fp.filter(~is_delta)
+    matches = (
+        prior.join(F.broadcast(new), "fp")
+        .groupBy("new_doc_id")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_prior_copies"),
+        )
+    )
+    return new.select("new_doc_id").join(
+        F.broadcast(matches), "new_doc_id", "left"
+    ).select(
+        "new_doc_id",
+        "canonical_doc_id",
+        F.coalesce("n_prior_copies", F.lit(0))
+        .cast("bigint")
+        .alias("n_prior_copies"),
+    )
+
+
 @register("dedup_incremental_lsh_pairs", oracle=_SQL_INCREMENTAL_LSH)
 def dedup_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs touching the ingest delta (md5-bucket stand-in for

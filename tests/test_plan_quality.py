@@ -986,3 +986,14 @@ def test_langid_score_model_join_is_broadcast(spark, queries):
     for ln in smj:
         assert "doc_id" in ln, f"non-doc-keyed shuffle join: {ln}"
     assert "EvalPython" not in plan  # whole pipeline stays JVM-side
+
+
+def test_exact_incremental_broadcasts_delta_both_steps(spark, queries):
+    """dedup_exact_incremental's contract is zero corpus shuffles: the
+    delta fingerprints broadcast into the prior-corpus probe, and the
+    delta-sized match stats broadcast back into the per-arrival left
+    join — two BroadcastHashJoins, no sort-merge join anywhere."""
+    plan = _physical(queries["dedup_exact_incremental"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
