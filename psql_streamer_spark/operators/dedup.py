@@ -2467,7 +2467,16 @@ def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     from psql_streamer_spark.operators.mlprep import md5_bucket
 
-    is_delta = md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET
+    return exact_incremental_verdicts(
+        d, md5_bucket(F.col("doc_id"), DELTA_BUCKETS) == DELTA_BUCKET
+    )
+
+
+def exact_incremental_verdicts(d: DataFrame, is_delta) -> DataFrame:
+    """dedup_exact_incremental's body over any (doc_id, text) frame with
+    an ``is_delta`` membership Column — split out so the dup path (the
+    synthetic corpora contain no cross-boundary byte copies) is pinned
+    on a planted frame in tests."""
     fp = d.select("doc_id", F.md5("text").alias("fp"))
     new = fp.filter(is_delta).select(
         F.col("doc_id").alias("new_doc_id"), "fp"

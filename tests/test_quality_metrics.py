@@ -718,3 +718,35 @@ def test_with_words_owned_column_contract(spark):
     assert with_words(rewritten, fresh=True).head()["__words"] == ["gamma"]
     # drop_words on an untokenized frame is a no-op passthrough
     assert drop_words(d) is d
+
+
+def test_exact_incremental_dup_and_novel_paths(spark):
+    """dedup_exact_incremental's semantics on a planted frame (the
+    synthetic corpora contain no cross-boundary byte copies, so the dup
+    path never fires on real data): a delta doc byte-identical to prior
+    copies reports their count and the EARLIEST prior id as canonical; a
+    novel delta doc reports (NULL, 0); prior-only dups and delta-delta
+    copies are out of scope (prior state and same-day granularity
+    respectively)."""
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.operators.dedup import (
+        exact_incremental_verdicts,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),   # prior copy (earliest)
+        (2, "alpha beta gamma"),   # prior copy
+        (3, "unique prior text"),
+        (101, "alpha beta gamma"),  # delta: dup of 1 and 2
+        (102, "novel arrival"),     # delta: novel
+        (103, "novel arrival"),     # delta: delta-delta copy — still novel
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.new_doc_id: (r.canonical_doc_id, r.n_prior_copies)
+        for r in exact_incremental_verdicts(
+            d, F.col("doc_id") >= 100
+        ).collect()
+    }
+    assert got == {101: (1, 2), 102: (None, 0), 103: (None, 0)}
