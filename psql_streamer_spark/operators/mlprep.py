@@ -504,6 +504,97 @@ def mlprep_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Token-budget allocation: the step AFTER mixture weighting — turn a
+# global training-token budget into per-source token/doc allocations
+# (Pile/Dolma-style mixing). Integer-exact end to end: weights are
+# floor(sqrt(tokens)) whole units (IEEE sqrt + floor is bit-identical
+# cross-engine), the split is one integer multiply + floor-divide, so
+# shares sum to <= budget with deterministic remainders — no float
+# proration whose last ulp could differ per engine. epochs_over_source
+# > 1 flags a small source the budget would repeat (the 4-epoch-style
+# caps a mixing policy applies live downstream of this report).
+# --------------------------------------------------------------------------
+MIX_TOKEN_BUDGET = 10_000_000
+
+
+@register(
+    "mlprep_token_budget_allocation",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                      w -> len(w) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS weight_units
+      FROM stats
+    ),
+    a AS (
+      SELECT *,
+             CAST(({MIX_TOKEN_BUDGET} * weight_units)
+                  // NULLIF(SUM(weight_units) OVER (), 0) AS BIGINT)
+               AS allocated_tokens
+      FROM w
+    )
+    SELECT source, n_docs, n_tokens, weight_units, allocated_tokens,
+           ROUND(allocated_tokens * 1.0 / NULLIF(n_tokens, 0), 6)
+             AS epochs_over_source,
+           CAST((n_docs * allocated_tokens) // NULLIF(n_tokens, 0)
+                AS BIGINT) AS n_docs_equivalent
+    FROM a
+    """,
+)
+def mlprep_token_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source allocation of MIX_TOKEN_BUDGET training tokens under
+    sqrt-temperature weights: available docs/tokens, the integer weight,
+    the floor-divided token share, how many passes over the source that
+    share implies (epochs_over_source — the up-sampling a small source
+    would need), and the doc-count equivalent. One map-side-combined
+    rollup + a window over ~|sources| rows; every allocation column is
+    integer arithmetic (see banner), so the report hash-matches DuckDB
+    exactly."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    d = load_table(spark, "documents", sf_dir)
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words_expr())).cast("bigint").alias("n_tokens"),
+    )
+    w = stats.withColumn(
+        "weight_units", F.floor(F.sqrt("n_tokens")).cast("bigint")
+    ).withColumn(
+        "total_units", F.sum("weight_units").over(W.partitionBy())
+    )
+    a = w.withColumn(
+        "allocated_tokens",
+        F.expr(
+            f"CAST(({MIX_TOKEN_BUDGET} * weight_units)"
+            " div nullif(total_units, 0) AS BIGINT)"
+        ),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_units",
+        "allocated_tokens",
+        F.round(
+            F.col("allocated_tokens") / F.expr("nullif(n_tokens, 0)"), 6
+        ).alias("epochs_over_source"),
+        F.expr(
+            "CAST((n_docs * allocated_tokens) div nullif(n_tokens, 0)"
+            " AS BIGINT)"
+        ).alias("n_docs_equivalent"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Document chunking: docs longer than the context window split into
 # overlapping word-window chunks — packing's complement (packing merges
 # short docs; chunking splits long ones). One explode over computed chunk
