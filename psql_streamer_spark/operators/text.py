@@ -290,6 +290,85 @@ def text_token_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    idf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf,
+             LENGTH(BIN(nn.n // idf.df)) - 1 AS idf_bits,
+             tf.tf * (LENGTH(BIN(nn.n // idf.df)) - 1) AS score
+      FROM tf JOIN idf ON idf.w = tf.w CROSS JOIN nn
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM s
+    )
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(idf_bits AS BIGINT) AS idf_bits,
+           CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-TFIDF_TOP_K keyword terms, integer-exact: idf is
+    the whole-bit floor(log2(N/df)) (bitlength identity — see the
+    unigram-surprisal banner), score = tf * idf_bits, ties broken
+    (score DESC, term ASC) identically in both engines. The standard
+    keyword-extraction / routing signal a curation pipeline derives per
+    document, in the repo's no-transcendentals form.
+
+    Plan shape: tf is one map-side-combined aggregate over the exploded
+    tokens; the vocab-sized (term, df) table joins BROADCAST (Zipf-
+    bounded head; at 100 TB the tail join is the shuffle and AQE's
+    skew split handles stopword keys); the top-k window shuffles one
+    doc-keyed pass of doc x distinct-terms rows."""
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    tok = d.select("doc_id", F.explode(words_expr("text")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    idf = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # corpus cardinality: one driver scalar, like langid's
+    idf_bits = F.length(F.bin(F.expr(f"{n} div df"))) - F.lit(1)
+    scored = tf.join(
+        F.broadcast(idf.select("w", idf_bits.alias("idf_bits"))), "w"
+    ).select(
+        "doc_id",
+        F.col("w").alias("term"),
+        "tf",
+        "idf_bits",
+        (F.col("tf") * F.col("idf_bits")).alias("score"),
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("idf_bits").cast("bigint").alias("idf_bits"),
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE-ish token counting: subword-tokenizer cost estimation without the
 # tokenizer library.
