@@ -1358,11 +1358,13 @@ _SQL_LANGID_NB = f"""
       ) WHERE grn <= {LANGID_BIGRAM_CAP}
     ),
     nb_v AS (SELECT COUNT(*) AS v FROM nb_vocab),
-    nb_cls AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+    nb_cls AS (SELECT lang, COUNT(*) AS nd FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
     nb_n AS (SELECT COUNT(*) AS n FROM documents),
     nb_cf AS (
       SELECT b.lang, b.g, COUNT(*) AS c
       FROM nb_bg b JOIN nb_vocab vo ON vo.g = b.g
+      WHERE b.lang IS NOT NULL
       GROUP BY b.lang, b.g
     ),
     nb_tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM nb_cf GROUP BY lang),
@@ -1452,10 +1454,20 @@ def langid_nb_train(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("g")
     )
     v = vocab.count()
-    cls = d.groupBy("lang").agg(F.count("*").alias("nd"))
+    # an unlabeled (NULL-lang) document contributes features/vocab but
+    # cannot BE a class — exclude it from the class tables (mirrored in
+    # the oracle CTE); real corpora are fully labeled, so results are
+    # unchanged where it matters and a null-heavy corpus stops crashing
+    # the model-sized driver sort
+    cls = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+    )
     n_docs = d.count()
     cf = (
-        bg.join(F.broadcast(vocab), "g")
+        bg.filter(F.col("lang").isNotNull())
+        .join(F.broadcast(vocab), "g")
         .groupBy("lang", "g")
         .agg(F.count("*").alias("c"))
     )
@@ -1525,6 +1537,17 @@ def langid_nb_score(
     pri = sorted(
         (r.lang, int(r.pbits)) for r in prior.collect()
     )  # model-sized driver state
+    if not pri:
+        # untrained/empty model: no candidate langs, no scores — the
+        # same zero rows the windowed form produced (its crossJoin with
+        # an empty prior was empty); an empty array() literal would be
+        # untypeable under array_min(...).getField
+        return d.select(
+            "doc_id",
+            *carry,
+            F.lit(None).cast("string").alias("predicted_lang"),
+            F.lit(None).cast("bigint").alias("cost_bits"),
+        ).filter(F.lit(False))
     cand = F.array(
         *[
             F.struct(
