@@ -1564,3 +1564,167 @@ def mlprep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage("n_tokens", "val", "val_tokens"),
         stage("n_tokens", "test", "test_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source-interleaved training order: REALIZE the mixture weights as an
+# actual epoch schedule. mlprep_source_mixture_weights /
+# mlprep_token_budget_allocation report per-source SHARES; a trainer
+# needs a concrete document ORDER in which sources appear at those
+# rates, smoothly interleaved rather than in source-contiguous blocks
+# (which skew gradients exactly like an unshuffled corpus). Classic
+# stride scheduling in fixed-point integer arithmetic: document number
+# r of source s is scheduled at virtual time floor(r * 2^20 / w_s), so
+# a source with twice the weight appears twice as often in every prefix
+# of the order, with bounded (one-doc) deviation from the ideal rate —
+# the waterfall/"stride" discipline of lottery-scheduler fame applied
+# to data mixing. Everything is BIGINT (the r1-comparable IEEE floor
+# sqrt for the weights, then multiply + floor-divide), so both engines
+# produce the identical total order and the identical positions.
+#
+# Scale shape (100 TB): per-source ranks come from the salted two-level
+# idiom (mlprep_pack_sequences_salted's fix for the mega-source window:
+# INTERLEAVE_SUB_STREAMS sub-windows per source + a broadcast offset
+# join of the |sources| x subs count table). The GLOBAL position is
+# never a single ORDER BY: virtual time is range-bucketed (span chosen
+# from the aggregate weight total so a bucket holds ~INTERLEAVE_
+# BUCKET_DOCS docs), per-bucket counts roll into exclusive offsets via
+# a window over the ~N/4096-row bucket-count table, and position =
+# bucket offset + rank within the bucket's own hash-partitioned window.
+# Two doc-keyed exchanges total — one per window — and the bucket join
+# feeds the bucket window without re-partitioning.
+# --------------------------------------------------------------------------
+INTERLEAVE_SUB_STREAMS = 64
+INTERLEAVE_VT_SCALE = 1 << 20  # fixed-point virtual-time resolution
+INTERLEAVE_BUCKET_DOCS = 4096  # target docs per global-position bucket
+
+_SUB = sql_md5_bucket("doc_id", INTERLEAVE_SUB_STREAMS)
+
+_SQL_INTERLEAVE = f"""
+    WITH nt AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> len(w) > 0)) AS nt
+      FROM documents
+    ),
+    stats AS (
+      SELECT source,
+             GREATEST(1, CAST(FLOOR(SQRT(CAST(SUM(nt) AS BIGINT)))
+                              AS BIGINT)) AS weight_units
+      FROM nt GROUP BY source
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY {_SUB}, md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS src_rank
+      FROM nt
+    ),
+    v AS (
+      SELECT r.doc_id, r.source, r.src_rank, s.weight_units,
+             CAST((r.src_rank * {INTERLEAVE_VT_SCALE}) // s.weight_units
+                  AS BIGINT) AS vt
+      FROM r JOIN stats s USING (source)
+    )
+    SELECT doc_id, source, src_rank, weight_units, vt,
+           CAST(ROW_NUMBER() OVER (ORDER BY vt, source, doc_id)
+                AS BIGINT) - 1 AS position
+    FROM v
+"""
+
+
+@register("mlprep_interleave_sources", oracle=_SQL_INTERLEAVE)
+def mlprep_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-scheduled interleaving of the per-source
+    document streams into one global training order (see banner): every
+    document gets (src_rank, vt, position) where position is its slot in
+    the epoch and sources appear at rates proportional to their sqrt-
+    temperature weights in every prefix of the order. The within-source
+    order is the md5 shuffle (retry/repartition-stable); the oracle's
+    single ROW_NUMBER total order is reproduced exactly by the
+    range-bucketed two-phase ranking."""
+    return interleave_sources_frame(load_table(spark, "documents", sf_dir))
+
+
+def interleave_sources_frame(d: DataFrame) -> DataFrame:
+    """mlprep_interleave_sources' body over any (doc_id, source, text)
+    frame — split out so the stride property (two planted sources with
+    a 4:1 weight ratio interleave 4-to-1 in every prefix) and the exact
+    brute-force order are pinned on planted frames in tests."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import words_expr
+
+    nt = d.select("doc_id", "source", F.size(words_expr()).alias("nt"))
+    stats = nt.groupBy("source").agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.sqrt(F.sum("nt").cast("bigint"))).cast("bigint"),
+        ).alias("weight_units")
+    )
+    # Per-source rank, salted: sub-stream windows + broadcast offsets.
+    sub = md5_bucket(F.col("doc_id"), INTERLEAVE_SUB_STREAMS)
+    base = nt.select(
+        "doc_id",
+        "source",
+        sub.alias("sub"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w_sub = W.partitionBy("source", "sub").orderBy("h", "doc_id")
+    ranked = base.withColumn("rn_sub", F.row_number().over(w_sub))
+    w_off = (
+        W.partitionBy("source")
+        .orderBy("sub")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranked.groupBy("source", "sub")
+        .agg(F.count("*").alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
+        .select("source", "sub", "off")
+    )
+    r = ranked.join(F.broadcast(offsets), ["source", "sub"]).select(
+        "doc_id",
+        "source",
+        (F.col("off") + F.col("rn_sub")).cast("bigint").alias("src_rank"),
+    )
+    v = r.join(F.broadcast(stats), "source").withColumn(
+        "vt",
+        F.expr(
+            f"CAST((src_rank * {INTERLEAVE_VT_SCALE}) div weight_units"
+            " AS BIGINT)"
+        ),
+    )
+    # Global position, two-phase: range-bucket vt, offset by exclusive
+    # cumulative bucket counts, rank within the bucket's window.
+    span_df = stats.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(
+                f"CAST({INTERLEAVE_BUCKET_DOCS * INTERLEAVE_VT_SCALE}L"
+                " div sum(weight_units) AS BIGINT)"
+            ),
+        ).alias("span")
+    )
+    b = v.crossJoin(F.broadcast(span_df)).withColumn(
+        "bucket", F.expr("CAST(vt div span AS BIGINT)")
+    )
+    w_boff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    boff = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("bc"))
+        .withColumn("boff", F.coalesce(F.sum("bc").over(w_boff), F.lit(0)))
+        .select("bucket", "boff")
+    )
+    w_in = W.partitionBy("bucket").orderBy("vt", "source", "doc_id")
+    return (
+        b.join(boff, "bucket")
+        .withColumn(
+            "position",
+            (F.col("boff") + F.row_number().over(w_in) - 1).cast("bigint"),
+        )
+        .select(
+            "doc_id", "source", "src_rank", "weight_units", "vt", "position"
+        )
+    )
