@@ -1,0 +1,137 @@
+"""Streaming drift monitor: planted shifted-feed alert, per-epoch parity
+with the batch twin, and a hand-computed numeric pin for the statistic.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_drift_statistic_matches_hand_computation(spark):
+    """Tiny fixed reference + one batch, drift verified against the same
+    left-to-right fold computed independently in Python (identical IEEE
+    op order -> identical double)."""
+    from psql_streamer_spark.streaming.drift_stream import drift_batch
+
+    ref_tokens, ref_counts, ref_total = ["a", "b"], [3, 1], 5  # oov mass 1
+    d = spark.createDataFrame(
+        [(1, "a a b c")], "doc_id long, text string"
+    )
+    row = drift_batch(d, ref_tokens, ref_counts, ref_total).collect()[0]
+    assert (row.n_docs, row.n_tokens, row.oov_tokens) == (1, 4, 1)
+    p = [3 / 5, 1 / 5, 1 / 5]
+    q = [2 / 4, 1 / 4, 1 / 4]
+    expect = None
+    for pi, qi in zip(p, q):
+        term = (pi - qi) * (pi - qi) / (pi + qi) if (pi + qi) > 0 else 0.0
+        expect = term if expect is None else expect + term
+    assert row.drift == expect
+    assert row.alert is False
+
+
+def test_drift_empty_batch_reports_null_not_nan(spark):
+    from psql_streamer_spark.streaming.drift_stream import drift_batch
+
+    d = spark.createDataFrame([], "doc_id long, text string")
+    row = drift_batch(d, ["a"], [1], 1).collect()[0]
+    assert (row.n_docs, row.n_tokens, row.drift, row.alert) == (
+        0,
+        0,
+        None,
+        False,
+    )
+
+
+def test_streaming_drift_monitor_flags_shifted_feed(spark, tmp_path):
+    """Reference built from the sf0.001 corpus; epoch A re-feeds corpus
+    documents (in-distribution — no alert), epoch B feeds a disjoint
+    synthetic vocabulary (the broken-extractor / new-site-family case —
+    alert). Each streamed verdict must equal the batch twin on the same
+    documents, and the shifted epoch must trip the threshold."""
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.drift_stream import (
+        DRIFT_ALERT_THRESHOLD,
+        build_reference_distribution,
+        drift_batch,
+        start_drift_stream,
+    )
+
+    ref = build_reference_distribution(spark, SF_SMALL)
+    assert len(ref[0]) > 0 and ref[2] > 0
+
+    corpus_rows = (
+        load_table(spark, "documents", SF_SMALL)
+        .filter(md5_bucket(F.col("doc_id"), 8) == 3)
+        .select("doc_id", "text")
+        .collect()  # test fixture setup, not an operator path
+    )
+    assert corpus_rows
+    shifted_rows = [
+        (10_000 + i, " ".join(f"zzzq{i}w{j}" for j in range(30)))
+        for i in range(20)
+    ]
+
+    src = tmp_path / "incoming_drift"
+    src.mkdir()
+    (src / "a_epoch.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": r.doc_id, "text": r.text})
+            for r in corpus_rows
+        )
+        + "\n"
+    )
+    (src / "b_epoch.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in shifted_rows
+        )
+        + "\n"
+    )
+
+    q = start_drift_stream(
+        spark,
+        str(src),
+        ref,
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    assert len(got) == 2
+    by_docs = {r.n_docs: r for r in got}
+    in_dist = by_docs[len(corpus_rows)]
+    shifted = by_docs[len(shifted_rows)]
+    assert in_dist.alert is False
+    assert in_dist.drift < DRIFT_ALERT_THRESHOLD
+    assert shifted.alert is True
+    assert shifted.drift > 1.5  # disjoint vocab: near the max of 2
+    assert shifted.oov_tokens == shifted.n_tokens  # all mass OOV
+
+    # per-epoch parity with the batch twin on the same documents
+    batch_in = drift_batch(
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in corpus_rows],
+            "doc_id long, text string",
+        ),
+        *ref,
+    ).collect()[0]
+    assert (in_dist.n_tokens, in_dist.oov_tokens, in_dist.drift) == (
+        batch_in.n_tokens,
+        batch_in.oov_tokens,
+        batch_in.drift,
+    )
+    batch_sh = drift_batch(
+        spark.createDataFrame(shifted_rows, "doc_id long, text string"),
+        *ref,
+    ).collect()[0]
+    assert (shifted.n_tokens, shifted.oov_tokens, shifted.drift) == (
+        batch_sh.n_tokens,
+        batch_sh.oov_tokens,
+        batch_sh.drift,
+    )
