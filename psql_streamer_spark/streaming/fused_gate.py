@@ -173,18 +173,33 @@ def start_fused_gate_stream(
     m_bits: int = BLOOM_M_BITS,
     langid_model: tuple[DataFrame, DataFrame] | None = None,
     allowed_langs: list[str] | None = None,
+    drift_ref: tuple[list[str], list[int], int] | None = None,
+    drift_sink_dir: str | None = None,
 ):
     """readStream over a document drop-dir -> one fused admission verdict
     per doc per micro-batch -> per-epoch parquet sink. Returns the
     StreamingQuery (caller stops it). Optional ``langid_model`` /
     ``allowed_langs`` switch on the 4-signal verdict (see
-    fused_gate_verdicts for the admit-bit semantics)."""
+    fused_gate_verdicts for the admit-bit semantics).
+
+    Optional ``drift_ref`` (build_reference_distribution's
+    (tokens, counts, total)) + ``drift_sink_dir`` attach the corpus-drift
+    MONITOR to the same tokenize pass: one drift verdict row per epoch
+    lands in its own epoch sink. Drift is an observer, never a gate — it
+    does not touch the admit bit or the verdict schema (the alert means
+    "retrain the gate models", a human/operator decision, not a per-doc
+    admission signal)."""
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
         .json(source_dir)
     )
     sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
+    drift_sink = (
+        EpochParquetSink(drift_sink_dir, name="drift_verdicts")
+        if drift_ref is not None and drift_sink_dir
+        else None
+    )
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         # ONE tokenize pass: the persisted `__words` frame is scanned by
@@ -210,6 +225,14 @@ def start_fused_gate_stream(
                 ),
                 epoch_id,
             )
+            if drift_sink is not None:
+                from psql_streamer_spark.streaming.drift_stream import (
+                    drift_batch,
+                )
+
+                drift_sink.write(
+                    drift_batch(tokenized, *drift_ref), epoch_id
+                )
         finally:
             tokenized.unpersist()
 
@@ -357,6 +380,8 @@ def start_fused_ingest_loop(
     compact_every: int | None = None,
     langid_model=None,
     allowed_langs: list[str] | None = None,
+    drift_ref: tuple[list[str], list[int], int] | None = None,
+    drift_sink_dir: str | None = None,
 ):
     """The CLOSED ingest loop: the fused gate whose near-dup state GROWS
     with every admission. start_fused_gate_stream screens each batch
@@ -408,6 +433,11 @@ def start_fused_ingest_loop(
     Optional ``langid_model`` / ``allowed_langs`` switch on the
     4-signal verdict (fused_gate_verdicts' admit-bit semantics); a
     language-rejected document leaves no trace, like any other reject.
+    Optional ``drift_ref`` + ``drift_sink_dir`` attach the corpus-drift
+    monitor to the shared tokenize pass (one verdict row per epoch, its
+    own idempotent sink) — an observer on the feed, never a gate: a
+    drifting feed means the FROZEN gate models are going stale, exactly
+    the condition this loop cannot detect from its own verdicts.
 
     Pass an index table the loop may own (e.g. a copy of
     band_index_table's output) — the appends (and with compact_every,
@@ -419,6 +449,11 @@ def start_fused_ingest_loop(
     )
     verdict_sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
     admitted_sink = EpochParquetSink(admitted_dir, name="fused_admitted")
+    drift_sink = (
+        EpochParquetSink(drift_sink_dir, name="drift_verdicts")
+        if drift_ref is not None and drift_sink_dir
+        else None
+    )
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -484,6 +519,14 @@ def start_fused_ingest_loop(
                 allowed_langs,
             ).persist()
             verdict_sink.write(verdicts, epoch_id)
+            if drift_sink is not None:
+                from psql_streamer_spark.streaming.drift_stream import (
+                    drift_batch,
+                )
+
+                drift_sink.write(
+                    drift_batch(tokenized, *drift_ref), epoch_id
+                )
             admitted = tokenized.join(
                 F.broadcast(
                     verdicts.filter(F.col("admit")).select("doc_id")

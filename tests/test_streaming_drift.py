@@ -135,3 +135,106 @@ def test_streaming_drift_monitor_flags_shifted_feed(spark, tmp_path):
         batch_sh.oov_tokens,
         batch_sh.drift,
     )
+
+
+def test_fused_gate_stream_emits_drift_off_shared_tokenize(spark, tmp_path):
+    """The fused gate with ``drift_ref`` attached writes one drift verdict
+    per epoch into its own sink, each equal to the batch twin on that
+    epoch's documents — and the admission verdicts keep their exact
+    3-signal schema (drift observes, never gates)."""
+    from psql_streamer_spark.operators.dedup import band_index_table
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+        md5_bucket,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.functions.text_hash import (
+        shingles_expr,
+        with_words,
+    )
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.drift_stream import (
+        build_reference_distribution,
+        drift_batch,
+    )
+    from psql_streamer_spark.streaming.fused_gate import (
+        start_fused_gate_stream,
+    )
+
+    d = load_table(spark, "documents", SF_SMALL)
+    batch = (
+        d.filter(md5_bucket(F.col("doc_id"), 4) == 2)
+        .select("doc_id", "text")
+        .collect()  # test fixture setup, not an operator path
+    )
+    assert batch
+    table = band_index_table(spark, SF_SMALL)
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias(
+                "g"
+            )
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+    ref = build_reference_distribution(spark, SF_SMALL)
+
+    src = tmp_path / "incoming_fused_drift"
+    src.mkdir()
+    half = max(1, len(batch) // 2)
+    chunks = [c for c in (batch[:half], batch[half:]) if c]
+    for i, chunk in enumerate(chunks):
+        (src / f"batch{i}.json").write_text(
+            "\n".join(
+                json.dumps({"doc_id": r.doc_id, "text": r.text})
+                for r in chunk
+            )
+            + "\n"
+        )
+
+    verdict_sink = str(tmp_path / "fused_verdicts")
+    drift_sink = str(tmp_path / "drift_verdicts")
+    q = start_fused_gate_stream(
+        spark,
+        str(src),
+        table,
+        d,
+        bloom_words,
+        bench_grams,
+        w,
+        verdict_sink,
+        str(tmp_path / "ckpt_fused_drift"),
+        drift_ref=ref,
+        drift_sink_dir=drift_sink,
+    )
+    assert q.awaitTermination(240), "fused+drift stream did not drain"
+
+    verdicts = spark.read.parquet(verdict_sink)
+    assert "drift" not in verdicts.columns  # observer, not a signal
+    assert sorted(r.doc_id for r in verdicts.collect()) == sorted(
+        r.doc_id for r in batch
+    )
+
+    got = sorted(
+        (r.n_docs, r.n_tokens, r.oov_tokens, r.drift, r.alert)
+        for r in spark.read.parquet(drift_sink).collect()
+    )
+    want = sorted(
+        (w.n_docs, w.n_tokens, w.oov_tokens, w.drift, w.alert)
+        for chunk in chunks
+        for w in drift_batch(
+            spark.createDataFrame(
+                [(r.doc_id, r.text) for r in chunk],
+                "doc_id long, text string",
+            ),
+            *ref,
+        ).collect()
+    )
+    assert len(got) == len(chunks)
+    assert got == want
