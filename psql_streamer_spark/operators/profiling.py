@@ -332,3 +332,214 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n", F.stack(F.lit(len(_corr_pairs())), *stack_args).alias("pair", "corr")
     ).select("pair", "n", "corr")
+
+
+# --------------------------------------------------------------------------
+# Per-source token-distribution drift: WHICH source is the outlier.
+# audit_split_token_drift asks whether train and test disagree;
+# streaming/drift_stream.py watches the live FEED; this is the batch,
+# oracle-checked third face — each source's token distribution against
+# the whole corpus, over the top-SOURCE_DRIFT_TOP_K tokens plus an
+# everything-else (OOV) bucket (the same bound-the-categories discipline
+# as the stream monitor's reference cap). The operational read: the
+# source whose extractor broke, whose language mix flipped, or whose
+# crawl drifted shows up as the tv_drift outlier, and top_token names
+# the token that moved most.
+#
+# Statistic: scaled total-variation distance. Per category i,
+# dev_i = |C_i * S_s - d_i * T| (C_i corpus count, d_i source count,
+# T/S_s the corpus/source totals) — an INTEGER, so the per-source sum is
+# exact and order-free where a float (p-q)^2/(p+q) sum would depend on
+# aggregation order; tv_drift = tv_num / (2*T*S_s) in [0, 1] is one
+# final double division, rounded like every reported ratio in this
+# repo. Products fit BIGINT while T*S_s < 2^63 (~3e9 tokens on each
+# side); past that ANSI mode fails loudly and the three products promote
+# to DECIMAL(38,0) with the report shape unchanged.
+#
+# Scale shape: ONE (token, source)-keyed aggregate over the corpus (the
+# text_token_corpus_freq shuffle); everything downstream operates on
+# K-or-|sources|-bounded frames (top-K via TakeOrdered, broadcast grid
+# joins, a window over K+1 rows per source).
+# --------------------------------------------------------------------------
+SOURCE_DRIFT_TOP_K = 64
+SOURCE_DRIFT_OOV = "__OOV__"  # words_expr lowercases, so this cannot collide
+
+_SQL_WS_TOKENS = (
+    "list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"
+)
+
+_SQL_SOURCE_DRIFT = f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_WS_TOKENS}) AS token FROM documents
+    ),
+    per AS (
+      SELECT token, source, CAST(COUNT(*) AS BIGINT) AS d
+      FROM tok GROUP BY token, source
+    ),
+    corpus AS (
+      SELECT token, CAST(SUM(d) AS BIGINT) AS c FROM per GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus),
+    srcs AS (
+      SELECT source, CAST(SUM(d) AS BIGINT) AS s FROM per GROUP BY source
+    ),
+    ref AS (
+      SELECT token, c FROM corpus
+      ORDER BY c DESC, token LIMIT {SOURCE_DRIFT_TOP_K}
+    ),
+    refsum AS (SELECT CAST(SUM(c) AS BIGINT) AS cref FROM ref),
+    obs AS (
+      SELECT p.source, p.token, p.d
+      FROM per p JOIN ref r ON r.token = p.token
+    ),
+    dev AS (
+      SELECT g.source, g.token,
+             ABS(g.c * g.s - COALESCE(o.d, 0) * g.t) AS dev
+      FROM (SELECT r.token, r.c, s.source, s.s, t.t
+            FROM ref r CROSS JOIN srcs s CROSS JOIN tot t) g
+      LEFT JOIN obs o ON o.token = g.token AND o.source = g.source
+    ),
+    matched AS (
+      SELECT source, CAST(SUM(d) AS BIGINT) AS m FROM obs GROUP BY source
+    ),
+    oov AS (
+      SELECT s.source, '{SOURCE_DRIFT_OOV}' AS token,
+             ABS((t.t - rs.cref) * s.s
+                 - (s.s - COALESCE(m.m, 0)) * t.t) AS dev,
+             (s.s - COALESCE(m.m, 0)) AS oov_tokens
+      FROM srcs s CROSS JOIN tot t CROSS JOIN refsum rs
+      LEFT JOIN matched m ON m.source = s.source
+    ),
+    alldev AS (
+      SELECT source, token, dev FROM dev
+      UNION ALL
+      SELECT source, token, dev FROM oov
+    ),
+    agg AS (
+      SELECT source, CAST(SUM(dev) AS BIGINT) AS tv_num
+      FROM alldev GROUP BY source
+    ),
+    top AS (
+      SELECT source, token AS top_token, dev AS top_token_dev,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY dev DESC, token) AS rn
+      FROM alldev
+    )
+    SELECT a.source,
+           s.s AS n_tokens,
+           o.oov_tokens,
+           a.tv_num,
+           CASE WHEN s.s = 0 THEN NULL
+                ELSE ROUND(a.tv_num * 1.0 / (2.0 * t.t * s.s), 8)
+           END AS tv_drift,
+           tp.top_token,
+           CAST(tp.top_token_dev AS BIGINT) AS top_token_dev
+    FROM agg a
+    JOIN srcs s ON s.source = a.source
+    JOIN oov o ON o.source = a.source
+    JOIN (SELECT * FROM top WHERE rn = 1) tp ON tp.source = a.source
+    CROSS JOIN tot t
+"""
+
+
+@register("profile_source_token_drift", oracle=_SQL_SOURCE_DRIFT)
+def profile_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source scaled total-variation drift vs the corpus (see
+    banner): one row per source with its token total, OOV mass outside
+    the corpus top-K, the exact integer deviation sum, the [0,1]
+    tv_drift ratio, and the single most-moved category."""
+    return source_token_drift_frame(load_table(spark, "documents", sf_dir))
+
+
+def source_token_drift_frame(d: DataFrame) -> DataFrame:
+    """profile_source_token_drift's body over any (source, text) frame —
+    split out so the statistic's extremes (a source matching the corpus
+    mix scores ~0; a disjoint-vocabulary source scores ~cref/T) are
+    pinned on planted frames in tests."""
+    from pyspark.sql import Window as W
+
+    from psql_streamer_spark.functions.text_hash import with_words
+
+    tok = with_words(d).select(
+        F.explode("__words").alias("token"), "source"
+    )
+    per = tok.groupBy("token", "source").agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    corpus = per.groupBy("token").agg(F.sum("d").cast("bigint").alias("c"))
+    tot = corpus.agg(F.sum("c").cast("bigint").alias("t"))
+    srcs = per.groupBy("source").agg(F.sum("d").cast("bigint").alias("s"))
+    ref = corpus.orderBy(F.col("c").desc(), "token").limit(
+        SOURCE_DRIFT_TOP_K
+    )
+    refsum = ref.agg(F.sum("c").cast("bigint").alias("cref"))
+    obs = per.join(F.broadcast(ref.select("token")), "token")
+    grid = (
+        ref.crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = grid.join(
+        F.broadcast(obs), ["token", "source"], "left"
+    ).select(
+        "source",
+        "token",
+        F.abs(
+            F.col("c") * F.col("s") - F.coalesce("d", F.lit(0)) * F.col("t")
+        ).alias("dev"),
+    )
+    matched = obs.groupBy("source").agg(
+        F.sum("d").cast("bigint").alias("m")
+    )
+    oov = (
+        srcs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(refsum))
+        .join(F.broadcast(matched), "source", "left")
+        .select(
+            "source",
+            F.lit(SOURCE_DRIFT_OOV).alias("token"),
+            F.abs(
+                (F.col("t") - F.col("cref")) * F.col("s")
+                - (F.col("s") - F.coalesce("m", F.lit(0))) * F.col("t")
+            ).alias("dev"),
+            (F.col("s") - F.coalesce("m", F.lit(0))).alias("oov_tokens"),
+        )
+    )
+    alldev = dev.unionByName(oov.select("source", "token", "dev"))
+    agg = alldev.groupBy("source").agg(
+        F.sum("dev").cast("bigint").alias("tv_num")
+    )
+    w_top = W.partitionBy("source").orderBy(F.col("dev").desc(), "token")
+    top = (
+        alldev.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("token").alias("top_token"),
+            F.col("dev").cast("bigint").alias("top_token_dev"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(srcs), "source")
+        .join(F.broadcast(oov.select("source", "oov_tokens")), "source")
+        .join(F.broadcast(top), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("s").alias("n_tokens"),
+            "oov_tokens",
+            "tv_num",
+            F.when(
+                F.col("s") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    F.col("tv_num") * F.lit(1.0)
+                    / (F.lit(2.0) * F.col("t") * F.col("s")),
+                    8,
+                )
+            )
+            .alias("tv_drift"),
+            "top_token",
+            "top_token_dev",
+        )
+    )

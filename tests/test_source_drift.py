@@ -1,0 +1,113 @@
+"""profile_source_token_drift: full brute-force reference replica on a
+planted frame (exercising the OOV bucket and the disjoint-source
+extreme), plus the plan contract. The registered query is hash-checked
+against the DuckDB oracle at both slice SFs; this pins the SEMANTICS on
+distributions the synthetic corpus cannot produce.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from psql_streamer_spark.operators.profiling import (
+    SOURCE_DRIFT_OOV,
+    SOURCE_DRIFT_TOP_K,
+    source_token_drift_frame,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _reference(rows):
+    """Integer-exact replica of the op: rows = (doc_id, source, text)."""
+    per = Counter()
+    for _, source, text in rows:
+        for w in text.lower().split(" "):
+            if w:
+                per[(w, source)] += 1
+    corpus = Counter()
+    srcs = Counter()
+    for (t, s), n in per.items():
+        corpus[t] += n
+        srcs[s] += n
+    T = sum(corpus.values())
+    ref = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :SOURCE_DRIFT_TOP_K
+    ]
+    cref = sum(c for _, c in ref)
+    out = {}
+    for s, S in srcs.items():
+        devs = []
+        matched = 0
+        for t, c in ref:
+            d = per.get((t, s), 0)
+            matched += d
+            devs.append((t, abs(c * S - d * T)))
+        oov_tokens = S - matched
+        devs.append(
+            (SOURCE_DRIFT_OOV, abs((T - cref) * S - oov_tokens * T))
+        )
+        tv_num = sum(v for _, v in devs)
+        top_token, top_dev = sorted(
+            devs, key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        tv = round(tv_num * 1.0 / (2.0 * T * S), 8) if S else None
+        out[s] = (S, oov_tokens, tv_num, tv, top_token, top_dev)
+    return out
+
+
+def _planted_rows():
+    rows = []
+    # "base": 70 docs over a small head vocabulary (the corpus mix)
+    for i in range(70):
+        rows.append((i, "base", "alpha beta gamma delta alpha beta"))
+    # "tail": rare filler vocabulary wider than TOP_K, so real OOV mass
+    for i in range(80):
+        rows.append((100 + i, "tail", f"alpha filler{i:03d} beta"))
+    # "broken": disjoint vocabulary — the broken-extractor outlier
+    for i in range(10):
+        rows.append((300 + i, "broken", "qqq1 qqq2 qqq3 qqq4"))
+    return rows
+
+
+def test_source_drift_matches_bruteforce_reference(spark):
+    rows = _planted_rows()
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: (
+            r.n_tokens,
+            r.oov_tokens,
+            r.tv_num,
+            r.tv_drift,
+            r.top_token,
+            r.top_token_dev,
+        )
+        for r in source_token_drift_frame(d).collect()
+    }
+    assert got == _reference(rows)
+    # the planted frame actually exercises what it claims to
+    assert got["tail"][1] > 0  # OOV bucket carries mass
+    assert got["broken"][3] > got["base"][3]  # outlier ranks first
+    assert got["broken"][3] > 0.8  # disjoint vocab ~ (T-S)/T
+
+
+def test_source_drift_plan_is_one_token_shuffle_no_python(spark, queries):
+    plan = (
+        queries["profile_source_token_drift"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    # the corpus-sized aggregate shuffles on (token, source); the rest is
+    # broadcast grid assembly over K/|sources|-bounded frames
+    assert "hashpartitioning(token" in plan
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from psql_streamer_spark.registry import all_queries
+
+    return all_queries()
