@@ -543,3 +543,183 @@ def source_token_drift_frame(d: DataFrame) -> DataFrame:
             "top_token_dev",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space drift of the ingest delta: the third face of the drift
+# triad (profile_source_token_drift watches sources in TOKEN space,
+# streaming/drift_stream.py watches the live feed; this watches the
+# daily delta in EMBEDDING space — the signal that catches a swapped or
+# retrained upstream encoder, which token statistics cannot see because
+# the text did not change). Delta convention is the repo's md5-bucket
+# "arrived today" slice, same as dedup_exact_incremental, applied to
+# vec_id.
+#
+# Exactness: cross-row float sums are order-dependent (the reason
+# functions/numeric.py exists), so the per-dimension means are computed
+# on a GLOBAL fixed-point grid instead: qx = FLOOR(x * 1000) — floor of
+# one IEEE multiply, bit-identical cross-engine — making every
+# per-dimension sum an exact BIGINT. dev_d = |S_delta_d * N_prior -
+# S_prior_d * N_delta| is the cross-multiplied mean gap (integer, no
+# division), l1_dev its order-free sum over dimensions, and
+# mean_shift_q = l1_dev / (n_dims * N_delta * N_prior) — the average
+# per-dimension mean shift in grid units — is the single rounded double.
+# Products fit BIGINT to ~1e9 vectors per side (ANSI fails loudly past
+# that; the promotion is DECIMAL(38,0) with the shape unchanged).
+#
+# Scale shape: one posexplode + a 64-group map-side-combined aggregate;
+# the drift assembly is 64 rows regardless of corpus size (the window
+# that picks top_dim orders 64 rows).
+# --------------------------------------------------------------------------
+EMBED_DRIFT_GRID = 1000  # fixed-point grid: qx = FLOOR(x * 1000)
+
+_SQL_EMBED_DELTA = (
+    "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " % 10 = 7"
+)
+
+_SQL_EMBED_DRIFT = f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             ({_SQL_EMBED_DELTA}) AS is_delta
+      FROM embeddings
+    ),
+    q AS (
+      SELECT is_delta, CAST(t.i - 1 AS BIGINT) AS dim,
+             CAST(FLOOR(e[t.i] * {EMBED_DRIFT_GRID}) AS BIGINT) AS qx
+      FROM v, unnest(range(1, len(e)+1)) AS t(i)
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) FILTER (is_delta) AS BIGINT) AS n_delta,
+             CAST(COUNT(*) FILTER (NOT is_delta) AS BIGINT) AS n_prior
+      FROM v
+    ),
+    per AS (
+      SELECT dim,
+             CAST(COALESCE(SUM(qx) FILTER (is_delta), 0) AS BIGINT)
+               AS s_delta,
+             CAST(COALESCE(SUM(qx) FILTER (NOT is_delta), 0) AS BIGINT)
+               AS s_prior
+      FROM q GROUP BY dim
+    ),
+    dev AS (
+      SELECT dim, ABS(s_delta * c.n_prior - s_prior * c.n_delta) AS dev
+      FROM per CROSS JOIN counts c
+    ),
+    top AS (
+      SELECT dim, dev,
+             ROW_NUMBER() OVER (ORDER BY dev DESC, dim) AS rn
+      FROM dev
+    )
+    SELECT c.n_delta, c.n_prior,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dev) AS n_dims,
+           (SELECT CAST(SUM(dev) AS BIGINT) FROM dev) AS l1_dev,
+           CASE WHEN c.n_delta = 0 OR c.n_prior = 0 THEN NULL
+                ELSE ROUND((SELECT SUM(dev) FROM dev) * 1.0
+                           / ((SELECT COUNT(*) FROM dev) * 1.0
+                              * c.n_delta * c.n_prior), 6)
+           END AS mean_shift_q,
+           (SELECT CAST(dim AS BIGINT) FROM top WHERE rn = 1) AS top_dim,
+           (SELECT CAST(dev AS BIGINT) FROM top WHERE rn = 1)
+             AS top_dim_dev
+    FROM counts c
+"""
+
+
+@register("profile_embedding_drift", oracle=_SQL_EMBED_DRIFT)
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-drift report for the ingest delta vs the prior
+    corpus (see banner): slice sizes, the exact integer L1 mean-gap over
+    dimensions, its normalized per-dimension average in grid units, and
+    the most-shifted dimension."""
+    from psql_streamer_spark.operators.mlprep import md5_bucket
+
+    v = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return embedding_drift_frame(
+        v, md5_bucket(F.col("vec_id"), 10) == 7
+    )
+
+
+def embedding_drift_frame(v: DataFrame, is_delta) -> DataFrame:
+    """profile_embedding_drift's body over any (vec_id, e) frame with an
+    ``is_delta`` membership Column — split out so a planted mean-shifted
+    delta (which the synthetic embeddings, drawn from one distribution,
+    never produce) is pinned in tests."""
+    from pyspark.sql import Window as W
+
+    flagged = v.select(is_delta.alias("is_delta"), "e")
+    counts = flagged.agg(
+        F.count_if("is_delta").cast("bigint").alias("n_delta"),
+        F.count_if(~F.col("is_delta")).cast("bigint").alias("n_prior"),
+    )
+    q = flagged.select(
+        "is_delta", F.posexplode("e").alias("dim", "x")
+    ).select(
+        "is_delta",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("x") * EMBED_DRIFT_GRID).cast("bigint").alias("qx"),
+    )
+    per = q.groupBy("dim").agg(
+        F.coalesce(F.sum(F.when(F.col("is_delta"), F.col("qx"))), F.lit(0))
+        .cast("bigint")
+        .alias("s_delta"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_delta"), F.col("qx"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("s_prior"),
+    )
+    dev = per.crossJoin(F.broadcast(counts)).select(
+        "dim",
+        F.abs(
+            F.col("s_delta") * F.col("n_prior")
+            - F.col("s_prior") * F.col("n_delta")
+        ).alias("dev"),
+    )
+    agg = dev.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum("dev").cast("bigint").alias("l1_dev"),
+    )
+    top = (
+        dev.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("dev").desc(), "dim")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("dim").alias("top_dim"),
+            F.col("dev").alias("top_dim_dev"),
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_delta",
+            "n_prior",
+            "n_dims",
+            "l1_dev",
+            F.when(
+                (F.col("n_delta") == 0) | (F.col("n_prior") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.col("l1_dev")
+                    * F.lit(1.0)
+                    / (
+                        F.col("n_dims")
+                        * F.lit(1.0)
+                        * F.col("n_delta")
+                        * F.col("n_prior")
+                    ),
+                    6,
+                )
+            )
+            .alias("mean_shift_q"),
+            "top_dim",
+            "top_dim_dev",
+        )
+    )

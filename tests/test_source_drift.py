@@ -111,3 +111,65 @@ def queries():
     from psql_streamer_spark.registry import all_queries
 
     return all_queries()
+
+
+def test_embedding_drift_flags_planted_mean_shift(spark):
+    """profile_embedding_drift's semantics on a planted frame (the
+    synthetic embeddings are drawn from one distribution, so the real
+    tables never produce a shifted delta): a delta whose dimension 7 is
+    shifted +0.5 must name dim 7 as top_dim, and every reported number
+    must equal the integer-exact Python replica."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from psql_streamer_spark.operators.profiling import (
+        EMBED_DRIFT_GRID,
+        embedding_drift_frame,
+    )
+
+    dims = 8
+    prior = [
+        (i, [0.01 * ((i + d) % 5) for d in range(dims)]) for i in range(20)
+    ]
+    delta = [
+        (
+            100 + i,
+            [
+                0.01 * ((i + d) % 5) + (0.5 if d == 7 else 0.0)
+                for d in range(dims)
+            ],
+        )
+        for i in range(5)
+    ]
+    rows = prior + delta
+    v = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    got = embedding_drift_frame(v, F.col("vec_id") >= 100).collect()[0]
+
+    # integer-exact replica
+    def qsum(vecs, d):
+        return sum(int(math.floor(e[d] * EMBED_DRIFT_GRID)) for _, e in vecs)
+
+    n_d, n_p = len(delta), len(prior)
+    devs = [
+        abs(qsum(delta, d) * n_p - qsum(prior, d) * n_d)
+        for d in range(dims)
+    ]
+    l1 = sum(devs)
+    top_dim = max(range(dims), key=lambda d: (devs[d], -d))
+    assert (
+        got.n_delta,
+        got.n_prior,
+        got.n_dims,
+        got.l1_dev,
+        got.top_dim,
+        got.top_dim_dev,
+    ) == (n_d, n_p, dims, l1, top_dim, devs[top_dim])
+    assert got.top_dim == 7
+    assert got.mean_shift_q == round(l1 * 1.0 / (dims * 1.0 * n_d * n_p), 6)
+    # an unshifted delta from the same distribution reads ~0
+    null_shift = embedding_drift_frame(
+        spark.createDataFrame(prior, "vec_id long, e array<double>"),
+        F.col("vec_id") % 4 == 0,
+    ).collect()[0]
+    assert null_shift.mean_shift_q < got.mean_shift_q / 10
