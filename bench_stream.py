@@ -455,6 +455,7 @@ def _run_fused_config(
     docs_per_file: int,
     files_per_trigger: int,
     with_langid: bool = False,
+    with_drift: bool = False,
 ) -> dict:
     """Fused ingest-gate throughput (r14): every arriving document runs
     ALL THREE admission checks — near-dup probe + contamination gate +
@@ -469,7 +470,12 @@ def _run_fused_config(
     FOURTH signal, tag-only (allowed_langs=None): the model trains once
     (counted into state_build_sec, materialized to a local relation so
     epochs never re-train), and every verdict additionally carries
-    (predicted_lang, lang_admit) scored off the same tokenize pass."""
+    (predicted_lang, lang_admit) scored off the same tokenize pass.
+
+    ``with_drift=True`` (r15) additionally attaches the corpus-drift
+    MONITOR to the shared tokenize pass (one verdict row per epoch into
+    its own dir); the delta vs the same config without it is the
+    marginal cost of feed-drift observability inside the fused gate."""
     from pyspark.sql import functions as F
 
     from psql_streamer_spark.functions.text_hash import (
@@ -513,9 +519,19 @@ def _run_fused_config(
             spark.createDataFrame(m.collect(), m.schema),
             spark.createDataFrame(p.collect(), p.schema),
         )
+    drift_ref = None
+    if with_drift:
+        from psql_streamer_spark.streaming.drift_stream import (
+            build_reference_distribution,
+        )
+
+        drift_ref = build_reference_distribution(spark, sf_dir)
     state_build_sec = time.time() - t0
 
-    tag = f"fused{'4' if with_langid else ''}_{docs_per_file}x{files_per_trigger}"
+    tag = (
+        f"fused{'4' if with_langid else ''}{'d' if with_drift else ''}"
+        f"_{docs_per_file}x{files_per_trigger}"
+    )
     src = os.path.join(work, tag, "src")
     ckpt = os.path.join(work, tag, "ckpt")
     out = os.path.join(work, tag, "out")
@@ -544,6 +560,14 @@ def _run_fused_config(
         ).write.mode("overwrite").parquet(
             os.path.join(out, f"epoch={epoch_id:012d}")
         )
+        if drift_ref is not None:
+            from psql_streamer_spark.streaming.drift_stream import (
+                drift_batch,
+            )
+
+            drift_batch(tokenized, *drift_ref).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out + "_drift", f"epoch={epoch_id:012d}"))
         batch_times.append(time.time() - t0)
         tokenized.unpersist()
         batch_df.unpersist()
@@ -584,6 +608,18 @@ def _run_fused_config(
     return {
         "events": n,
         **({"langid_signal": True, "n_predicted_langs": n_langs} if with_langid else {}),
+        **(
+            {
+                "drift_monitor": True,
+                "n_drift_alerts": int(
+                    spark.read.parquet(out + "_drift")
+                    .agg(F.count_if(F.col("alert")).alias("a"))
+                    .collect()[0]["a"]
+                ),
+            }
+            if with_drift and batch_times
+            else {}
+        ),
         "state_build_sec": round(state_build_sec, 3),
         "events_per_batch_measured": {
             "min": sizes[0],
@@ -809,6 +845,14 @@ def main() -> None:
                 spark, work, os.environ.get(
                     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
                 ), 2_500, 2, with_langid=True
+            ),
+            # 4-signal gate + drift monitor (r15): the feed-drift
+            # observer off the same tokenize pass. Delta vs
+            # fused_gate4_bulk = the monitor's marginal cost
+            "fused_gate4d_bulk": _run_fused_config(
+                spark, work, os.environ.get(
+                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+                ), 2_500, 2, with_langid=True, with_drift=True
             ),
             # ingest-time MEDIA near-dup probe (r14): payloads signed
             # under the posting table's stored model, bucket-local screen
