@@ -238,3 +238,122 @@ def test_fused_gate_stream_emits_drift_off_shared_tokenize(spark, tmp_path):
     )
     assert len(got) == len(chunks)
     assert got == want
+
+
+def test_closed_loop_emits_drift_per_epoch(spark, tmp_path):
+    """start_fused_ingest_loop with ``drift_ref``: one drift verdict per
+    epoch, computed on the ARRIVALS (pre-admission — the monitor watches
+    the feed, not the survivors), with the shifted epoch flagged; loop
+    admission state machinery runs unchanged alongside."""
+    from psql_streamer_spark.functions.text_hash import (
+        shingles_expr,
+        with_words,
+    )
+    from psql_streamer_spark.operators.dedup import (
+        BAND_INDEX_BUCKETS,
+        band_index_table,
+    )
+    from psql_streamer_spark.operators.mlprep import (
+        DECONTAM_EVAL_SOURCE,
+        DECONTAM_K,
+        _eval_bloom_positions,
+        build_bloom_words,
+    )
+    from psql_streamer_spark.operators.text import _qm_train
+    from psql_streamer_spark.sources.tables import load_table
+    from psql_streamer_spark.streaming.drift_stream import (
+        build_reference_distribution,
+        drift_batch,
+    )
+    from psql_streamer_spark.streaming.fused_gate import (
+        start_fused_ingest_loop,
+    )
+
+    d = load_table(spark, "documents", SF_SMALL)
+    base = band_index_table(spark, SF_SMALL)
+    loop_tbl = "fused_loop_index_drift_test"
+    spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+    (
+        spark.table(base)
+        .write.bucketBy(BAND_INDEX_BUCKETS, "bkey")
+        .sortBy("bkey")
+        .mode("overwrite")
+        .saveAsTable(loop_tbl)
+    )
+    bloom_words = build_bloom_words(_eval_bloom_positions(spark, SF_SMALL))
+    bench_grams = (
+        with_words(d.filter(F.col("source") == DECONTAM_EVAL_SOURCE))
+        .select(
+            F.explode(shingles_expr(F.col("__words"), k=DECONTAM_K)).alias(
+                "g"
+            )
+        )
+        .distinct()
+    )
+    w, _ = _qm_train(spark, SF_SMALL)
+    ref = build_reference_distribution(spark, SF_SMALL)
+
+    in_dist = [
+        (9100 + i, r.text)
+        for i, r in enumerate(d.select("text").limit(8).collect())
+    ]
+    shifted = [
+        (9200 + i, " ".join(f"xxdrift{i}y{j}" for j in range(25)))
+        for i in range(8)
+    ]
+    src = tmp_path / "loop_drift_src"
+    src.mkdir()
+    (src / "e0.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in in_dist
+        )
+        + "\n"
+    )
+    (src / "e1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in shifted
+        )
+        + "\n"
+    )
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "e0.json", (now - 120, now - 120))
+    _os.utime(src / "e1.json", (now - 60, now - 60))
+
+    drift_dir = str(tmp_path / "loop_drift")
+    try:
+        q = start_fused_ingest_loop(
+            spark,
+            str(src),
+            loop_tbl,
+            d,
+            bloom_words,
+            bench_grams,
+            w,
+            str(tmp_path / "loop_verdicts"),
+            str(tmp_path / "loop_admitted"),
+            str(tmp_path / "ckpt_loop_drift"),
+            drift_ref=ref,
+            drift_sink_dir=drift_dir,
+        )
+        assert q.awaitTermination(240), "loop did not drain"
+
+        rows = spark.read.parquet(drift_dir).collect()
+        assert len(rows) == 2
+        alerts = sorted(r.alert for r in rows)
+        assert alerts == [False, True]  # exactly the shifted epoch
+        # parity with the batch twin on each epoch's arrivals
+        got = sorted((r.n_tokens, r.oov_tokens, r.drift) for r in rows)
+        want = sorted(
+            (b.n_tokens, b.oov_tokens, b.drift)
+            for docs in (in_dist, shifted)
+            for b in drift_batch(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                *ref,
+            ).collect()
+        )
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
