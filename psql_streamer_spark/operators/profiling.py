@@ -335,6 +335,98 @@ def profile_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Robust (MAD) outlier counts: profile_value_outliers' 3-sigma gate
+# breaks down exactly when it matters — a broken emitter spraying huge
+# values inflates the mean AND the standard deviation, masking its own
+# outliers. The median/MAD pair is outlier-resistant (50% breakdown
+# point): med = percentile_disc(0.5) of value, mad = percentile_disc(0.5)
+# of |value - med|, flag |value - med| > 3 * 1.4826 * mad (1.4826 is the
+# normal-consistency constant, folded into one literal so both engines
+# multiply identically). percentile_disc SELECTS actual data elements —
+# no interpolation arithmetic — so med/mad are hash-stable raw doubles.
+#
+# Scale shape: three passes over events, each a map-side-combined
+# per-type aggregate or a broadcast of the ~|types| stats back over the
+# scan — the events are never shuffled on a non-type key.
+# --------------------------------------------------------------------------
+MAD_OUTLIER_K = 4.4478  # 3 * 1.4826
+
+
+@register(
+    "profile_value_outliers_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, COUNT(*) AS n,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             percentile_disc(0.5)
+               WITHIN GROUP (ORDER BY ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n,
+           m.med AS median_value,
+           d.mad,
+           COUNT(*) FILTER (WHERE ABS(e.value - m.med)
+                                  > {MAD_OUTLIER_K} * d.mad) AS n_outliers
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY m.event_type, m.n, m.med, d.mad
+    """,
+)
+def profile_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier counts via median/MAD (see banner) — the
+    companion profile_value_outliers consults when its own mean/std may
+    have been dragged by the contamination it is looking for."""
+    return value_outliers_mad_frame(
+        load_table(spark, "events", sf_dir).select("event_type", "value")
+    )
+
+
+def value_outliers_mad_frame(e: DataFrame) -> DataFrame:
+    """profile_value_outliers_mad's body over any (event_type, value)
+    frame — split out so the MASKING case (a contaminated group whose
+    inflated mean/std hides its own outliers from the 3-sigma gate, the
+    scenario this op exists for) is pinned on a planted frame in tests."""
+    med = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+        ).alias("med"),
+    )
+    mad = (
+        e.join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5)"
+                " WITHIN GROUP (ORDER BY abs(value - med))"
+            ).alias("mad")
+        )
+    )
+    outlier = F.abs(F.col("value") - F.col("med")) > (
+        F.lit(MAD_OUTLIER_K) * F.col("mad")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(F.count(F.when(outlier, 1)).alias("n_outliers"))
+        .select(
+            "event_type",
+            "n",
+            F.col("med").alias("median_value"),
+            "mad",
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-source token-distribution drift: WHICH source is the outlier.
 # audit_split_token_drift asks whether train and test disagree;
 # streaming/drift_stream.py watches the live FEED; this is the batch,

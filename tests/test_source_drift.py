@@ -173,3 +173,33 @@ def test_embedding_drift_flags_planted_mean_shift(spark):
         F.col("vec_id") % 4 == 0,
     ).collect()[0]
     assert null_shift.mean_shift_q < got.mean_shift_q / 10
+
+
+def test_mad_outliers_catch_what_three_sigma_masks(spark):
+    """The masking case: a group whose contamination inflates its own
+    mean AND std until the 3-sigma gate flags nothing, while median/MAD
+    (50% breakdown) flags exactly the planted junk."""
+    import statistics
+
+    from psql_streamer_spark.operators.profiling import (
+        MAD_OUTLIER_K,
+        value_outliers_mad_frame,
+    )
+
+    good = [10.0 + 0.1 * i for i in range(40)]
+    junk = [1e6] * 8
+    vals = good + junk
+    e = spark.createDataFrame(
+        [("burst", v) for v in vals], "event_type string, value double"
+    )
+    row = value_outliers_mad_frame(e).collect()[0]
+    med = statistics.median_low(sorted(vals))
+    assert row.median_value == med
+    assert row.n_outliers == len(junk)  # MAD flags exactly the junk
+    # the same data defeats the 3-sigma gate: threshold above the junk
+    mean = statistics.fmean(vals)
+    std = statistics.stdev(vals)
+    assert mean + 3 * std > 1e6, "planted masking scenario must mask"
+    assert all(abs(v - mean) <= 3 * std for v in vals)
+    # and MAD's threshold sits far below the junk
+    assert MAD_OUTLIER_K * row.mad < 1e5
