@@ -420,6 +420,89 @@ def cdc_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maxwell_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> Maxwell envelopes: type insert/update/delete plus
+    bootstrap-insert (normalizes to insert) and a table-create DDL marker
+    for the non-DML leftover; binlog position rotates files on
+    event_id % 4."""
+    e = load_table(spark, "events", sf_dir)
+    mtype = F.expr(
+        """CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'purchase' THEN 'update'
+                           WHEN 'error' THEN 'delete'
+                           WHEN 'click' THEN 'bootstrap-insert'
+                           ELSE 'table-create' END"""
+    )
+    data = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("etype"), F.col("event_type"),
+    )
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.lit("test").alias("database"),
+                F.concat(F.lit("tbl_"), F.col("event_type")).alias("table"),
+                mtype.alias("type"),
+                F.unix_seconds("ts").alias("ts"),
+                F.col("event_id").alias("xid"),
+                F.concat(
+                    F.lit("master."),
+                    F.lpad((F.col("event_id") % 4).cast("string"), 6, "0"),
+                    F.lit(":"),
+                    F.col("event_id"),
+                ).alias("position"),
+                F.when(mtype != "delete", data).alias("data_new"),
+                F.when(mtype == "delete", data).alias("data_del"),
+            )
+        ).alias("value"),
+    ).select(
+        "event_id",
+        # Maxwell ships ONE `data` field for every DML type; the two
+        # conditional slots above exist only to exercise that deletes
+        # carry their image in `data` too — fold them back to one key
+        F.regexp_replace(
+            F.regexp_replace("value", '"data_new":', '"data":'),
+            '"data_del":',
+            '"data":',
+        ).alias("value"),
+    )
+
+
+@register(
+    "cdc_maxwell_decode",
+    oracle=f"""
+    SELECT 'mysqlsrv1' AS host, 'test' AS database, "table", action,
+           (event_id % 4) * 4294967296 + event_id AS wal_position,
+           make_timestamp((epoch_ms(ts) // 1000) * 1000000) AS ts,
+           uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    """,
+)
+def cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell round trip: envelope -> decode_maxwell -> canonical form.
+    Exercises bootstrap-insert normalization, the delete image riding
+    `data` (not a `before` slot), binlog file:offset -> numeric WAL
+    position across a rotation, and UNIX-seconds event time."""
+    from psql_streamer_spark.sources.cdc_formats import decode_maxwell
+
+    raw = _maxwell_lines(spark, sf_dir)
+    decoded = decode_maxwell(
+        raw, host="mysqlsrv1", uuid=F.md5(F.col("event_id").cast("string"))
+    )
+    return filter_dml(decoded).select(
+        "host",
+        "database",
+        "table",
+        "action",
+        "wal_position",
+        "ts",
+        "uuid",
+        F.col("columns")["k"].cast("int").alias("k"),
+        F.col("columns")["etype"].alias("etype"),
+    )
+
+
 # --------------------------------------------------------------------------
 # pgoutput binary wire decode (S1's actual ingest format): events are
 # re-framed as documented pgoutput protocol bytes — Insert/Update/Delete

@@ -172,3 +172,78 @@ def decode_debezium(
         F.when(p["op"].isNotNull(), stamp).alias("uuid"),
         payload.alias("columns"),
     )
+
+
+# Maxwell's daemon envelope: one JSON object per row change. type
+# insert/update/delete plus bootstrap-* (initial load) and DDL markers
+# (table-create/...); ts is UNIX seconds; position is the binlog
+# coordinate 'file.NNNNNN:offset'. data carries the row image for ALL
+# DML (Maxwell deletes ship the deleted row in `data`, unlike Debezium's
+# `before`); old carries only the CHANGED prior values on update.
+MAXWELL_SCHEMA = (
+    "database string, `table` string, type string, "
+    "ts bigint, xid bigint, position string, "
+    "data map<string,string>, old map<string,string>"
+)
+
+_MAXWELL_TYPES = {
+    "insert": "insert",
+    "bootstrap-insert": "insert",  # initial load = insert, like Debezium r
+    "update": "update",
+    "delete": "delete",
+}
+
+
+def binlog_to_wal_position(position: Column) -> Column:
+    """Maxwell binlog coordinate ('file.NNNNNN:offset') -> one orderable
+    numeric position, composed exactly like lsn_to_wal_position: file
+    sequence in the high 32 bits, offset in the low 32. Binlog files
+    rotate at ~1 GiB (< 2^32), so the composition is collision-free and
+    order-preserving across rotations."""
+    file_seq = F.regexp_extract(
+        F.split_part(position, F.lit(":"), F.lit(1)), r"(\d+)$", 1
+    ).cast("bigint")
+    offset = F.split_part(position, F.lit(":"), F.lit(2)).cast("bigint")
+    return F.shiftleft(file_seq, 32).bitwiseOR(offset).alias("wal_position")
+
+
+def decode_maxwell(
+    df: DataFrame,
+    value_col: str = "value",
+    host: str = "unknown",
+    uuid: Column | None = None,
+) -> DataFrame:
+    """Maxwell envelopes -> canonical Event envelope.
+
+    type insert/bootstrap-insert -> insert, update -> update, delete ->
+    delete; DDL / bootstrap markers keep their lowered type so filter_dml
+    (T1) drops them like every other dialect's non-DML records. The
+    payload is always `data` (Maxwell's delete image lives there); the
+    partial `old` image has no slot in the canonical envelope — the
+    reference's Event carries one Columns map (event/event.go:33) — so
+    update consumers needing prior values read the dialect directly.
+    Event time is the envelope's UNIX-seconds ts; the binlog coordinate
+    becomes the numeric WAL position (see binlog_to_wal_position).
+    Malformed JSON yields NULL fields -> DLQ split (T5); `uuid` defaults
+    to a fresh v4 per event, pass a deterministic expression for
+    oracle-compared outputs."""
+    p = F.from_json(F.col(value_col).cast("string"), MAXWELL_SCHEMA)
+    mapped = None
+    for t, name in _MAXWELL_TYPES.items():
+        mapped = (
+            F.when(p["type"] == t, name)
+            if mapped is None
+            else mapped.when(p["type"] == t, name)
+        )
+    action = mapped.otherwise(F.lower(p["type"]))
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    return df.select(
+        F.lit(host).alias("host"),
+        F.coalesce(p["database"], F.lit("unknown")).alias("database"),
+        p["table"].alias("table"),
+        action.alias("action"),
+        binlog_to_wal_position(p["position"]),
+        F.timestamp_seconds(p["ts"]).alias("ts"),
+        F.when(p["type"].isNotNull(), stamp).alias("uuid"),
+        p["data"].alias("columns"),
+    )

@@ -148,3 +148,103 @@ def test_wal2json_non_utc_offset_converts_to_utc(spark):
     line = W2J_INSERT.replace("10:15:30.123456+00", "10:15:30.123456+02")
     row = decode_wal2json(_df(spark, line)).first()
     assert row.ts.isoformat() == "2024-03-01T08:15:30.123456"
+
+
+MXW_INSERT = json.dumps(
+    {
+        "database": "shop",
+        "table": "orders",
+        "type": "insert",
+        "ts": 1709287530,
+        "xid": 23396,
+        "commit": True,
+        "position": "master.000006:800911",
+        "data": {"id": 9, "status": "new", "amount": 12.5, "note": None},
+    }
+)
+MXW_DELETE = json.dumps(
+    {
+        "database": "shop",
+        "table": "orders",
+        "type": "delete",
+        "ts": 1709287531,
+        "xid": 23400,
+        "position": "master.000007:16",
+        "data": {"id": 9, "status": "cancelled"},
+    }
+)
+MXW_BOOTSTRAP = json.dumps(
+    {
+        "database": "shop",
+        "table": "orders",
+        "type": "bootstrap-insert",
+        "ts": 1709287000,
+        "position": "master.000006:100",
+        "data": {"id": 1},
+    }
+)
+MXW_DDL = json.dumps(
+    {
+        "database": "shop",
+        "table": "orders",
+        "type": "table-create",
+        "ts": 1709286000,
+        "position": "master.000006:1",
+    }
+)
+
+
+def test_maxwell_insert_decodes_coordinates_and_payload(spark):
+    from psql_streamer_spark.sources.cdc_formats import decode_maxwell
+
+    row = decode_maxwell(_df(spark, MXW_INSERT), host="m1").first()
+    assert (row.host, row.database, row.table, row.action) == (
+        "m1",
+        "shop",
+        "orders",
+        "insert",
+    )
+    # binlog file 6, offset 800911 -> (6 << 32) | 800911
+    assert row.wal_position == (6 << 32) | 800911
+    assert row.ts.isoformat().startswith("2024-03-01T")
+    # heterogeneous values transport as literal text; JSON null stays NULL
+    assert row.columns == {
+        "id": "9",
+        "status": "new",
+        "amount": "12.5",
+        "note": None,
+    }
+
+
+def test_maxwell_delete_image_rides_data_and_rotation_orders(spark):
+    from psql_streamer_spark.sources.cdc_formats import decode_maxwell
+
+    rows = {
+        r.action: r
+        for r in decode_maxwell(
+            _df(spark, MXW_INSERT, MXW_DELETE)
+        ).collect()
+    }
+    # Maxwell deletes carry the deleted row in `data` (no `before` slot)
+    assert rows["delete"].columns == {"id": "9", "status": "cancelled"}
+    # a later binlog FILE with a smaller offset still orders after
+    assert rows["delete"].wal_position > rows["insert"].wal_position
+
+
+def test_maxwell_bootstrap_normalizes_and_ddl_is_dropped(spark):
+    from psql_streamer_spark.sources.cdc_formats import decode_maxwell
+
+    decoded = decode_maxwell(_df(spark, MXW_BOOTSTRAP, MXW_DDL))
+    assert [r.action for r in decoded.collect()] == [
+        "insert",
+        "table-create",
+    ]
+    assert [r.action for r in filter_dml(decoded).collect()] == ["insert"]
+
+
+def test_maxwell_malformed_line_routes_to_dlq(spark):
+    from psql_streamer_spark.sources.cdc_formats import decode_maxwell
+
+    decoded = decode_maxwell(_df(spark, MXW_INSERT, "{broken"))
+    valid, dlq = validate_split(decoded)
+    assert valid.count() == 1 and dlq.count() == 1
