@@ -503,6 +503,55 @@ def cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_auto_decode_mixed",
+    oracle=f"""
+    SELECT 'wal2json' AS dialect, "table", action,
+           (event_id % 4) * 4294967296 + event_id AS wal_position,
+           ts, uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    UNION ALL
+    SELECT 'debezium', "table", action, event_id,
+           make_timestamp(epoch_ms(ts) * 1000), uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    UNION ALL
+    SELECT 'maxwell', "table", action,
+           (event_id % 4) * 4294967296 + event_id,
+           make_timestamp((epoch_ms(ts) // 1000) * 1000000), uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    """,
+)
+def cdc_auto_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-feed round trip: all three dialects' wire lines interleaved
+    on one feed -> classify_cdc_dialect -> per-dialect decode ->
+    canonical envelope with dialect provenance. Every line must land in
+    the same envelope row its clean-feed decoder produces (the oracle is
+    the three dialect oracles unioned), proving the classifier never
+    misroutes and the dispatch loses nothing."""
+    from psql_streamer_spark.sources.cdc_formats import decode_cdc_auto
+
+    mixed = (
+        _wal2json_lines(spark, sf_dir)
+        .unionByName(_debezium_lines(spark, sf_dir))
+        .unionByName(_maxwell_lines(spark, sf_dir))
+    )
+    decoded = decode_cdc_auto(
+        mixed,
+        host="mysqlsrv1",
+        uuid=F.md5(F.col("event_id").cast("string")),
+    )
+    return filter_dml(decoded).select(
+        "dialect",
+        "table",
+        "action",
+        "wal_position",
+        "ts",
+        "uuid",
+        F.col("columns")["k"].cast("int").alias("k"),
+        F.col("columns")["etype"].alias("etype"),
+    )
+
+
 # --------------------------------------------------------------------------
 # pgoutput binary wire decode (S1's actual ingest format): events are
 # re-framed as documented pgoutput protocol bytes — Insert/Update/Delete

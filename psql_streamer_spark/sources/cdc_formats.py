@@ -247,3 +247,80 @@ def decode_maxwell(
         F.when(p["type"].isNotNull(), stamp).alias("uuid"),
         p["data"].alias("columns"),
     )
+
+
+def classify_cdc_dialect(value: Column) -> Column:
+    """Per-line dialect classification on discriminating envelope keys —
+    `action` is wal2json v2's mandatory field, `payload.op` Debezium's,
+    `type`+`position` Maxwell's; anything else (including malformed
+    JSON — get_json_object yields NULL) is 'unknown'. Pure JSON-path
+    probes, scan-speed, no full parse."""
+    return (
+        F.when(F.get_json_object(value, "$.action").isNotNull(), "wal2json")
+        .when(F.get_json_object(value, "$.payload.op").isNotNull(), "debezium")
+        .when(
+            F.get_json_object(value, "$.type").isNotNull()
+            & F.get_json_object(value, "$.position").isNotNull(),
+            "maxwell",
+        )
+        .otherwise("unknown")
+    )
+
+
+def decode_cdc_auto(
+    df: DataFrame,
+    value_col: str = "value",
+    host: str = "unknown",
+    database: str = "unknown",
+    uuid: Column | None = None,
+) -> DataFrame:
+    """MIXED-feed decode: classify each line, route it through its
+    dialect's decoder, return one canonical envelope frame with a
+    `dialect` provenance column. A real relay rarely gets to assume one
+    clean dialect — a topic carries a Debezium backfill next to the
+    wal2json live feed, or an operator points the wrong feed at the
+    pipeline; this is the ingest form that absorbs that without config.
+
+    Shape: one classification pass plus one filtered decode per dialect
+    present — each decode is the UNCHANGED dialect decoder (their golden
+    fixtures carry over verbatim) over a scan-speed filter, unioned
+    back. 'unknown' lines become envelope rows with NULL action/uuid, so
+    validate_split (T5) routes them to the DLQ instead of dropping them
+    silently — the reference's decode-failure accounting."""
+    dialect = classify_cdc_dialect(F.col(value_col).cast("string"))
+    tagged = df.withColumn("__dialect", dialect)
+    parts = [
+        decode_wal2json(
+            tagged.filter(F.col("__dialect") == "wal2json"),
+            value_col,
+            host=host,
+            database=database,
+            uuid=uuid,
+        ).withColumn("dialect", F.lit("wal2json")),
+        decode_debezium(
+            tagged.filter(F.col("__dialect") == "debezium"),
+            value_col,
+            uuid=uuid,
+        ).withColumn("dialect", F.lit("debezium")),
+        decode_maxwell(
+            tagged.filter(F.col("__dialect") == "maxwell"),
+            value_col,
+            host=host,
+            uuid=uuid,
+        ).withColumn("dialect", F.lit("maxwell")),
+        tagged.filter(F.col("__dialect") == "unknown").select(
+            F.lit(host).alias("host"),
+            F.lit(database).alias("database"),
+            F.lit(None).cast("string").alias("table"),
+            F.lit(None).cast("string").alias("action"),
+            F.lit(None).cast("bigint").alias("wal_position"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("uuid"),  # -> DLQ (T5)
+            F.lit(None).cast("map<string,string>").alias("columns"),
+            F.lit("unknown").alias("dialect"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -248,3 +248,56 @@ def test_maxwell_malformed_line_routes_to_dlq(spark):
     decoded = decode_maxwell(_df(spark, MXW_INSERT, "{broken"))
     valid, dlq = validate_split(decoded)
     assert valid.count() == 1 and dlq.count() == 1
+
+
+def test_dialect_classifier_discriminates_all_fixtures(spark):
+    from psql_streamer_spark.sources.cdc_formats import classify_cdc_dialect
+
+    lines = [
+        (W2J_INSERT, "wal2json"),
+        (W2J_BEGIN, "wal2json"),
+        (DBZ_CREATE, "debezium"),
+        (DBZ_DELETE, "debezium"),
+        (MXW_INSERT, "maxwell"),
+        (MXW_DDL, "maxwell"),
+        ('{"some":"other json"}', "unknown"),
+        ("not json", "unknown"),
+    ]
+    got = (
+        _df(spark, *[ln for ln, _ in lines])
+        .select(classify_cdc_dialect(F.col("value")).alias("d"))
+        .collect()
+    )
+    assert [r.d for r in got] == [want for _, want in lines]
+
+
+def test_auto_decode_routes_each_line_like_its_clean_decoder(spark):
+    from psql_streamer_spark.sources.cdc_formats import (
+        decode_cdc_auto,
+        decode_debezium,
+        decode_maxwell,
+    )
+
+    mixed = _df(spark, W2J_INSERT, DBZ_CREATE, MXW_DELETE, "zzz not json")
+    out = decode_cdc_auto(mixed, host="h0", database="d0")
+    rows = {r.dialect: r for r in out.collect()}
+    assert set(rows) == {"wal2json", "debezium", "maxwell", "unknown"}
+    # spot-parity with the clean decoders on the same lines
+    dbz = decode_debezium(_df(spark, DBZ_CREATE)).first()
+    assert (
+        rows["debezium"].table,
+        rows["debezium"].action,
+        rows["debezium"].wal_position,
+        rows["debezium"].columns,
+    ) == (dbz.table, dbz.action, dbz.wal_position, dbz.columns)
+    mxw = decode_maxwell(_df(spark, MXW_DELETE), host="h0").first()
+    assert (
+        rows["maxwell"].table,
+        rows["maxwell"].action,
+        rows["maxwell"].wal_position,
+        rows["maxwell"].columns,
+    ) == (mxw.table, mxw.action, mxw.wal_position, mxw.columns)
+    # the junk line becomes a DLQ-routable envelope row, never silence
+    assert rows["unknown"].uuid is None and rows["unknown"].action is None
+    valid, dlq = validate_split(out)
+    assert valid.count() == 3 and dlq.count() == 1
