@@ -302,6 +302,39 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
             for sn in subs[name]
         ]
         extra: dict = {}
+        # wire-dialect selection for file_cdc (S1 decode parity): the
+        # native engine JSON is the default; `dialect` swaps in one of
+        # the sources/cdc_formats decoders, with the same fail-fast-at-
+        # load contract as every other knob (configLoad parity). The
+        # auto dispatcher's provenance column is dropped for pipeline
+        # use — downstream handlers expect the canonical envelope.
+        if stype == "file_cdc" and sc.get("dialect"):
+            from psql_streamer_spark.sources.cdc_formats import (
+                decode_cdc_auto,
+                decode_debezium,
+                decode_maxwell,
+                decode_wal2json,
+            )
+
+            host = sc.get("host", "unknown")
+            database = sc.get("database", "unknown")
+            dialects = {
+                "wal2json": lambda df: decode_wal2json(
+                    df, host=host, database=database
+                ),
+                "debezium": lambda df: decode_debezium(df),
+                "maxwell": lambda df: decode_maxwell(df, host=host),
+                "auto": lambda df: decode_cdc_auto(
+                    df, host=host, database=database
+                ).drop("dialect"),
+            }
+            if sc["dialect"] not in dialects:
+                raise ConfigError(
+                    f"Unable to init source '{name}': unknown dialect"
+                    f" {sc['dialect']!r} (expected one of"
+                    f" {sorted(dialects)})"
+                )
+            extra = {"decoder": dialects[sc["dialect"]]}
         if stype == "file_pgoutput":
             from psql_streamer_spark.sources.pgoutput_cdc import (
                 FRAME_SCHEMA,

@@ -346,3 +346,62 @@ def test_negative_mux_batch_knobs_are_fatal(spark, tmp_path):
             ConfigError, match="(unparseable|batchFlushInterval)"
         ):
             compile_config(spark, cfg(batchFlushInterval=bad))
+
+
+def test_file_cdc_dialect_knob_selects_decoder(spark, tmp_path):
+    """`dialect` on a file_cdc source swaps the pipeline's decoder for
+    the matching cdc_formats decoder at COMPILE time; an unknown dialect
+    is fatal at load (configLoad parity), not at stream start."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from psql_streamer_spark.config import ConfigError, compile_config
+
+    src = tmp_path / "src_dialect"
+    src.mkdir()
+    conf = {
+        "boltdb": str(tmp_path / "ckpt_dialect"),
+        "source": {
+            "mx1": {
+                "type": "file_cdc",
+                "path": str(src),
+                "dialect": "maxwell",
+                "host": "mhost",
+            }
+        },
+        "sink": {"log": {"type": "stub_log", "sources": ["mx1"]}},
+    }
+    eng = compile_config(spark, conf)
+    decoder = eng.pipelines["mx1"].decoder
+    line = _json.dumps(
+        {
+            "database": "shop",
+            "table": "orders",
+            "type": "insert",
+            "ts": 1709287530,
+            "position": "master.000002:77",
+            "data": {"id": "5"},
+        }
+    )
+    row = decoder(
+        spark.createDataFrame([(line,)], ["value"])
+    ).first()
+    assert (row.host, row.database, row.table, row.action) == (
+        "mhost",
+        "shop",
+        "orders",
+        "insert",
+    )
+    assert row.wal_position == (2 << 32) | 77
+
+    # auto dispatch drops the provenance column -> canonical envelope
+    conf["source"]["mx1"]["dialect"] = "auto"
+    auto = compile_config(spark, conf).pipelines["mx1"].decoder
+    assert "dialect" not in auto(
+        spark.createDataFrame([(line,)], ["value"])
+    ).columns
+
+    conf["source"]["mx1"]["dialect"] = "kanal"
+    with _pytest.raises(ConfigError, match="unknown dialect 'kanal'"):
+        compile_config(spark, conf)
