@@ -92,7 +92,17 @@ def drift_batch(
     then a single aggregate of K+3 map-side-combinable sums — the
     epoch's distribution never leaves the scan as exploded rows. The
     drift double is a fixed-order fold of literal terms (see banner);
-    an empty epoch reports drift NULL / alert false rather than NaN."""
+    an empty epoch reports drift NULL / alert false rather than NaN.
+
+    A degenerate reference (``ref_total <= 0`` — built from an empty
+    corpus) is a WIRING error, not a data condition: fail fast here with
+    a clear message instead of letting the share division blow up
+    inside a foreachBatch epoch."""
+    if ref_total <= 0:
+        raise ValueError(
+            "drift reference is empty (ref_total <= 0) — build it from a"
+            " non-empty corpus before wiring the monitor"
+        )
     k = len(ref_tokens)
     d = with_words(batch_df)
     ws = F.col("__words")

@@ -357,3 +357,11 @@ def test_closed_loop_emits_drift_per_epoch(spark, tmp_path):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {loop_tbl}")
+
+
+def test_drift_empty_reference_fails_fast(spark):
+    from psql_streamer_spark.streaming.drift_stream import drift_batch
+
+    d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="reference is empty"):
+        drift_batch(d, [], [], 0)
