@@ -308,7 +308,12 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
         # load contract as every other knob (configLoad parity). The
         # auto dispatcher's provenance column is dropped for pipeline
         # use — downstream handlers expect the canonical envelope.
-        if stype == "file_cdc" and sc.get("dialect"):
+        if "dialect" in sc:
+            if stype != "file_cdc":
+                raise ConfigError(
+                    f"Unable to init source '{name}': 'dialect' applies"
+                    f" only to file_cdc sources, not {stype!r}"
+                )
             from psql_streamer_spark.sources.cdc_formats import (
                 decode_cdc_auto,
                 decode_debezium,
@@ -316,16 +321,21 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
                 decode_wal2json,
             )
 
-            host = sc.get("host", "unknown")
-            database = sc.get("database", "unknown")
+            # bind host/database through default args, NOT closure
+            # capture: both names are reassigned later in this function
+            # (and per loop iteration), and the decoder only runs at
+            # stream time — a late-bound closure would stamp every
+            # event with whatever the variables hold by then
+            src_host = sc.get("host", "unknown")
+            src_db = sc.get("database", "unknown")
             dialects = {
-                "wal2json": lambda df: decode_wal2json(
-                    df, host=host, database=database
+                "wal2json": lambda df, h=src_host, d=src_db: decode_wal2json(
+                    df, host=h, database=d
                 ),
                 "debezium": lambda df: decode_debezium(df),
-                "maxwell": lambda df: decode_maxwell(df, host=host),
-                "auto": lambda df: decode_cdc_auto(
-                    df, host=host, database=database
+                "maxwell": lambda df, h=src_host: decode_maxwell(df, host=h),
+                "auto": lambda df, h=src_host, d=src_db: decode_cdc_auto(
+                    df, host=h, database=d
                 ).drop("dialect"),
             }
             if sc["dialect"] not in dialects:

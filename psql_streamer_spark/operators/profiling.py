@@ -456,9 +456,10 @@ def value_outliers_mad_frame(e: DataFrame) -> DataFrame:
 SOURCE_DRIFT_TOP_K = 64
 SOURCE_DRIFT_OOV = "__OOV__"  # words_expr lowercases, so this cannot collide
 
-_SQL_WS_TOKENS = (
-    "list_filter(string_split(lower(text), ' '), w -> len(w) > 0)"
-)
+from psql_streamer_spark.functions.text_hash import SQL_WORDS  # noqa: E402
+from psql_streamer_spark.operators.mlprep import sql_md5_bucket  # noqa: E402
+
+_SQL_WS_TOKENS = SQL_WORDS.format(t="text")
 
 _SQL_SOURCE_DRIFT = f"""
     WITH tok AS (
@@ -665,10 +666,7 @@ def source_token_drift_frame(d: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 EMBED_DRIFT_GRID = 1000  # fixed-point grid: qx = FLOOR(x * 1000)
 
-_SQL_EMBED_DELTA = (
-    "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
-    " % 10 = 7"
-)
+_SQL_EMBED_DELTA = f"{sql_md5_bucket('vec_id', 10)} = 7"
 
 _SQL_EMBED_DRIFT = f"""
     WITH v AS (

@@ -199,11 +199,18 @@ def binlog_to_wal_position(position: Column) -> Column:
     numeric position, composed exactly like lsn_to_wal_position: file
     sequence in the high 32 bits, offset in the low 32. Binlog files
     rotate at ~1 GiB (< 2^32), so the composition is collision-free and
-    order-preserving across rotations."""
+    order-preserving across rotations.
+
+    try_cast, not cast: a position that is not 'file:offset' (a
+    heartbeat line, junk the auto classifier routed here because it
+    carried top-level type+position) must yield NULL — under Spark 4's
+    default ANSI mode a plain CAST('') would throw and one poison line
+    would fail the whole foreachBatch epoch. Same defensive posture as
+    lsn_to_wal_position's F.conv."""
     file_seq = F.regexp_extract(
         F.split_part(position, F.lit(":"), F.lit(1)), r"(\d+)$", 1
-    ).cast("bigint")
-    offset = F.split_part(position, F.lit(":"), F.lit(2)).cast("bigint")
+    ).try_cast("bigint")
+    offset = F.split_part(position, F.lit(":"), F.lit(2)).try_cast("bigint")
     return F.shiftleft(file_seq, 32).bitwiseOR(offset).alias("wal_position")
 
 

@@ -67,10 +67,16 @@ def build_reference_distribution(
     not data)."""
     d = with_words(load_table(spark, "documents", sf_dir))
     counts = (
-        d.select(F.explode("__words").alias("token")).groupBy("token").count()
+        d.select(F.explode("__words").alias("token"))
+        .groupBy("token")
+        .count()
+        .persist()  # two actions (top-k + total) share one corpus scan
     )
-    top = counts.orderBy(F.col("count").desc(), "token").limit(k).collect()
-    total = counts.agg(F.sum("count").alias("t")).collect()[0]["t"] or 0
+    try:
+        top = counts.orderBy(F.col("count").desc(), "token").limit(k).collect()
+        total = counts.agg(F.sum("count").alias("t")).collect()[0]["t"] or 0
+    finally:
+        counts.unpersist()
     return (
         [r["token"] for r in top],
         [int(r["count"]) for r in top],

@@ -48,6 +48,21 @@ from psql_streamer_spark.streaming.dedup_stream import probe_band_index
 from psql_streamer_spark.streaming.quality_stream import score_quality_batch
 
 
+def _drift_sink(drift_ref, drift_sink_dir) -> EpochParquetSink | None:
+    """Both-or-neither validation for the drift monitor attachment: a
+    half-wired pair (the reference built but no sink dir, or a dir with
+    no reference) would silently write no verdicts while the operator
+    believes the canary is live — raise at stream WIRING instead."""
+    if (drift_ref is None) != (not drift_sink_dir):
+        raise ValueError(
+            "drift monitoring needs BOTH drift_ref and drift_sink_dir —"
+            " got only one of the pair"
+        )
+    if drift_ref is None:
+        return None
+    return EpochParquetSink(drift_sink_dir, name="drift_verdicts")
+
+
 def fused_gate_verdicts(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -195,11 +210,7 @@ def start_fused_gate_stream(
         .json(source_dir)
     )
     sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
-    drift_sink = (
-        EpochParquetSink(drift_sink_dir, name="drift_verdicts")
-        if drift_ref is not None and drift_sink_dir
-        else None
-    )
+    drift_sink = _drift_sink(drift_ref, drift_sink_dir)
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         # ONE tokenize pass: the persisted `__words` frame is scanned by
@@ -449,11 +460,7 @@ def start_fused_ingest_loop(
     )
     verdict_sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
     admitted_sink = EpochParquetSink(admitted_dir, name="fused_admitted")
-    drift_sink = (
-        EpochParquetSink(drift_sink_dir, name="drift_verdicts")
-        if drift_ref is not None and drift_sink_dir
-        else None
-    )
+    drift_sink = _drift_sink(drift_ref, drift_sink_dir)
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException

@@ -301,3 +301,23 @@ def test_auto_decode_routes_each_line_like_its_clean_decoder(spark):
     assert rows["unknown"].uuid is None and rows["unknown"].action is None
     valid, dlq = validate_split(out)
     assert valid.count() == 3 and dlq.count() == 1
+
+
+def test_maxwell_garbage_position_yields_null_not_ansi_crash(spark):
+    """Regression: a heartbeat-ish line with a non-'file:offset'
+    position must decode with NULL wal_position (try_cast), not throw
+    CAST_INVALID_INPUT under ANSI mode and kill the epoch."""
+    from psql_streamer_spark.sources.cdc_formats import decode_maxwell
+
+    line = json.dumps(
+        {
+            "database": "shop",
+            "table": "orders",
+            "type": "insert",
+            "ts": 1709287530,
+            "position": "none",
+            "data": {"id": "1"},
+        }
+    )
+    row = decode_maxwell(_df(spark, line)).first()
+    assert row.action == "insert" and row.wal_position is None

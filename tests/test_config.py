@@ -405,3 +405,80 @@ def test_file_cdc_dialect_knob_selects_decoder(spark, tmp_path):
     conf["source"]["mx1"]["dialect"] = "kanal"
     with _pytest.raises(ConfigError, match="unknown dialect 'kanal'"):
         compile_config(spark, conf)
+
+
+def test_dialect_decoders_bind_per_source_host_despite_http(spark, tmp_path):
+    """Regression: the dialect decoder lambdas must capture each source's
+    host/database by VALUE — `host` is reassigned later in
+    compile_config (the http listener split) and rebinds per source, so
+    late-bound closures would stamp every event with the wrong
+    provenance."""
+    import json as _json
+
+    from psql_streamer_spark.config import compile_config
+
+    src_a = tmp_path / "src_a"
+    src_b = tmp_path / "src_b"
+    src_a.mkdir(), src_b.mkdir()
+    conf = {
+        "http": "127.0.0.1:0",  # triggers the host reassignment
+        "boltdb": str(tmp_path / "ckpt_hosts"),
+        "source": {
+            "a": {
+                "type": "file_cdc",
+                "path": str(src_a),
+                "dialect": "maxwell",
+                "host": "host-a",
+            },
+            "b": {
+                "type": "file_cdc",
+                "path": str(src_b),
+                "dialect": "maxwell",
+                "host": "host-b",
+            },
+        },
+        "sink": {"log": {"type": "stub_log", "sources": ["a", "b"]}},
+    }
+    eng = compile_config(spark, conf)
+    line = _json.dumps(
+        {
+            "database": "db",
+            "table": "t",
+            "type": "insert",
+            "ts": 1,
+            "position": "master.000001:1",
+            "data": {"id": "1"},
+        }
+    )
+    frame = spark.createDataFrame([(line,)], ["value"])
+    assert eng.pipelines["a"].decoder(frame).first().host == "host-a"
+    assert eng.pipelines["b"].decoder(frame).first().host == "host-b"
+
+
+def test_dialect_on_wrong_source_type_or_empty_is_fatal(spark, tmp_path):
+    import pytest as _pytest
+
+    from psql_streamer_spark.config import ConfigError, compile_config
+
+    src = tmp_path / "src_wrongtype"
+    src.mkdir()
+    base = {
+        "boltdb": str(tmp_path / "ckpt_wt"),
+        "source": {
+            "s1": {
+                "type": "file_pgoutput",
+                "path": str(src),
+                "dialect": "maxwell",
+            }
+        },
+        "sink": {"log": {"type": "stub_log", "sources": ["s1"]}},
+    }
+    with _pytest.raises(ConfigError, match="applies only to file_cdc"):
+        compile_config(spark, base)
+    base["source"]["s1"] = {
+        "type": "file_cdc",
+        "path": str(src),
+        "dialect": "",
+    }
+    with _pytest.raises(ConfigError, match="unknown dialect ''"):
+        compile_config(spark, base)

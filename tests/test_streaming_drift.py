@@ -365,3 +365,18 @@ def test_drift_empty_reference_fails_fast(spark):
     d = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="reference is empty"):
         drift_batch(d, [], [], 0)
+
+
+def test_half_wired_drift_pair_raises_at_wiring(spark, tmp_path):
+    """Regression: passing only one of drift_ref/drift_sink_dir must
+    raise at stream wiring — a silent no-op would leave the operator
+    believing the canary is live."""
+    from psql_streamer_spark.streaming.fused_gate import _drift_sink
+
+    ref = (["a"], [1], 1)
+    assert _drift_sink(None, None) is None
+    assert _drift_sink(ref, str(tmp_path / "d")) is not None
+    with pytest.raises(ValueError, match="BOTH drift_ref and drift_sink_dir"):
+        _drift_sink(ref, None)
+    with pytest.raises(ValueError, match="BOTH drift_ref and drift_sink_dir"):
+        _drift_sink(None, str(tmp_path / "d"))
