@@ -315,6 +315,7 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
                     f" only to file_cdc sources, not {stype!r}"
                 )
             from psql_streamer_spark.sources.cdc_formats import (
+                decode_canal,
                 decode_cdc_auto,
                 decode_debezium,
                 decode_maxwell,
@@ -334,6 +335,7 @@ def compile_config(spark: SparkSession, conf: dict | str | Path) -> Engine:
                 ),
                 "debezium": lambda df: decode_debezium(df),
                 "maxwell": lambda df, h=src_host: decode_maxwell(df, host=h),
+                "canal": lambda df, h=src_host: decode_canal(df, host=h),
                 "auto": lambda df, h=src_host, d=src_db: decode_cdc_auto(
                     df, host=h, database=d
                 ).drop("dialect"),

@@ -503,6 +503,78 @@ def cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canal_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> Canal flat messages: uppercase INSERT/UPDATE/DELETE,
+    one-element data arrays (deterministic per-event uuids need 1 row
+    per message — multi-row fan-out is pinned in the golden tests), the
+    batch id as position analogue, es = execute time ms, and an
+    isDdl=true CREATE marker for the non-DML leftover."""
+    e = load_table(spark, "events", sf_dir)
+    ctype = F.expr(
+        """CASE event_type WHEN 'signup' THEN 'INSERT'
+                           WHEN 'purchase' THEN 'UPDATE'
+                           WHEN 'error' THEN 'DELETE'
+                           WHEN 'click' THEN 'INSERT'
+                           ELSE 'CREATE' END"""
+    )
+    is_ddl = F.expr(
+        "event_type NOT IN ('signup','purchase','error','click')"
+    )
+    row_image = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("etype"), F.col("event_type"),
+    )
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.when(~is_ddl, F.array(row_image)).alias("data"),
+                F.lit("test").alias("database"),
+                F.unix_millis("ts").alias("es"),
+                F.col("event_id").alias("id"),
+                is_ddl.alias("isDdl"),
+                F.concat(F.lit("tbl_"), F.col("event_type")).alias("table"),
+                F.unix_millis("ts").alias("ts"),
+                ctype.alias("type"),
+            )
+        ).alias("value"),
+    )
+
+
+@register(
+    "cdc_canal_decode",
+    oracle=f"""
+    SELECT 'canalsrv1' AS host, 'test' AS database, "table", action,
+           event_id AS wal_position,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts,
+           uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
+    """,
+)
+def cdc_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal round trip: flat message -> decode_canal -> canonical form.
+    Exercises the uppercase type map, the data-ARRAY explode (one
+    element here; multi-element fan-out is golden-tested), isDdl marker
+    drop via T1, batch-id position, and ms-precision execute time."""
+    from psql_streamer_spark.sources.cdc_formats import decode_canal
+
+    raw = _canal_lines(spark, sf_dir)
+    decoded = decode_canal(
+        raw, host="canalsrv1", uuid=F.md5(F.col("event_id").cast("string"))
+    )
+    return filter_dml(decoded).select(
+        "host",
+        "database",
+        "table",
+        "action",
+        "wal_position",
+        "ts",
+        "uuid",
+        F.col("columns")["k"].cast("int").alias("k"),
+        F.col("columns")["etype"].alias("etype"),
+    )
+
+
 @register(
     "cdc_auto_decode_mixed",
     oracle=f"""
@@ -519,14 +591,18 @@ def cdc_maxwell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            (event_id % 4) * 4294967296 + event_id,
            make_timestamp((epoch_ms(ts) // 1000) * 1000000), uuid, k, etype
     FROM ({_ORACLE_DIALECT_DML})
+    UNION ALL
+    SELECT 'canal', "table", action, event_id,
+           make_timestamp(epoch_ms(ts) * 1000), uuid, k, etype
+    FROM ({_ORACLE_DIALECT_DML})
     """,
 )
 def cdc_auto_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MIXED-feed round trip: all three dialects' wire lines interleaved
+    """MIXED-feed round trip: all four dialects' wire lines interleaved
     on one feed -> classify_cdc_dialect -> per-dialect decode ->
     canonical envelope with dialect provenance. Every line must land in
     the same envelope row its clean-feed decoder produces (the oracle is
-    the three dialect oracles unioned), proving the classifier never
+    the four dialect oracles unioned), proving the classifier never
     misroutes and the dispatch loses nothing."""
     from psql_streamer_spark.sources.cdc_formats import decode_cdc_auto
 
@@ -534,6 +610,7 @@ def cdc_auto_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _wal2json_lines(spark, sf_dir)
         .unionByName(_debezium_lines(spark, sf_dir))
         .unionByName(_maxwell_lines(spark, sf_dir))
+        .unionByName(_canal_lines(spark, sf_dir))
     )
     decoded = decode_cdc_auto(
         mixed,

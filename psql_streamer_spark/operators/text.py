@@ -84,6 +84,88 @@ def text_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Zipf-deviation diagnostic: natural language's rank-frequency curve
+# follows c_r ~ c_1 / r; template farms, synthetic word salad, and spam
+# flatten it (every token near-equally frequent -> ratio climbs ~r) or
+# spike it (one boilerplate token dominates). A curator reads this next
+# to the repetition and quality scores when deciding whether a source is
+# organic text. Integer-exact: the per-rank statistic is the cross-
+# multiplication n_r * r against c_1, so the only double is one final
+# rounded ratio (the source-drift discipline); ranks come from a window
+# over the 20-row top-K frame, never the corpus. On the driver's
+# synthetic corpus the ratios climb ~linearly — the diagnostic correctly
+# reporting that word salad from a small uniform vocabulary is NOT
+# Zipfian (measured, not a bug).
+# --------------------------------------------------------------------------
+ZIPF_TOP_K = 20
+
+
+@register(
+    "text_zipf_deviation",
+    oracle=f"""
+    WITH counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({SQL_WORDS.format(t='text')}) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    top AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {ZIPF_TOP_K}
+    ),
+    ranked AS (
+      SELECT token, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT)
+               AS rank
+      FROM top
+    ),
+    c1 AS (SELECT MAX(n) AS c1 FROM top)
+    SELECT rank, token, n,
+           CAST(c1.c1 // rank AS BIGINT) AS zipf_expected,
+           ROUND(n * rank * 1.0 / c1.c1, 6) AS zipf_ratio
+    FROM ranked CROSS JOIN c1
+    """,
+)
+def text_zipf_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency Zipf diagnostic over the corpus top-{K} tokens
+    (see banner): rank, count, the count a Zipfian corpus would show
+    (c_1/r, floor), and the cross-multiplied ratio n*r/c_1 that reads
+    ~1 for organic text and climbs toward r for uniform word salad."""
+    return zipf_deviation_frame(load_table(spark, "documents", sf_dir))
+
+
+def zipf_deviation_frame(d: DataFrame) -> DataFrame:
+    """text_zipf_deviation's body over any (text) frame — split out so
+    the two extremes (a planted Zipf-distributed corpus reads ratios
+    ~1; a planted uniform corpus reads ratio ~r at rank r) are pinned
+    in tests."""
+    counts = (
+        d.select(F.explode(words_expr()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(ZIPF_TOP_K)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), "token"))
+        .cast("bigint"),
+    )
+    c1 = top.agg(F.max("n").alias("c1"))
+    return (
+        ranked.crossJoin(F.broadcast(c1))
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.expr("CAST(c1 div rank AS BIGINT)").alias("zipf_expected"),
+            F.round(
+                F.col("n") * F.col("rank") * F.lit(1.0) / F.col("c1"), 6
+            ).alias("zipf_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Language ID: marker-word scoring (n-gram heuristic). The corpus is
 # synthetic word salad, so the *accuracy* is meaningless — what the oracle
 # validates is the scoring machinery (per-language marker hit counts and

@@ -259,12 +259,14 @@ def decode_maxwell(
 def classify_cdc_dialect(value: Column) -> Column:
     """Per-line dialect classification on discriminating envelope keys —
     `action` is wal2json v2's mandatory field, `payload.op` Debezium's,
-    `type`+`position` Maxwell's; anything else (including malformed
+    `isDdl` Canal's (probed BEFORE Maxwell — both carry `type`, only
+    Canal carries `isDdl`), `type`+`position` Maxwell's; anything else (including malformed
     JSON — get_json_object yields NULL) is 'unknown'. Pure JSON-path
     probes, scan-speed, no full parse."""
     return (
         F.when(F.get_json_object(value, "$.action").isNotNull(), "wal2json")
         .when(F.get_json_object(value, "$.payload.op").isNotNull(), "debezium")
+        .when(F.get_json_object(value, "$.isDdl").isNotNull(), "canal")
         .when(
             F.get_json_object(value, "$.type").isNotNull()
             & F.get_json_object(value, "$.position").isNotNull(),
@@ -315,6 +317,12 @@ def decode_cdc_auto(
             host=host,
             uuid=uuid,
         ).withColumn("dialect", F.lit("maxwell")),
+        decode_canal(
+            tagged.filter(F.col("__dialect") == "canal"),
+            value_col,
+            host=host,
+            uuid=uuid,
+        ).withColumn("dialect", F.lit("canal")),
         tagged.filter(F.col("__dialect") == "unknown").select(
             F.lit(host).alias("host"),
             F.lit(database).alias("database"),
@@ -331,3 +339,59 @@ def decode_cdc_auto(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Canal (Alibaba) flat-message envelope: one JSON object per BATCH of
+# row changes — `data` is an ARRAY of row images (the one dialect here
+# where a single message fans out to N events), `old` the index-aligned
+# partial prior images on update, `es` the MySQL execute time (ms), `ts`
+# canal's own processing time, `id` the canal batch id (the flat message
+# carries no binlog coordinate — the batch id is the orderable position
+# analogue), `isDdl` + an uppercase statement `type` for DDL.
+CANAL_SCHEMA = (
+    "data array<map<string,string>>, database string, es bigint, "
+    "id bigint, isDdl boolean, old array<map<string,string>>, "
+    "pkNames array<string>, `table` string, ts bigint, type string"
+)
+
+_CANAL_TYPES = {"INSERT": "insert", "UPDATE": "update", "DELETE": "delete"}
+
+
+def decode_canal(
+    df: DataFrame,
+    value_col: str = "value",
+    host: str = "unknown",
+    uuid: Column | None = None,
+) -> DataFrame:
+    """Canal flat messages -> canonical Event envelope, ONE ROW PER
+    ELEMENT of `data` (explode_outer, so a DDL message with data=null
+    still yields its marker row for filter_dml to drop). INSERT/UPDATE/
+    DELETE map to the closed enum — DELETE's image rides `data` like
+    Maxwell's; isDdl messages keep their lowered statement type as the
+    non-DML marker. Event time is `es` (the source execute time, ms);
+    the batch id is the orderable position (the flat message has no
+    binlog coordinate). `uuid` defaults to a fresh v4 PER EXPLODED
+    EVENT; a deterministic expression shared by a multi-row batch would
+    collide — fixtures keep one row per message when hashing."""
+    p = F.from_json(F.col(value_col).cast("string"), CANAL_SCHEMA)
+    mapped = None
+    for t, name in _CANAL_TYPES.items():
+        mapped = (
+            F.when(p["type"] == t, name)
+            if mapped is None
+            else mapped.when(p["type"] == t, name)
+        )
+    action = F.when(p["isDdl"], F.lower(p["type"])).otherwise(
+        mapped.otherwise(F.lower(p["type"]))
+    )
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    return df.select(
+        F.lit(host).alias("host"),
+        F.coalesce(p["database"], F.lit("unknown")).alias("database"),
+        p["table"].alias("table"),
+        action.alias("action"),
+        p["id"].alias("wal_position"),
+        F.timestamp_millis(p["es"]).alias("ts"),
+        F.when(p["type"].isNotNull(), stamp).alias("uuid"),
+        F.explode_outer(p["data"]).alias("columns"),
+    )

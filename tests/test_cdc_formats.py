@@ -321,3 +321,107 @@ def test_maxwell_garbage_position_yields_null_not_ansi_crash(spark):
     )
     row = decode_maxwell(_df(spark, line)).first()
     assert row.action == "insert" and row.wal_position is None
+
+
+CNL_BATCH = json.dumps(
+    {
+        "data": [
+            {"id": "1", "name": "a", "score": 1.5},
+            {"id": "2", "name": "b", "score": None},
+        ],
+        "database": "appdb",
+        "es": 1709287530123,
+        "id": 77,
+        "isDdl": False,
+        "old": None,
+        "pkNames": ["id"],
+        "table": "users",
+        "ts": 1709287530900,
+        "type": "INSERT",
+    }
+)
+CNL_DELETE = json.dumps(
+    {
+        "data": [{"id": "9"}],
+        "database": "appdb",
+        "es": 1709287531000,
+        "id": 78,
+        "isDdl": False,
+        "table": "users",
+        "ts": 1709287531500,
+        "type": "DELETE",
+    }
+)
+CNL_DDL = json.dumps(
+    {
+        "data": None,
+        "database": "appdb",
+        "es": 1709287000000,
+        "id": 76,
+        "isDdl": True,
+        "table": "users",
+        "ts": 1709287000500,
+        "type": "CREATE",
+    }
+)
+
+
+def test_canal_batch_fans_out_one_event_per_data_element(spark):
+    from psql_streamer_spark.sources.cdc_formats import decode_canal
+
+    rows = decode_canal(_df(spark, CNL_BATCH), host="c1").collect()
+    assert len(rows) == 2  # the dialect's distinguishing feature
+    assert {r.columns["id"] for r in rows} == {"1", "2"}
+    for r in rows:
+        assert (r.host, r.database, r.table, r.action) == (
+            "c1",
+            "appdb",
+            "users",
+            "insert",
+        )
+        assert r.wal_position == 77  # batch id as position analogue
+        assert r.ts.isoformat().startswith("2024-03-01T")  # es, not ts
+    # heterogeneous values transport as literal text; nulls stay NULL
+    assert {r.columns["score"] for r in rows} == {"1.5", None}
+    # per-event uuids even within one batch (default uuid() path)
+    assert len({r.uuid for r in rows}) == 2
+
+
+def test_canal_delete_image_and_ddl_marker(spark):
+    from psql_streamer_spark.sources.cdc_formats import decode_canal
+
+    decoded = decode_canal(_df(spark, CNL_DELETE, CNL_DDL))
+    rows = {r.action: r for r in decoded.collect()}
+    assert rows["delete"].columns == {"id": "9"}  # image rides data
+    assert rows["create"].columns is None  # DDL marker, data=null kept
+    assert [r.action for r in filter_dml(decoded).collect()] == ["delete"]
+
+
+def test_classifier_and_auto_dispatch_handle_canal(spark):
+    from psql_streamer_spark.sources.cdc_formats import (
+        classify_cdc_dialect,
+        decode_canal,
+        decode_cdc_auto,
+    )
+
+    got = (
+        _df(spark, CNL_BATCH, CNL_DDL, MXW_INSERT)
+        .select(classify_cdc_dialect(F.col("value")).alias("d"))
+        .collect()
+    )
+    # isDdl discriminates canal; maxwell (type+position, no isDdl) is
+    # untouched by the new probe
+    assert [r.d for r in got] == ["canal", "canal", "maxwell"]
+
+    out = decode_cdc_auto(_df(spark, CNL_BATCH, MXW_INSERT), host="h0")
+    by_dialect = {}
+    for r in out.collect():
+        by_dialect.setdefault(r.dialect, []).append(r)
+    assert len(by_dialect["canal"]) == 2 and len(by_dialect["maxwell"]) == 1
+    clean = decode_canal(_df(spark, CNL_BATCH), host="h0").collect()
+    assert sorted(
+        (r.table, r.action, r.wal_position, r.columns["id"])
+        for r in by_dialect["canal"]
+    ) == sorted(
+        (r.table, r.action, r.wal_position, r.columns["id"]) for r in clean
+    )

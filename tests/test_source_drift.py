@@ -203,3 +203,30 @@ def test_mad_outliers_catch_what_three_sigma_masks(spark):
     assert all(abs(v - mean) <= 3 * std for v in vals)
     # and MAD's threshold sits far below the junk
     assert MAD_OUTLIER_K * row.mad < 1e5
+
+
+def test_zipf_deviation_separates_organic_from_uniform(spark):
+    """The two extremes: a planted Zipf-distributed corpus reads ratios
+    ~1 at every rank; a planted uniform corpus reads ratio == r at rank
+    r (exactly, by the integer cross-multiplication)."""
+    from psql_streamer_spark.operators.text import (
+        ZIPF_TOP_K,
+        zipf_deviation_frame,
+    )
+
+    zipf_words = []
+    for r in range(1, 31):
+        zipf_words += [f"tok{r:02d}"] * (1000 // r)
+    zipfy = spark.createDataFrame(
+        [(" ".join(zipf_words),)], "text string"
+    )
+    rows = {r.rank: r for r in zipf_deviation_frame(zipfy).collect()}
+    assert len(rows) == ZIPF_TOP_K
+    assert all(0.9 <= rows[r].zipf_ratio <= 1.05 for r in rows)
+
+    utext = " ".join(
+        f"u{i:02d}" for _ in range(50) for i in range(30)
+    )
+    uniform = spark.createDataFrame([(utext,)], "text string")
+    urows = {r.rank: r for r in zipf_deviation_frame(uniform).collect()}
+    assert all(urows[r].zipf_ratio == float(r) for r in urows)
