@@ -1597,6 +1597,7 @@ def mlprep_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERLEAVE_SUB_STREAMS = 64
 INTERLEAVE_VT_SCALE = 1 << 20  # fixed-point virtual-time resolution
 INTERLEAVE_BUCKET_DOCS = 4096  # target docs per global-position bucket
+INTERLEAVE_COARSE_BUCKETS = 4096  # buckets per coarse prefix-sum group
 
 _SUB = sql_md5_bucket("doc_id", INTERLEAVE_SUB_STREAMS)
 
@@ -1710,12 +1711,43 @@ def interleave_sources_frame(d: DataFrame) -> DataFrame:
     b = v.crossJoin(F.broadcast(span_df)).withColumn(
         "bucket", F.expr("CAST(vt div span AS BIGINT)")
     )
-    w_boff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    # Exclusive prefix-sum over the per-bucket counts, TWO-LEVEL so no
+    # corpus-proportional frame flows through a single partition (r15
+    # verdict #2: the old `W.orderBy("bucket")` ran the whole ~N/4096-row
+    # bucket-count table through one WindowExec task). Level 1 sums
+    # within a coarse group of INTERLEAVE_COARSE_BUCKETS buckets
+    # (hash-partitioned by coarse id -> parallel); level 2 prefix-sums
+    # the per-coarse totals, a frame another 4096x smaller (~N/16.7M
+    # rows — ~60k rows at a trillion docs), where a single partition is
+    # genuinely fine. boff = coarse_off + within_off is the identical
+    # exclusive cumulative count, pure arithmetic refactor.
+    bc = b.groupBy("bucket").agg(F.count("*").alias("bc")).withColumn(
+        "coarse",
+        F.expr(f"CAST(bucket div {INTERLEAVE_COARSE_BUCKETS} AS BIGINT)"),
+    )
+    w_within = (
+        W.partitionBy("coarse").orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    w_coarse = W.orderBy("coarse").rowsBetween(W.unboundedPreceding, -1)
+    coarse_off = (
+        bc.groupBy("coarse")
+        .agg(F.sum("bc").alias("cc"))
+        .withColumn(
+            "coarse_off", F.coalesce(F.sum("cc").over(w_coarse), F.lit(0))
+        )
+        .select("coarse", "coarse_off")
+    )
     boff = (
-        b.groupBy("bucket")
-        .agg(F.count("*").alias("bc"))
-        .withColumn("boff", F.coalesce(F.sum("bc").over(w_boff), F.lit(0)))
-        .select("bucket", "boff")
+        bc.withColumn(
+            "within_off", F.coalesce(F.sum("bc").over(w_within), F.lit(0))
+        )
+        .join(F.broadcast(coarse_off), "coarse")
+        .select(
+            "bucket",
+            (F.col("coarse_off") + F.col("within_off")).alias("boff"),
+        )
     )
     w_in = W.partitionBy("bucket").orderBy("vt", "source", "doc_id")
     return (

@@ -335,6 +335,8 @@ from psql_streamer_spark.operators.dedup import (  # noqa: E402
     _SIM_SQL_NORM as _MM_SQL_NORM,
     _SQL_DELTA_PRED as _SQL_MM_DELTA_PRED,
     app_scoped_bucketed_table,
+    screen_unique_delta_pairs,
+    screen_unique_pairs,
 )
 from psql_streamer_spark.operators.similarity import (  # noqa: E402
     LSH_TABLES as _MM_TABLES,
@@ -580,10 +582,10 @@ def mm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
         ids = pdf["doc_id"].to_numpy()
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        ai, bi = np.nonzero(np.triu(m @ m.T >= screen_thr, k=1))
-        da, db = ids[ai], ids[bi]
-        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        # replica payloads share every bucket (identical histograms):
+        # screen unique vectors only, expand pairs after (r15 verdict #1;
+        # see dedup.screen_unique_pairs) — O(u^2) matmul, not O(k^2)
+        lo, hi = screen_unique_pairs(m, ids, screen_thr)
         return pd.DataFrame({"doc_a": lo, "doc_b": hi})
 
     cand = (
@@ -724,14 +726,10 @@ def screen_delta_posts(posts: DataFrame) -> DataFrame:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
         m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
         ids = pdf["doc_id"].to_numpy()
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        ni = np.nonzero(new_mask)[0]
-        sims = m[ni] @ m.T  # |delta rows| x |bucket|
-        ai, bi = np.nonzero(sims >= screen_thr)
-        da, db = ids[ni[ai]], ids[bi]
-        keep = da != db
-        lo = np.minimum(da[keep], db[keep])
-        hi = np.maximum(da[keep], db[keep])
+        # unique-vector collapse (r15 verdict #1): replica payloads share
+        # every bucket, so the delta x bucket matmul runs on unique rows
+        # only — see dedup.screen_unique_delta_pairs
+        lo, hi = screen_unique_delta_pairs(m, ids, new_mask, screen_thr)
         return pd.DataFrame({"doc_a": lo, "doc_b": hi}).drop_duplicates()
 
     return (

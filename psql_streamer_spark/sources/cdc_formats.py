@@ -211,6 +211,13 @@ def binlog_to_wal_position(position: Column) -> Column:
         F.split_part(position, F.lit(":"), F.lit(1)), r"(\d+)$", 1
     ).try_cast("bigint")
     offset = F.split_part(position, F.lit(":"), F.lit(2)).try_cast("bigint")
+    # MySQL binlog offsets are 64-bit: one transaction larger than
+    # max_binlog_size can push a file past 4 GiB, and such an offset
+    # would OR into the file-sequence bits and corrupt ordering
+    # SILENTLY. Yield NULL for out-of-range offsets instead (the same
+    # posture as try_cast on malformed positions) so the row routes to
+    # the DLQ split rather than mis-sorting the stream (r15 advice #2).
+    offset = F.when(offset < F.lit(1 << 32), offset)
     return F.shiftleft(file_seq, 32).bitwiseOR(offset).alias("wal_position")
 
 

@@ -111,7 +111,12 @@ def drift_batch(
         )
     k = len(ref_tokens)
     d = with_words(batch_df)
-    ws = F.col("__words")
+    # NULL text (malformed JSON under the stream's permissive schema)
+    # tokenizes to a NULL __words array; coalesce to empty so those docs
+    # contribute zero counts instead of NULL-poisoning the slot sums, and
+    # surface them as n_null_docs — a broken-extractor feed is exactly
+    # what this monitor exists to make visible (r15 advice #4).
+    ws = F.coalesce(F.col("__words"), F.array().cast("array<string>"))
     slot_map = F.create_map(
         *[
             x
@@ -130,8 +135,15 @@ def drift_batch(
             acc, lambda v, j: F.when(j == s, v + 1).otherwise(v)
         ),
     )
-    row = d.select(cnt.alias("cnt"), F.size(ws).alias("nt")).agg(
+    row = d.select(
+        cnt.alias("cnt"),
+        F.size(ws).alias("nt"),
+        F.col("__words").isNull().cast("bigint").alias("is_null_doc"),
+    ).agg(
         F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("is_null_doc"), F.lit(0))
+        .cast("bigint")
+        .alias("n_null_docs"),
         F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
         *[
             F.coalesce(F.sum(F.element_at(F.col("cnt"), i + 1)), F.lit(0))
@@ -154,6 +166,7 @@ def drift_batch(
     drift = F.when(F.col("n_tokens") > 0, drift).otherwise(F.lit(None))
     return row.select(
         "n_docs",
+        "n_null_docs",
         "n_tokens",
         F.col(f"c{k}").alias("oov_tokens"),
         drift.alias("drift"),

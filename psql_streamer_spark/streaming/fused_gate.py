@@ -63,6 +63,25 @@ def _drift_sink(drift_ref, drift_sink_dir) -> EpochParquetSink | None:
     return EpochParquetSink(drift_sink_dir, name="drift_verdicts")
 
 
+def _validate_langid_model(langid_model) -> None:
+    """Wiring-time fail-fast for the 4th signal (r15 advice #1): the
+    langid signal is attached via an INNER join with langid_nb_score's
+    output, and a degenerate model (empty prior — e.g. trained on a
+    corpus whose lang column is all NULL) scores an EMPTY frame, so a
+    silently-degenerate wired model would produce ZERO verdicts per
+    epoch: nothing admitted, no error. Mirror _drift_sink's posture and
+    raise before the stream starts."""
+    if langid_model is None:
+        return
+    model, prior = langid_model
+    if prior.head() is None:
+        raise ValueError(
+            "langid_model prior is EMPTY — a degenerate model would"
+            " inner-join every epoch down to zero verdicts; train it on"
+            " a corpus with non-NULL lang labels before wiring the gate"
+        )
+
+
 def fused_gate_verdicts(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -211,6 +230,7 @@ def start_fused_gate_stream(
     )
     sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
     drift_sink = _drift_sink(drift_ref, drift_sink_dir)
+    _validate_langid_model(langid_model)
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         # ONE tokenize pass: the persisted `__words` frame is scanned by
@@ -461,6 +481,7 @@ def start_fused_ingest_loop(
     verdict_sink = EpochParquetSink(verdict_sink_dir, name="fused_verdicts")
     admitted_sink = EpochParquetSink(admitted_dir, name="fused_admitted")
     drift_sink = _drift_sink(drift_ref, drift_sink_dir)
+    _validate_langid_model(langid_model)
 
     def _gate(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -483,8 +504,15 @@ def start_fused_ingest_loop(
         # an earlier epoch's verdicts; pre-bound rewinds fail loudly —
         # see the docstring).
         if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
-            if compact_admitted_store(spark, admitted_dir, epoch_id):
-                compact_loop_index(spark, index_table)
+            # index compaction runs UNCONDITIONALLY on cadence epochs
+            # (it is idempotent — DISTINCT rewrite): on an epoch replay
+            # after a crash between the base-pointer rename and the
+            # index rewrite, compact_admitted_store returns False (the
+            # store is already folded) and gating the index rewrite on
+            # it silently deferred the duplicate-posting reclaim a whole
+            # cadence cycle (r15 advice #3).
+            compact_admitted_store(spark, admitted_dir, epoch_id)
+            compact_loop_index(spark, index_table)
         bound = _admitted_base_bound(admitted_dir)
         live_corpus = corpus.select("doc_id", "text")
         base_dir = _admitted_base_dir(admitted_dir, bound)

@@ -425,3 +425,27 @@ def test_classifier_and_auto_dispatch_handle_canal(spark):
     ) == sorted(
         (r.table, r.action, r.wal_position, r.columns["id"]) for r in clean
     )
+
+
+def test_binlog_offset_past_4gib_yields_null_not_corrupt_order(spark):
+    """r16 (r15 advice #2): binlog offsets are 64-bit; an offset >= 2^32
+    (one transaction larger than max_binlog_size) must yield a NULL
+    wal_position (DLQ posture) instead of ORing into the file-sequence
+    bits and silently mis-ordering the stream."""
+    from psql_streamer_spark.sources.cdc_formats import (
+        binlog_to_wal_position,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mysql-bin.000007:1024",),
+            (f"mysql-bin.000007:{1 << 32}",),
+            (f"mysql-bin.000008:{(1 << 32) + 5}",),
+        ],
+        "position string",
+    )
+    got = df.select(
+        binlog_to_wal_position(F.col("position")).alias("wp")
+    ).collect()
+    assert got[0].wp == (7 << 32) | 1024
+    assert got[1].wp is None and got[2].wp is None

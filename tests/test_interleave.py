@@ -122,6 +122,11 @@ def test_interleave_plan_has_no_global_sort_and_no_python(spark, queries):
     assert "hashpartitioning(source" in plan
     # the global position comes from the bucket window, not ORDER BY
     assert "hashpartitioning(bucket" in plan
+    # r16: the bucket-offset prefix-sum is two-level — the per-bucket
+    # count frame flows through a window PARTITIONED by coarse group
+    # (parallel); only the ~N/16.7M-row coarse-total frame may use a
+    # partition-less window
+    assert "hashpartitioning(coarse" in plan
 
 
 @pytest.fixture(scope="module")

@@ -1974,3 +1974,25 @@ def test_streaming_quality_gate(spark, tmp_path):
     assert q2.awaitTermination(180), "replay stream did not drain"
     replayed = spark.read.parquet(str(tmp_path / "q_verdicts"))
     assert replayed.count() == len(got)  # no duplicates from the replay
+
+
+def test_fused_gate_rejects_empty_langid_prior(spark):
+    """r16 (r15 advice #1): wiring a degenerate langid model (empty
+    prior) must fail fast at stream start, not silently inner-join every
+    epoch down to zero verdicts."""
+    import pytest
+
+    from psql_streamer_spark.streaming.fused_gate import (
+        _validate_langid_model,
+    )
+
+    model = spark.createDataFrame(
+        [("en", "ab", 1)], "lang string, bigram string, cnt long"
+    )
+    empty_prior = spark.createDataFrame([], "lang string, n_docs long")
+    with pytest.raises(ValueError, match="prior is EMPTY"):
+        _validate_langid_model((model, empty_prior))
+    # a populated prior passes
+    prior = spark.createDataFrame([("en", 3)], "lang string, n_docs long")
+    _validate_langid_model((model, prior))
+    _validate_langid_model(None)

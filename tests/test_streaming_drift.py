@@ -380,3 +380,25 @@ def test_half_wired_drift_pair_raises_at_wiring(spark, tmp_path):
         _drift_sink(ref, None)
     with pytest.raises(ValueError, match="BOTH drift_ref and drift_sink_dir"):
         _drift_sink(None, str(tmp_path / "d"))
+
+
+def test_drift_null_text_docs_counted_not_silently_excluded(spark):
+    """r16 (r15 advice #4): a NULL-text doc (malformed JSON under the
+    stream's permissive schema) must appear in n_docs AND n_null_docs
+    and contribute zero tokens — not NULL-poison or silently vanish
+    from the epoch's statistic."""
+    from psql_streamer_spark.streaming.drift_stream import drift_batch
+
+    ref = (["a", "b"], [3, 1], 5)
+    d = spark.createDataFrame(
+        [(1, "a a b c"), (2, None)], "doc_id long, text string"
+    )
+    row = drift_batch(d, *ref).collect()[0]
+    assert (row.n_docs, row.n_null_docs, row.n_tokens) == (2, 1, 4)
+    # statistic identical to the clean single-doc batch: the NULL doc
+    # adds no token mass
+    clean = drift_batch(
+        spark.createDataFrame([(1, "a a b c")], "doc_id long, text string"),
+        *ref,
+    ).collect()[0]
+    assert row.drift == clean.drift and row.oov_tokens == clean.oov_tokens
