@@ -644,8 +644,14 @@ _PGOUT_RELIDS = {"signup": 1001, "purchase": 1002, "error": 1003, "click": 1004}
 _PGOUT_OID_POINT = 600  # not whitelisted -> column dropped at decode
 
 
-def _pgoutput_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> one pgoutput wire frame per row + 4 Relation frames.
+def _pgoutput_frame_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """events -> (relation frames, DML frames): one pgoutput wire frame
+    per row + 4 Relation frames, returned SEPARABLY so decode callers can
+    hand the tiny relation side to the discovery collect instead of
+    re-evaluating the whole in-plan wire assembly under the first-byte
+    filter (r16 — see decode_pgoutput's relation_frames).
 
     DML frame hex is assembled with built-in functions (concat/hex/lpad/
     octet_length) and unhex'd to binary, so fixture generation runs at scan
@@ -716,6 +722,11 @@ def _pgoutput_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_df = spark.createDataFrame(
         rel_rows, "seq long, wal_position long, value binary"
     )
+    return rel_df, dml
+
+
+def _pgoutput_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel_df, dml = _pgoutput_frame_parts(spark, sf_dir)
     return rel_df.unionByName(dml)
 
 
@@ -744,12 +755,15 @@ def cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete-as-replica-identity payloads."""
     from psql_streamer_spark.sources.pgoutput_cdc import decode_pgoutput
 
-    frames = _pgoutput_frames(spark, sf_dir)
+    rel_df, dml = _pgoutput_frame_parts(spark, sf_dir)
     decoded = decode_pgoutput(
-        frames,
+        rel_df.unionByName(dml),
         host="db1",
         database="test",
         uuid=F.md5(F.col("wal_position").cast("string")),
+        # the relation frames are separable here: the discovery collect
+        # parses 4 local rows instead of re-assembling 100k wire frames
+        relation_frames=rel_df,
     )
     return filter_dml(decoded).select(
         "host",

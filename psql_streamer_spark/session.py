@@ -105,6 +105,16 @@ def get_spark(
         # leaving ~90 GiB of the test container for Python workers + OS.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # Scale-dependent overrides stay parameterised (optimization-guide
+    # discipline: local defaults keep the bench comparable, production
+    # values ride in per-deployment): SPARK_GRAFT_EXTRA_CONF takes
+    # `key=value;key=value` pairs applied after the defaults above, so a
+    # cluster profile (or an A/B experiment) can adjust shuffle/compression
+    # /join knobs without editing code. Explicit extra_conf still wins.
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_extra.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

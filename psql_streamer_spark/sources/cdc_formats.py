@@ -84,6 +84,88 @@ def lsn_to_wal_position(lsn: Column) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo).alias("wal_position")
 
 
+# --------------------------------------------------------------------------
+# Shared envelope struct-builders (r16): each dialect's decode logic lives
+# ONCE as an expression returning the canonical envelope as a struct —
+# (host, database, table, action, wal_position, ts, uuid_ok, columns) —
+# consumed both by its standalone decode_<dialect> and by the single-pass
+# decode_cdc_auto dispatch. `uuid_ok` is the dialect's "envelope parsed"
+# guard; the uuid itself is stamped by the caller's top-level projection
+# (the uuid expression may reference passthrough frame columns, and the
+# uuid() default is nondeterministic — both only valid at Project level).
+# --------------------------------------------------------------------------
+_ENVELOPE_FIELDS = (
+    "host", "database", "table", "action", "wal_position", "ts", "columns",
+)
+
+
+def _project_envelope(df: DataFrame, stamp: Column, extra=()) -> DataFrame:
+    """Expand a `__e` envelope struct into the canonical output columns,
+    stamping `uuid` from ``stamp`` only where the struct's uuid_ok guard
+    holds. Catalyst collapses the struct build + field extraction back to
+    the underlying expressions (SimplifyExtractValueOps), so the plan is
+    the same flat projection the pre-r16 decoders produced."""
+    cols = [
+        F.col("__e.host").alias("host"),
+        F.col("__e.database").alias("database"),
+        F.col("__e.table").alias("table"),
+        F.col("__e.action").alias("action"),
+        F.col("__e.wal_position").alias("wal_position"),
+        F.col("__e.ts").alias("ts"),
+        F.when(F.col("__e.uuid_ok"), stamp).alias("uuid"),
+        F.col("__e.columns").alias("columns"),
+    ]
+    return df.select(*cols, *extra)
+
+
+def _parsed_events(value: Column, schema: str, fn) -> Column:
+    """Let-binding for a single envelope parse: a 1-element array holding
+    from_json's result, mapped through ``fn`` — inside the lambda every
+    field access is a cheap lambda-variable read, so the (CodegenFallback,
+    non-CSE-able) JSON parse runs EXACTLY ONCE per row even when the
+    result feeds 8 struct fields inside a CaseWhen branch or a nested
+    transform (where Spark's subexpression elimination never applies —
+    measured 8 parses/row without this, OPTIMIZATION_r16.md)."""
+    return F.transform(F.array(F.from_json(value, schema)), fn)
+
+
+def _wal2json_event(value: Column, host: str, database: str) -> Column:
+    """array<envelope struct> (1 element), parse bound via _parsed_events."""
+    return _parsed_events(
+        value, WAL2JSON_SCHEMA, lambda p: _wal2json_struct(p, host, database)
+    )
+
+
+def _wal2json_struct(p: Column, host: str, database: str) -> Column:
+    mapped = None
+    for letter, name in _WAL2JSON_ACTIONS.items():
+        mapped = (
+            F.when(p["action"] == letter, name)
+            if mapped is None
+            else mapped.when(p["action"] == letter, name)
+        )
+    action = mapped.otherwise(F.lower(p["action"]))
+    payload = F.when(p["action"] == "D", p["identity"]).otherwise(p["columns"])
+    # wal2json stamps the commit time in the server's log_timezone, e.g.
+    # '... 10:15:30.123456+02'. The timestamp CAST parses the offset and
+    # converts to the (UTC) session zone — stripping it instead would shift
+    # event time by the server offset for any non-UTC feed.
+    ts = p["timestamp"].cast("timestamp")
+    return F.struct(
+        F.lit(host).alias("host"),
+        F.lit(database).alias("database"),
+        p["table"].alias("table"),
+        action.alias("action"),
+        lsn_to_wal_position(p["lsn"]).alias("wal_position"),
+        ts.alias("ts"),
+        # uuid ONLY for parsed records (every wal2json record carries an
+        # action): a malformed line must stay uuid-less so validate_split
+        # routes it to the DLQ, like the reference's decode-failure skip
+        p["action"].isNotNull().alias("uuid_ok"),
+        _entries_to_map(payload).alias("columns"),
+    )
+
+
 def decode_wal2json(
     df: DataFrame,
     value_col: str = "value",
@@ -102,35 +184,14 @@ def decode_wal2json(
     `uuid` defaults to a fresh v4 per event (postgres.go:349); pass a
     deterministic expression for oracle-compared outputs.
     """
-    p = F.from_json(F.col(value_col).cast("string"), WAL2JSON_SCHEMA)
-    mapped = None
-    for letter, name in _WAL2JSON_ACTIONS.items():
-        mapped = (
-            F.when(p["action"] == letter, name)
-            if mapped is None
-            else mapped.when(p["action"] == letter, name)
-        )
-    action = mapped.otherwise(F.lower(p["action"]))
-    payload = F.when(p["action"] == "D", p["identity"]).otherwise(p["columns"])
-    # wal2json stamps the commit time in the server's log_timezone, e.g.
-    # '... 10:15:30.123456+02'. The timestamp CAST parses the offset and
-    # converts to the (UTC) session zone — stripping it instead would shift
-    # event time by the server offset for any non-UTC feed.
-    ts = p["timestamp"].cast("timestamp")
-    # stamp the uuid ONLY for parsed records (every wal2json record carries
-    # an action): a malformed line must stay uuid-less so validate_split
-    # routes it to the DLQ, like the reference's decode-failure skip
     stamp = uuid if uuid is not None else F.expr("uuid()")
-    return df.select(
-        F.lit(host).alias("host"),
-        F.lit(database).alias("database"),
-        p["table"].alias("table"),
-        action.alias("action"),
-        lsn_to_wal_position(p["lsn"]),
-        ts.alias("ts"),
-        F.when(p["action"].isNotNull(), stamp).alias("uuid"),
-        _entries_to_map(payload).alias("columns"),
+    tagged = df.withColumn(
+        "__e",
+        F.explode_outer(
+            _wal2json_event(F.col(value_col).cast("string"), host, database)
+        ),
     )
+    return _project_envelope(tagged, stamp)
 
 
 def decode_debezium(
@@ -147,7 +208,25 @@ def decode_debezium(
     connector's logical `source.name`; event time is source.ts_ms (the
     commit timestamp), millisecond precision by Debezium's contract.
     """
-    p = F.from_json(F.col(value_col).cast("string"), DEBEZIUM_SCHEMA)["payload"]
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    tagged = df.withColumn(
+        "__e",
+        F.explode_outer(
+            _debezium_event(F.col(value_col).cast("string"), host)
+        ),
+    )
+    return _project_envelope(tagged, stamp)
+
+
+def _debezium_event(value: Column, host: str | None) -> Column:
+    """array<envelope struct> (1 element), parse bound via _parsed_events."""
+    return _parsed_events(
+        value, DEBEZIUM_SCHEMA, lambda w: _debezium_struct(w, host)
+    )
+
+
+def _debezium_struct(wrapper: Column, host: str | None) -> Column:
+    p = wrapper["payload"]
     mapped = None
     for op, name in _DEBEZIUM_OPS.items():
         mapped = (
@@ -160,8 +239,7 @@ def decode_debezium(
     host_col = F.lit(host) if host is not None else F.coalesce(
         p["source"]["name"], F.lit("unknown")
     )
-    stamp = uuid if uuid is not None else F.expr("uuid()")
-    return df.select(
+    return F.struct(
         host_col.alias("host"),
         F.coalesce(p["source"]["db"], F.lit("unknown")).alias("database"),
         p["source"]["table"].alias("table"),
@@ -169,7 +247,7 @@ def decode_debezium(
         p["source"]["lsn"].alias("wal_position"),
         F.timestamp_millis(p["source"]["ts_ms"]).alias("ts"),
         # uuid only when the envelope parsed (op is mandatory in Debezium)
-        F.when(p["op"].isNotNull(), stamp).alias("uuid"),
+        p["op"].isNotNull().alias("uuid_ok"),
         payload.alias("columns"),
     )
 
@@ -241,7 +319,24 @@ def decode_maxwell(
     Malformed JSON yields NULL fields -> DLQ split (T5); `uuid` defaults
     to a fresh v4 per event, pass a deterministic expression for
     oracle-compared outputs."""
-    p = F.from_json(F.col(value_col).cast("string"), MAXWELL_SCHEMA)
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    tagged = df.withColumn(
+        "__e",
+        F.explode_outer(
+            _maxwell_event(F.col(value_col).cast("string"), host)
+        ),
+    )
+    return _project_envelope(tagged, stamp)
+
+
+def _maxwell_event(value: Column, host: str) -> Column:
+    """array<envelope struct> (1 element), parse bound via _parsed_events."""
+    return _parsed_events(
+        value, MAXWELL_SCHEMA, lambda p: _maxwell_struct(p, host)
+    )
+
+
+def _maxwell_struct(p: Column, host: str) -> Column:
     mapped = None
     for t, name in _MAXWELL_TYPES.items():
         mapped = (
@@ -250,15 +345,14 @@ def decode_maxwell(
             else mapped.when(p["type"] == t, name)
         )
     action = mapped.otherwise(F.lower(p["type"]))
-    stamp = uuid if uuid is not None else F.expr("uuid()")
-    return df.select(
+    return F.struct(
         F.lit(host).alias("host"),
         F.coalesce(p["database"], F.lit("unknown")).alias("database"),
         p["table"].alias("table"),
         action.alias("action"),
-        binlog_to_wal_position(p["position"]),
+        binlog_to_wal_position(p["position"]).alias("wal_position"),
         F.timestamp_seconds(p["ts"]).alias("ts"),
-        F.when(p["type"].isNotNull(), stamp).alias("uuid"),
+        p["type"].isNotNull().alias("uuid_ok"),
         p["data"].alias("columns"),
     )
 
@@ -297,55 +391,52 @@ def decode_cdc_auto(
     wal2json live feed, or an operator points the wrong feed at the
     pipeline; this is the ingest form that absorbs that without config.
 
-    Shape: one classification pass plus one filtered decode per dialect
-    present — each decode is the UNCHANGED dialect decoder (their golden
-    fixtures carry over verbatim) over a scan-speed filter, unioned
-    back. 'unknown' lines become envelope rows with NULL action/uuid, so
-    validate_split (T5) routes them to the DLQ instead of dropping them
-    silently — the reference's decode-failure accounting."""
-    dialect = classify_cdc_dialect(F.col(value_col).cast("string"))
-    tagged = df.withColumn("__dialect", dialect)
-    parts = [
-        decode_wal2json(
-            tagged.filter(F.col("__dialect") == "wal2json"),
-            value_col,
-            host=host,
-            database=database,
-            uuid=uuid,
-        ).withColumn("dialect", F.lit("wal2json")),
-        decode_debezium(
-            tagged.filter(F.col("__dialect") == "debezium"),
-            value_col,
-            uuid=uuid,
-        ).withColumn("dialect", F.lit("debezium")),
-        decode_maxwell(
-            tagged.filter(F.col("__dialect") == "maxwell"),
-            value_col,
-            host=host,
-            uuid=uuid,
-        ).withColumn("dialect", F.lit("maxwell")),
-        decode_canal(
-            tagged.filter(F.col("__dialect") == "canal"),
-            value_col,
-            host=host,
-            uuid=uuid,
-        ).withColumn("dialect", F.lit("canal")),
-        tagged.filter(F.col("__dialect") == "unknown").select(
-            F.lit(host).alias("host"),
-            F.lit(database).alias("database"),
-            F.lit(None).cast("string").alias("table"),
-            F.lit(None).cast("string").alias("action"),
-            F.lit(None).cast("bigint").alias("wal_position"),
-            F.lit(None).cast("timestamp").alias("ts"),
-            F.lit(None).cast("string").alias("uuid"),  # -> DLQ (T5)
-            F.lit(None).cast("map<string,string>").alias("columns"),
-            F.lit("unknown").alias("dialect"),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    Shape (r16): ONE pass over the feed — classify each line once, then a
+    CaseWhen dispatch whose branches are the UNCHANGED per-dialect
+    envelope builders (the same struct expressions the standalone
+    decoders project from, so their golden fixtures carry over
+    verbatim). CaseWhen evaluates only the matched branch per row, so
+    each line pays exactly one full envelope parse; Canal's per-message
+    fan-out rides the same explode as an array of envelope elements. The
+    pre-r16 shape — five filtered branches unioned — re-scanned the
+    whole feed once per dialect and re-evaluated the classifier in every
+    branch: 5 passes over a 100 TB feed where one suffices (measured
+    8.8 s -> see OPTIMIZATION_r16.md). 'unknown' lines become envelope
+    rows with NULL action/uuid, so validate_split (T5) routes them to
+    the DLQ instead of dropping them silently — the reference's
+    decode-failure accounting."""
+    val = F.col(value_col).cast("string")
+    unknown_ev = F.struct(
+        F.lit(host).alias("host"),
+        F.lit(database).alias("database"),
+        F.lit(None).cast("string").alias("table"),
+        F.lit(None).cast("string").alias("action"),
+        F.lit(None).cast("bigint").alias("wal_position"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(False).alias("uuid_ok"),  # uuid-less -> DLQ (T5)
+        F.lit(None).cast("map<string,string>").alias("columns"),
+    )
+    d = F.col("__dialect")
+    # every builder already yields array<envelope> (1-element for the
+    # row-per-message dialects, per-data-element for canal)
+    events = (
+        F.when(d == "wal2json", _wal2json_event(val, host, database))
+        .when(d == "debezium", _debezium_event(val, None))
+        .when(d == "maxwell", _maxwell_event(val, host))
+        .when(d == "canal", _canal_events(val, host))
+        .otherwise(F.array(unknown_ev))
+    )
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    # explode_outer for the same InferFiltersFromGenerate reason as
+    # decode_canal: every branch yields >= 1 element, and plain explode
+    # makes the optimizer clone the whole dispatch CaseWhen into a
+    # size() > 0 Filter (measured 31 s vs 9 s on the sf0.1 mixed feed)
+    tagged = df.withColumn(
+        "__dialect", classify_cdc_dialect(val)
+    ).withColumn("__e", F.explode_outer(events))
+    return _project_envelope(
+        tagged, stamp, extra=[F.col("__dialect").alias("dialect")]
+    )
 
 
 # Canal (Alibaba) flat-message envelope: one JSON object per BATCH of
@@ -380,7 +471,32 @@ def decode_canal(
     binlog coordinate). `uuid` defaults to a fresh v4 PER EXPLODED
     EVENT; a deterministic expression shared by a multi-row batch would
     collide — fixtures keep one row per message when hashing."""
-    p = F.from_json(F.col(value_col).cast("string"), CANAL_SCHEMA)
+    stamp = uuid if uuid is not None else F.expr("uuid()")
+    # explode_outer, NOT explode: the array is never empty (the marker
+    # branch guarantees >= 1 element) so the two are semantically
+    # identical here, but plain explode triggers InferFiltersFromGenerate,
+    # which duplicates the ENTIRE envelope-parse expression into a
+    # size(...) > 0 Filter below the Generate — measured 3x on the mixed
+    # decode (31 s vs 9 s, OPTIMIZATION_r16.md).
+    tagged = df.withColumn(
+        "__e",
+        F.explode_outer(_canal_events(F.col(value_col).cast("string"), host)),
+    )
+    return _project_envelope(tagged, stamp)
+
+
+def _canal_events(value: Column, host: str) -> Column:
+    """array<envelope struct> — the one dialect where a single message
+    fans out: one element per `data` row image; a DDL/marker message
+    (data null or empty) still yields its single marker element, exactly
+    the old explode_outer semantics. Parse bound once via _parsed_events,
+    the per-message fan-out nested inside and flattened."""
+    return F.flatten(
+        _parsed_events(value, CANAL_SCHEMA, lambda p: _canal_inner(p, host))
+    )
+
+
+def _canal_inner(p: Column, host: str) -> Column:
     mapped = None
     for t, name in _CANAL_TYPES.items():
         mapped = (
@@ -391,14 +507,19 @@ def decode_canal(
     action = F.when(p["isDdl"], F.lower(p["type"])).otherwise(
         mapped.otherwise(F.lower(p["type"]))
     )
-    stamp = uuid if uuid is not None else F.expr("uuid()")
-    return df.select(
-        F.lit(host).alias("host"),
-        F.coalesce(p["database"], F.lit("unknown")).alias("database"),
-        p["table"].alias("table"),
-        action.alias("action"),
-        p["id"].alias("wal_position"),
-        F.timestamp_millis(p["es"]).alias("ts"),
-        F.when(p["type"].isNotNull(), stamp).alias("uuid"),
-        F.explode_outer(p["data"]).alias("columns"),
-    )
+
+    def ev(columns: Column) -> Column:
+        return F.struct(
+            F.lit(host).alias("host"),
+            F.coalesce(p["database"], F.lit("unknown")).alias("database"),
+            p["table"].alias("table"),
+            action.alias("action"),
+            p["id"].alias("wal_position"),
+            F.timestamp_millis(p["es"]).alias("ts"),
+            p["type"].isNotNull().alias("uuid_ok"),
+            columns.alias("columns"),
+        )
+
+    return F.when(
+        F.size(p["data"]) > 0, F.transform(p["data"], ev)
+    ).otherwise(F.array(ev(F.lit(None).cast("map<string,string>"))))

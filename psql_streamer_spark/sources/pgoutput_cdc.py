@@ -230,6 +230,7 @@ def decode_pgoutput(
     wal_col: str = "wal_position",
     uuid: Column | None = None,
     ts: Column | None = None,
+    relation_frames: DataFrame | None = None,
 ) -> DataFrame:
     """pgoutput frames -> canonical Event envelope (schema.EVENT_SCHEMA).
 
@@ -244,8 +245,23 @@ def decode_pgoutput(
     non-deterministic defaults (uuid(), current_timestamp — the reference
     stamps arrival time, postgres.go:391), deterministic expressions for
     oracle-compared output.
+
+    ``relation_frames``: when the caller can hand over the Relation
+    frames separably (a side-channel, or a fixture that unions them onto
+    the DML stream), the relation-discovery collect runs over THAT tiny
+    frame instead of re-evaluating the whole ``df`` plan under the
+    first-byte filter. On stored frames the filter is a cheap scan, but
+    when ``df`` is a DERIVED stream (the bench fixture assembles wire
+    bytes in-plan) the discovery job re-paid the full assembly for every
+    row (r16, guide §2.4 duplicated subtree: measured 4.8 s -> see
+    OPTIMIZATION_r16.md). Decode semantics are identical as long as the
+    frame contains every Relation frame of the stream.
     """
-    versions = _relation_versions(df, value_col, seq_col)
+    versions = _relation_versions(
+        df if relation_frames is None else relation_frames,
+        value_col,
+        seq_col,
+    )
     return _decode_with_versions(
         df, versions, host, database, value_col, seq_col, wal_col, uuid, ts
     )

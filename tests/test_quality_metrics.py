@@ -750,3 +750,31 @@ def test_exact_incremental_dup_and_novel_paths(spark):
         ).collect()
     }
     assert got == {101: (1, 2), 102: (None, 0), 103: (None, 0)}
+
+
+def test_extract_features_batch_matches_scalar_reference():
+    """r16: the vectorized Arrow-batch feature extractor must agree
+    row-for-row with fake_image_features (the single-payload reference),
+    including NULL payloads."""
+    import pandas as pd
+
+    from psql_streamer_spark.operators.multimodal import (
+        _extract_features,
+        fake_image_features,
+    )
+
+    payloads = [b"hello world", b"", b"\x00\xffbinary blob" * 37, None, b"x"]
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(payloads))), "payload": payloads}
+    )
+    (out,) = list(_extract_features(iter([pdf])))
+    for i, p in enumerate(payloads):
+        n, w, h, ck = fake_image_features(p)
+        row = out.iloc[i]
+        if p is None:
+            assert pd.isna(row.n_bytes) and pd.isna(row.n_pixels)
+            assert row.checksum is None
+        else:
+            assert (row.n_bytes, row.width, row.height) == (n, w, h)
+            assert row.n_pixels == w * h
+            assert row.checksum == ck
