@@ -1304,8 +1304,16 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q*k-row frames — model-sized, never corpus-sized. Measured points:
     sf0.1 and the inflated sf10 decade (tools/recall_scale.py,
     SCALE.md)."""
-    brute = _bruteforce_topk(spark, sf_dir, RECALL_K).select(
-        "query_id", "neighbor_id"
+    # the exact ground truth feeds BOTH the hits join and the expected
+    # count: persist the (Q x k)-row result so the O(Q x N) brute-force
+    # scan behind it runs once, not twice (r16, guide §5 caching — the
+    # cached frame is model-sized, its lifetime tied to the report)
+    from psql_streamer_spark.caching import persist_for
+
+    brute = (
+        _bruteforce_topk(spark, sf_dir, RECALL_K)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
     lsh = _lsh_topk(spark, sf_dir, RECALL_K).select("query_id", "neighbor_id")
     lshw = _lsh_topk(spark, sf_dir, RECALL_K, tables=LSH_TABLES_WIDE).select(
@@ -1328,7 +1336,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = spark.createDataFrame(
         [("lsh",), ("lsh_wide",), ("ivf",)], "tier string"
     )
-    return (
+    report = (
         tiers.crossJoin(F.broadcast(expected))
         .join(F.broadcast(hits), "tier", "left")
         .select(
@@ -1343,3 +1351,4 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+    return persist_for(brute, report)
