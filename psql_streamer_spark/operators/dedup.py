@@ -1219,6 +1219,51 @@ def screen_unique_delta_pairs(m, ids, new_mask, thr):
     return np.minimum(da, db), np.maximum(da, db)
 
 
+def screen_delta_group_pairs(m, gids, new_mask, thr):
+    """Oriented (g_new, g_other) pairs with cosine >= thr over a bucket's
+    COLLAPSED posting rows — one row per replica group, gid = the group's
+    representative id (the r17 mm index collapse; see the banner in
+    multimodal.mm_bucket_index_table). Differences from
+    screen_unique_delta_pairs, both required by the group-level caller
+    protocol:
+
+    - pairs are ORIENTED (new-side gid first), not lo/hi-normalized: the
+      caller's member expansion reads new members from the left gid and
+      all members from the right gid;
+    - SELF-pairs (g, g) are kept for every new group: a group with >= 2
+      members owes within-group replica pairs, and the expansion's
+      x != y member filter drops the self-pair for singletons.
+
+    Byte-identical VECTORS are still collapsed before the matmul (a
+    micro-batch can carry replicas of each other and of indexed rows);
+    the emitted pairs are row-level gids, so that collapse is invisible
+    to the caller."""
+    import numpy as np
+
+    uniq, inv = _unique_rows(m)
+    u = uniq / np.linalg.norm(uniq, axis=1, keepdims=True)
+    new_urows = np.unique(inv[new_mask])
+    sims = u[new_urows] @ u.T  # |new unique rows| x |unique rows|
+    ui_, uj = np.nonzero(sims >= thr)
+    ui = new_urows[ui_]
+    if not len(ui):
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    members = _group_slices(inv, len(uniq), gids)
+    order_new = np.argsort(inv[new_mask], kind="stable")
+    new_ids_sorted = gids[new_mask][order_new]
+    counts_new = np.bincount(inv[new_mask], minlength=len(uniq))
+    starts_new = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(counts_new, out=starts_new[1:])
+    out_a, out_b = [], []
+    for a, b in zip(ui, uj):
+        na = new_ids_sorted[starts_new[a] : starts_new[a + 1]]
+        mb = members[b]
+        out_a.append(np.repeat(na, len(mb)))
+        out_b.append(np.tile(mb, len(na)))
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 @register("dedup_embedding_lsh_pairs", oracle=_SQL_EMBEDDING_LSH_PAIRS)
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup pairs: hyperplane-signature band keys ->
@@ -2827,9 +2872,10 @@ def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
             spark.conf.get("spark.sql.warehouse.dir")
         ).path
         os.utime(os.path.join(warehouse, table), None)
-        model_dir = os.path.join(warehouse, table + "__model")
-        if os.path.isdir(model_dir):
-            os.utime(model_dir, None)
+        for suffix in _SIDECAR_SUFFIXES:
+            side_dir = os.path.join(warehouse, table + suffix)
+            if os.path.isdir(side_dir):
+                os.utime(side_dir, None)
     except OSError as exc:
         if table not in _TOUCH_WARNED:
             _TOUCH_WARNED.add(table)
@@ -2845,6 +2891,13 @@ def touch_app_table_liveness(spark: SparkSession, table: str) -> None:
 
 
 _TOUCH_WARNED: set = set()
+
+# Sidecar dirs that ride beside an app-scoped index table and share its
+# lifetime: the trained centering model (mm_bucket_index_table) and the
+# replica-group members map (r17 index collapse). Liveness touches and
+# the litter sweep's age deferral treat each `<table><suffix>` dir as
+# live iff its base table is.
+_SIDECAR_SUFFIXES = ("__model", "__members")
 
 
 def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
@@ -2890,18 +2943,24 @@ def app_scoped_bucketed_table(spark: SparkSession, base: str, build) -> str:
                 if n.startswith(prefix) and n != table and os.path.isdir(d):
                     try:
                         old = now - os.path.getmtime(d) > BAND_INDEX_SWEEP_AGE_SEC
-                        # a trained-sidecar dir (X__model) is live iff its
-                        # base table X is live: liveness touches refresh
+                        # a sidecar dir (X__model / X__members) is live iff
+                        # its base table X is live: liveness touches refresh
                         # both, but an old touch path (or a probe that only
-                        # refreshed the base) must not strand the model —
+                        # refreshed the base) must not strand the sidecar —
                         # defer to the SIBLING's age when it exists
-                        if old and n.endswith("__model"):
-                            sib = os.path.join(warehouse, n[: -len("__model")])
-                            if os.path.isdir(sib):
-                                old = (
-                                    now - os.path.getmtime(sib)
-                                    > BAND_INDEX_SWEEP_AGE_SEC
+                        if old:
+                            for suffix in _SIDECAR_SUFFIXES:
+                                if not n.endswith(suffix):
+                                    continue
+                                sib = os.path.join(
+                                    warehouse, n[: -len(suffix)]
                                 )
+                                if os.path.isdir(sib):
+                                    old = (
+                                        now - os.path.getmtime(sib)
+                                        > BAND_INDEX_SWEEP_AGE_SEC
+                                    )
+                                break
                     except OSError:
                         continue
                     if old:

@@ -347,7 +347,7 @@ from psql_streamer_spark.operators.dedup import (  # noqa: E402
     _SIM_SQL_NORM as _MM_SQL_NORM,
     _SQL_DELTA_PRED as _SQL_MM_DELTA_PRED,
     app_scoped_bucketed_table,
-    screen_unique_delta_pairs,
+    screen_delta_group_pairs,
     screen_unique_pairs,
 )
 from psql_streamer_spark.operators.similarity import (  # noqa: E402
@@ -653,15 +653,46 @@ def mm_bucket_index_table(spark: SparkSession, sf_dir: str) -> str:
     tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
 
     def _build(table: str) -> None:
+        from pyspark.sql import Window
+
         hist = _mm_hist_frame(spark, sf_dir).persist()
         n_docs, S = _mm_model_of(hist)
+        # Index-level replica collapse (r17, the second half of r15
+        # verdict #1): byte-identical payloads have identical histograms,
+        # hence identical signatures under ANY centering model — so the
+        # index stores ONE posting per unique vector (gid = the group's
+        # min doc_id) plus a (gid, doc_id) members sidecar. Index rows
+        # fall from O(N x tables) to O(u x tables), and every probe-side
+        # bucket materialization is bounded by the unique count instead
+        # of the replica count (a multi-million-row boilerplate cluster
+        # was an OOM in the screening worker before this). The centering
+        # model (n_docs, S) still sums over ALL docs — replicas weigh the
+        # model exactly as the full miner's does.
+        w = Window.partitionBy("h")
+        grouped = hist.select(
+            "doc_id", "h", F.min("doc_id").over(w).alias("gid")
+        ).persist()
+        grouped.select("gid", "doc_id").write.mode("overwrite").saveAsTable(
+            f"{table}__members"
+        )
+        # the centering model rides beside the postings: a STREAMING
+        # probe must sign brand-new payloads with the same (n, S, mask)
+        # the index was built under — signature compatibility, the same
+        # contract as the band index's shared expressions
+        spark.createDataFrame(
+            [(n_docs, S, _mm_planes(n_docs))],
+            "n_docs long, s array<long>, planes int",
+        ).write.mode("overwrite").saveAsTable(f"{table}__model")
         # the RAW histogram rides with every posting: the bucket screen
         # and the exact rescore both read vectors straight from the
         # index — a delta probe never re-reads the corpus
+        uniq = grouped.filter(F.col("doc_id") == F.col("gid")).select(
+            "doc_id", "h"
+        )
         sig = _mm_signed_postings(
-            hist, n_docs, S, _mm_planes(n_docs)
+            uniq, n_docs, S, _mm_planes(n_docs)
         ).select(
-            "doc_id",
+            F.col("doc_id").alias("gid"),
             F.concat_ws(
                 "|",
                 F.col("tbl").cast("string"),
@@ -675,14 +706,7 @@ def mm_bucket_index_table(spark: SparkSession, sf_dir: str) -> str:
             .mode("overwrite")
             .saveAsTable(table)
         )
-        # the centering model rides beside the postings: a STREAMING
-        # probe must sign brand-new payloads with the same (n, S, mask)
-        # the index was built under — signature compatibility, the same
-        # contract as the band index's shared expressions
-        spark.createDataFrame(
-            [(n_docs, S, _mm_planes(n_docs))],
-            "n_docs long, s array<long>, planes int",
-        ).write.mode("overwrite").saveAsTable(f"{table}__model")
+        grouped.unpersist()
         hist.unpersist()
 
     return app_scoped_bucketed_table(spark, f"mm_bucket_index_{tag}", _build)
@@ -697,7 +721,7 @@ def mm_bucket_index_model(spark: SparkSession, table: str) -> tuple:
 def mm_incremental_candidates(
     spark: SparkSession, sf_dir: str, bucket: int | None = None
 ) -> DataFrame:
-    """Delta-touching candidate pairs from the bucketed posting table,
+    """Delta-touching candidate pairs from the COLLAPSED posting table,
     SCREENED inside each bucket exactly like the full miner: a plain
     delta-vs-bucket join explodes quadratically when the corpus has hot
     buckets (measured 15.5M raw pairs for a 5k-doc delta at 50k docs —
@@ -707,46 +731,91 @@ def mm_incremental_candidates(
     |collisions|. The groupBy key IS the table's bucket column, so the
     screen runs bucket-local on the bucketed scan: the posting index is
     never re-shuffled (plan-tested), and vectors come from the postings
-    themselves — the corpus parquet is never touched."""
-    import numpy as np
+    themselves — the corpus parquet is never touched.
 
+    r17 shape: postings are one row per replica GROUP (see
+    mm_bucket_index_table), so the screen emits (g_new, g_other) group
+    pairs and the member expansion happens HERE, as two joins against
+    the (gid, doc_id) sidecar — the heavy vectors never leave their
+    bucket, the expansion shuffles only long ids (guide §8: decide on
+    the lightweight proxy, expand after). A group is delta-touching iff
+    ANY member falls in the md5 delta bucket; the x != y filter drops
+    singleton self-pairs, least/greatest + distinct reproduce exactly
+    the pre-collapse member-level candidate set (pinned by
+    tests/test_mm_embedding.py parity against the full miner)."""
     from psql_streamer_spark.operators.mlprep import md5_bucket
 
-    idx = spark.table(mm_bucket_index_table(spark, sf_dir))
+    table = mm_bucket_index_table(spark, sf_dir)
+    idx = spark.table(table)
+    members = spark.table(f"{table}__members")
     if bucket is None:
         bucket = _MM_DELTA_BUCKET
-    is_new = md5_bucket(F.col("doc_id"), _MM_DELTA_BUCKETS) == bucket
-    posts = idx.select("skey", "doc_id", "e", is_new.alias("is_new"))
-    return screen_delta_posts(posts)
+    new_members = members.filter(
+        md5_bucket(F.col("doc_id"), _MM_DELTA_BUCKETS) == bucket
+    )
+    new_gids = new_members.select("gid").distinct()
+    posts = idx.join(
+        F.broadcast(new_gids.withColumn("is_new", F.lit(True))),
+        "gid",
+        "left",
+    ).select(
+        "skey",
+        "gid",
+        "e",
+        F.coalesce("is_new", F.lit(False)).alias("is_new"),
+    )
+    gp = screen_delta_group_posts(posts)
+    return (
+        gp.join(
+            new_members.select(
+                F.col("gid").alias("g_new"), F.col("doc_id").alias("x")
+            ),
+            "g_new",
+        )
+        .join(
+            members.select(
+                F.col("gid").alias("g_other"), F.col("doc_id").alias("y")
+            ),
+            "g_other",
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
-def screen_delta_posts(posts: DataFrame) -> DataFrame:
-    """Bucket-local delta-vs-bucket cosine screen over a
-    (skey, doc_id, e, is_new) posting frame: one numpy matmul per skey
-    group of its is_new rows against the whole group, pairs at
+def screen_delta_group_posts(posts: DataFrame) -> DataFrame:
+    """Bucket-local delta-vs-bucket cosine screen over a COLLAPSED
+    (skey, gid, e, is_new) posting frame — one row per replica group:
+    each skey group runs one numpy matmul of its is_new rows against the
+    whole group and emits oriented (g_new, g_other) GROUP pairs at
     MM_COSINE_DUP - 1e-6 (the full miner's screen threshold, strictly
-    below the verify threshold so screening is lossless). Shared by the
-    incremental miner (delta = an md5 bucket of the index) and the
-    streaming probe (delta = a micro-batch's fresh postings)."""
+    below the verify threshold so screening is lossless), including
+    (g, g) self-pairs for new groups — within-group replica pairs
+    surface in the caller's member expansion, whose x != y filter drops
+    them for singletons. Shared by the incremental miner (delta = an md5
+    bucket of the members) and the streaming probe (delta = a
+    micro-batch's fresh postings); callers expand group pairs to member
+    pairs against the index's members sidecar."""
     import numpy as np
 
     screen_thr = MM_COSINE_DUP - 1e-6
 
     def _delta_screen(pdf: pd.DataFrame) -> pd.DataFrame:
         new_mask = pdf["is_new"].to_numpy()
-        if len(pdf) < 2 or not new_mask.any():
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        if len(pdf) < 1 or not new_mask.any():
+            return pd.DataFrame({"g_new": [], "g_other": []}).astype("int64")
         m = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-        ids = pdf["doc_id"].to_numpy()
-        # unique-vector collapse (r15 verdict #1): replica payloads share
-        # every bucket, so the delta x bucket matmul runs on unique rows
-        # only — see dedup.screen_unique_delta_pairs
-        lo, hi = screen_unique_delta_pairs(m, ids, new_mask, screen_thr)
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi}).drop_duplicates()
+        gids = pdf["gid"].to_numpy()
+        lo, hi = screen_delta_group_pairs(m, gids, new_mask, screen_thr)
+        return pd.DataFrame({"g_new": lo, "g_other": hi}).drop_duplicates()
 
     return (
         posts.groupBy("skey")
-        .applyInPandas(_delta_screen, schema="doc_a long, doc_b long")
+        .applyInPandas(_delta_screen, schema="g_new long, g_other long")
         .distinct()
     )
 

@@ -1315,6 +1315,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .persist()
     )
+    # materialize BEFORE fan-out (r16 advice): `expected` and `hits`
+    # feed two broadcast stages that can build concurrently — a lazily
+    # persisted frame could be computed by both before either fills the
+    # cache, and the O(Q x N) scan would run twice after all
+    brute.count()
     lsh = _lsh_topk(spark, sf_dir, RECALL_K).select("query_id", "neighbor_id")
     lshw = _lsh_topk(spark, sf_dir, RECALL_K, tables=LSH_TABLES_WIDE).select(
         "query_id", "neighbor_id"

@@ -111,9 +111,20 @@ def get_spark(
     # `key=value;key=value` pairs applied after the defaults above, so a
     # cluster profile (or an A/B experiment) can adjust shuffle/compression
     # /join knobs without editing code. Explicit extra_conf still wins.
+    # Builder-time only: when getOrCreate returns an ALREADY-RUNNING
+    # session these pairs do not apply — restart the session to change
+    # static confs. Tokens without '=' are skipped with a warning rather
+    # than silently becoming config(key, "") (r16 advice).
     env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for pair in filter(None, (p.strip() for p in env_extra.split(";"))):
-        k, _, v = pair.partition("=")
+        k, sep, v = pair.partition("=")
+        if not sep:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "SPARK_GRAFT_EXTRA_CONF token %r has no '=', skipped", pair
+            )
+            continue
         builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

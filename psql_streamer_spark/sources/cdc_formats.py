@@ -295,7 +295,11 @@ def binlog_to_wal_position(position: Column) -> Column:
     # SILENTLY. Yield NULL for out-of-range offsets instead (the same
     # posture as try_cast on malformed positions) so the row routes to
     # the DLQ split rather than mis-sorting the stream (r15 advice #2).
+    # The file sequence gets the symmetric guard (r16 advice): a
+    # sequence >= 2^31 would shiftleft into the sign bit and produce
+    # negative/colliding positions just as silently.
     offset = F.when(offset < F.lit(1 << 32), offset)
+    file_seq = F.when(file_seq < F.lit(1 << 31), file_seq)
     return F.shiftleft(file_seq, 32).bitwiseOR(offset).alias("wal_position")
 
 

@@ -8,10 +8,11 @@ ingest needs the third form — "is this BRAND-NEW payload a near-dup of
 anything indexed" — answered at arrival. The shape:
 
 - the corpus posting table (operators.multimodal.mm_bucket_index_table)
-  carries (doc_id, skey, raw-histogram vector) bucketed on skey, plus a
-  companion one-row MODEL table (n, S, planes) — new payloads must be
-  signed under the index's own centering model or their buckets are
-  meaningless (signature compatibility, the band-index contract);
+  carries (gid, skey, raw-histogram vector) bucketed on skey — one row
+  per replica GROUP (r17 collapse) with a (gid, doc_id) members sidecar
+  — plus a companion one-row MODEL table (n, S, planes): new payloads
+  must be signed under the index's own centering model or their buckets
+  are meaningless (signature compatibility, the band-index contract);
 - each micro-batch is histogrammed (the same Arrow-batched map the index
   was built from), centered and signed under the stored model, and
   screened bucket-locally against ONLY the buckets it touches (the index
@@ -50,7 +51,7 @@ from psql_streamer_spark.operators.multimodal import (
     _mm_norm,
     _mm_signed_postings,
     mm_bucket_index_model,
-    screen_delta_posts,
+    screen_delta_group_posts,
 )
 
 
@@ -81,10 +82,19 @@ def probe_mm_bucket_index(
     returns verified (new_doc_id, corpus_doc_id, cosine) alerts.
 
     New doc_ids must be disjoint from indexed ids (the ingest contract
-    every stream here shares). Cost: O(|batch| postings + members of the
-    touched buckets) — the semi-join prunes the index scan to the batch's
-    skeys before the screen, and the verify joins vectors carried by the
-    batch frame and the postings (no corpus read)."""
+    every stream here shares). Cost: O(|batch| postings + unique groups
+    of the touched buckets) — the semi-join prunes the index scan to the
+    batch's skeys before the screen, and the verify joins vectors
+    carried by the batch frame and the postings (no corpus read).
+
+    r17 shape: index postings are one row per replica GROUP (see
+    mm_bucket_index_table), each batch doc is its own singleton group,
+    and the screen emits oriented (g_new, g_other) group pairs. The
+    verify runs ONCE per surviving group pair (every member of a group
+    shares the group's vector, so the member cosine IS the group
+    cosine); members expand only after the threshold filter, via one
+    join against the (gid, doc_id) sidecar — a hot replica cluster costs
+    one cosine, not one per member."""
     from psql_streamer_spark.operators.dedup import (
         touch_app_table_liveness,
     )
@@ -92,56 +102,52 @@ def probe_mm_bucket_index(
     touch_app_table_liveness(spark, index_table)  # see its docstring
     new_posts = batch_mm_postings(spark, batch_df, index_table)
     idx = spark.table(index_table)
+    members = spark.table(f"{index_table}__members")
     touched = new_posts.select("skey").distinct()
-    idx_posts = idx.join(F.broadcast(touched), "skey", "semi").withColumn(
-        "is_new", F.lit(False)
-    )
+    idx_posts = idx.join(F.broadcast(touched), "skey", "semi")
     posts = idx_posts.select(
-        "skey", "doc_id", "e", "is_new"
+        "skey", "gid", "e", F.lit(False).alias("is_new")
     ).unionByName(
-        new_posts.select("skey", "doc_id", "e", F.lit(True).alias("is_new"))
-    )
-    new_ids = new_posts.select("doc_id").distinct()
-    pairs = screen_delta_posts(posts)
-    # orient (lo, hi) pairs to (new, corpus) and drop batch-internal
-    # pairs: exactly one side must be a batch doc
-    a_new = new_ids.withColumnRenamed("doc_id", "doc_a").withColumn(
-        "a_is_new", F.lit(True)
-    )
-    b_new = new_ids.withColumnRenamed("doc_id", "doc_b").withColumn(
-        "b_is_new", F.lit(True)
-    )
-    oriented = (
-        pairs.join(F.broadcast(a_new), "doc_a", "left")
-        .join(F.broadcast(b_new), "doc_b", "left")
-        .withColumn("a_is_new", F.coalesce("a_is_new", F.lit(False)))
-        .withColumn("b_is_new", F.coalesce("b_is_new", F.lit(False)))
-        .filter(F.col("a_is_new") != F.col("b_is_new"))
-        .select(
-            F.when(F.col("a_is_new"), F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("new_doc_id"),
-            F.when(F.col("a_is_new"), F.col("doc_b"))
-            .otherwise(F.col("doc_a"))
-            .alias("corpus_doc_id"),
+        new_posts.select(
+            "skey",
+            F.col("doc_id").alias("gid"),
+            "e",
+            F.lit(True).alias("is_new"),
         )
+    )
+    pairs = screen_delta_group_posts(posts)
+    # corpus-side partners only: a g_other that is itself a batch doc is
+    # a batch-internal pair (not emitted — same epoch granularity as
+    # before), and the anti join also drops each new group's self-pair
+    new_ids = new_posts.select("doc_id").distinct()
+    corp = pairs.join(
+        F.broadcast(new_ids.withColumnRenamed("doc_id", "g_other")),
+        "g_other",
+        "anti",
     )
     nv = new_posts.select(
-        F.col("doc_id").alias("new_doc_id"), F.col("e").alias("ea")
-    ).dropDuplicates(["new_doc_id"]).withColumn("na", _mm_norm(F.col("ea")))
-    cv = (
-        idx_posts.select(
-            F.col("doc_id").alias("corpus_doc_id"), F.col("e").alias("eb")
-        )
-        .dropDuplicates(["corpus_doc_id"])
+        F.col("doc_id").alias("g_new"), F.col("e").alias("ea")
+    ).dropDuplicates(["g_new"]).withColumn("na", _mm_norm(F.col("ea")))
+    gv = (
+        idx_posts.select(F.col("gid").alias("g_other"), F.col("e").alias("eb"))
+        .dropDuplicates(["g_other"])
         .withColumn("nb", _mm_norm(F.col("eb")))
     )
     cosine = _mm_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        oriented.join(F.broadcast(nv), "new_doc_id")
-        .join(cv, "corpus_doc_id")
-        .select("new_doc_id", "corpus_doc_id", cosine.alias("cosine"))
+    verified = (
+        corp.join(F.broadcast(nv), "g_new")
+        .join(gv, "g_other")
+        .select("g_new", "g_other", cosine.alias("cosine"))
         .filter(F.col("cosine") >= MM_COSINE_DUP)
+    )
+    return verified.join(
+        members.select(
+            F.col("gid").alias("g_other"),
+            F.col("doc_id").alias("corpus_doc_id"),
+        ),
+        "g_other",
+    ).select(
+        F.col("g_new").alias("new_doc_id"), "corpus_doc_id", "cosine"
     )
 
 

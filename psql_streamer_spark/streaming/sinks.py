@@ -125,9 +125,17 @@ class EpochParquetSink:
         batch_df.write.mode("overwrite").parquet(self._epoch_dir(batch_id))
 
     def read(self, spark) -> DataFrame:
-        """The sink's contents with `epoch` as a partition column."""
-        return spark.read.option("basePath", self.path).parquet(
-            self.path + "/epoch=*"
+        """The sink's contents with `epoch` as a partition column.
+
+        mergeSchema: a sink whose writer gained a column across an
+        upgrade (e.g. drift_verdicts' n_null_docs, r16) holds mixed
+        per-epoch schemas; without it Spark may pick an old epoch's file
+        schema and silently drop the new column (r16 advice). Epoch row
+        counts are tiny, so the footer merge cost is nil."""
+        return (
+            spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path + "/epoch=*")
         )
 
 

@@ -99,6 +99,50 @@ def test_mm_embedding_mining_is_bucket_local(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_mm_bucket_index_replica_collapse(spark, tmp_path):
+    """r17 index collapse: byte-identical payloads store ONE posting per
+    replica group (gid = the group's min doc_id) plus a (gid, doc_id)
+    members sidecar — posting rows are O(unique x tables), never
+    O(N x tables), so a replica cluster occupies one index row per
+    table no matter how many members it has."""
+    from psql_streamer_spark.operators.multimodal import (
+        _mm_hist_frame,
+        mm_bucket_index_table,
+    )
+    from psql_streamer_spark.operators.similarity import LSH_TABLES
+    from psql_streamer_spark.sources.tables import load_table
+
+    base = load_table(spark, "documents", SF_SMALL)
+    seed = base.limit(1).select("text", "lang", "source", "n_chars")
+    clones = (
+        spark.range(2_000_000, 2_000_030)
+        .withColumnRenamed("id", "doc_id")
+        .crossJoin(seed)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    corpus = str(tmp_path / "replicas")
+    base.unionByName(clones).repartition(4).write.parquet(
+        f"{corpus}/documents.parquet"
+    )
+    hist = _mm_hist_frame(spark, corpus)
+    n_hist = hist.count()
+    u = hist.select("h").distinct().count()
+    assert n_hist - u >= 30, "planted replicas must share a histogram"
+    table = mm_bucket_index_table(spark, corpus)
+    assert spark.table(table).count() == u * LSH_TABLES
+    members = spark.table(f"{table}__members")
+    assert members.count() == n_hist
+    # gid is the min member id of its group, and every gid has postings
+    bad = (
+        members.groupBy("gid")
+        .agg(F.min("doc_id").alias("mn"))
+        .filter(F.col("gid") != F.col("mn"))
+    )
+    assert bad.count() == 0
+    posted = {r.gid for r in spark.table(table).select("gid").distinct().collect()}
+    assert posted == {r.gid for r in members.select("gid").distinct().collect()}
+
+
 def test_hist_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
     """The oracle walks UTF-8 BYTES (hex pairs), not codepoints — on a
     non-ASCII corpus its histograms must equal the Spark side's
@@ -190,9 +234,10 @@ def test_mm_incremental_equals_full_miner_on_delta_pairs(spark):
 def test_mm_incremental_candidate_screen_is_bucket_local(spark):
     """Delta candidate mining must screen bucket-local on the posting
     table: the skey groupBy rides the table's own bucketing (no exchange
-    between the bucketed scan and the pandas screen — the corpus index is
-    never re-shuffled), and the only exchange in the candidate frame is
-    the |survivors|-sized pair distinct."""
+    on skey anywhere — the corpus index is never re-shuffled), the heavy
+    vector column `e` never crosses an exchange (the r17 collapse's §8
+    contract: group decisions travel, member expansion shuffles only
+    long ids), and the bucketed scan feeds the pandas screen directly."""
     from psql_streamer_spark.operators.multimodal import (
         mm_incremental_candidates,
     )
@@ -202,7 +247,9 @@ def test_mm_incremental_candidate_screen_is_bucket_local(spark):
     shuffles = [
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
-    assert len(shuffles) == 1, plan
-    assert "doc_a" in shuffles[0] and "skey" not in shuffles[0], shuffles
+    assert shuffles, plan  # at least the member-pair distinct
+    for line in shuffles:
+        assert "skey" not in line, shuffles
+        assert "e#" not in line, shuffles  # vectors stay bucket-local
     assert plan.count("Bucketed: true") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
