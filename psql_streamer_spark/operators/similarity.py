@@ -128,8 +128,14 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bruteforce_topk(spark, sf_dir, TOP_K)
 
 
-def _bruteforce_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+def _bruteforce_topk(
+    spark: SparkSession, sf_dir: str, k: int, v: DataFrame | None = None
+) -> DataFrame:
+    """``v`` lets a caller that runs several tiers (sim_recall_report)
+    pass one shared, persisted (vec_id, e, nrm) frame instead of
+    re-deriving the corpus scan here (r17, guide §5)."""
+    if v is None:
+        v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     q = v.filter(F.col("vec_id") < N_QUERIES)
     c = v
     scored = (
@@ -331,29 +337,47 @@ def sim_lsh_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_topk(spark, sf_dir, TOP_K, tables=LSH_TABLES_WIDE)
 
 
+def _lsh_signatures(
+    v: DataFrame, tables: int, planes: int = LSH_PLANES
+) -> DataFrame:
+    """Slim (vec_id, tbl, bucket) signature frame of a (vec_id, e, ...)
+    vector frame — ids and buckets only: the candidate join never reads
+    vectors (scoring re-joins them), so the frame is persistable at
+    ~24 bytes/row. Table t's signature expression is identical at every
+    OR-width, which is what lets sim_recall_report serve its narrow tier
+    from the wide frame's tbl < {LSH_TABLES} slice."""
+    sig = None
+    for t in range(tables):
+        part = v.select(
+            "vec_id",
+            F.lit(t).alias("tbl"),
+            _signature(t, F.col("e"), planes=planes).alias("bucket"),
+        )
+        sig = part if sig is None else sig.unionByName(part)
+    return sig
+
+
 def _lsh_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int,
     tables: int = LSH_TABLES,
     planes: int = LSH_PLANES,
+    v: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """``tables`` (OR-width: more tables = more recall, more candidates)
     and ``planes`` (bucket granularity: more planes = smaller buckets =
     fewer candidates, less recall) are the LSH quality/latency knobs —
     pinned at module defaults for the registered oracle-checked ops,
-    swept by tools/recall_scale.py for the measured quality axis."""
-    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    sig = None
-    for t in range(tables):
-        part = v.select(
-            "vec_id",
-            "e",
-            "nrm",
-            F.lit(t).alias("tbl"),
-            _signature(t, F.col("e"), planes=planes).alias("bucket"),
-        )
-        sig = part if sig is None else sig.unionByName(part)
+    swept by tools/recall_scale.py for the measured quality axis.
+    ``v`` / ``sig`` let sim_recall_report share one persisted vector
+    frame and one persisted signature frame across its tiers (r17,
+    guide §5) instead of re-deriving both per tier."""
+    if v is None:
+        v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    if sig is None:
+        sig = _lsh_signatures(v, tables, planes)
     q = sig.filter(F.col("vec_id") < N_QUERIES)
     cand = (
         F.broadcast(q.alias("q"))
@@ -471,10 +495,12 @@ def _ivf_stride_topk(
     k: int,
     nprobe: int | None = None,
     counters: dict | None = None,
+    v: DataFrame | None = None,
 ) -> DataFrame:
     import math
 
-    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    if v is None:
+        v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     # sqrt-scaled stride: k = N/stride ~ sqrt(N) cells of ~sqrt(N) vectors,
     # the classical IVF balance — assignment O(N*k) and probe O(Q*P*N/k)
     # both stay O(N^1.5) instead of the fixed-stride O(N^2/50). Floors at
@@ -1304,27 +1330,40 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q*k-row frames — model-sized, never corpus-sized. Measured points:
     sf0.1 and the inflated sf10 decade (tools/recall_scale.py,
     SCALE.md)."""
+    from psql_streamer_spark.caching import persist_for
+
+    # Shared-frame discipline (r17, guide §5 / §2.4): the four tiers all
+    # re-derived the corpus vector scan — the before-plan showed 36
+    # separate parquet scans of embeddings in one query (plans/r17) —
+    # and the narrow LSH tier re-computed signatures the wide tier also
+    # computes (table t's expression is OR-width-independent). One
+    # persisted (vec_id, e, nrm) frame feeds every tier, and one
+    # persisted slim (vec_id, tbl, bucket) frame at the WIDE width
+    # serves both LSH tiers (narrow = tbl < LSH_TABLES slice). Both
+    # caches are materialized before fan-out (r16 advice: lazily
+    # persisted frames under concurrently-built stages can compute
+    # twice) and released with the report via persist_for.
+    v = _vectors(spark, sf_dir).withColumn("nrm", _norm(F.col("e"))).persist()
+    v.count()
+    sig8 = _lsh_signatures(v, LSH_TABLES_WIDE, LSH_PLANES).persist()
+    sig8.count()
     # the exact ground truth feeds BOTH the hits join and the expected
     # count: persist the (Q x k)-row result so the O(Q x N) brute-force
     # scan behind it runs once, not twice (r16, guide §5 caching — the
     # cached frame is model-sized, its lifetime tied to the report)
-    from psql_streamer_spark.caching import persist_for
-
     brute = (
-        _bruteforce_topk(spark, sf_dir, RECALL_K)
+        _bruteforce_topk(spark, sf_dir, RECALL_K, v=v)
         .select("query_id", "neighbor_id")
         .persist()
     )
-    # materialize BEFORE fan-out (r16 advice): `expected` and `hits`
-    # feed two broadcast stages that can build concurrently — a lazily
-    # persisted frame could be computed by both before either fills the
-    # cache, and the O(Q x N) scan would run twice after all
     brute.count()
-    lsh = _lsh_topk(spark, sf_dir, RECALL_K).select("query_id", "neighbor_id")
-    lshw = _lsh_topk(spark, sf_dir, RECALL_K, tables=LSH_TABLES_WIDE).select(
-        "query_id", "neighbor_id"
-    )
-    ivf = _ivf_stride_topk(spark, sf_dir, RECALL_K).select(
+    lsh = _lsh_topk(
+        spark, sf_dir, RECALL_K, v=v, sig=sig8.filter(F.col("tbl") < LSH_TABLES)
+    ).select("query_id", "neighbor_id")
+    lshw = _lsh_topk(
+        spark, sf_dir, RECALL_K, tables=LSH_TABLES_WIDE, v=v, sig=sig8
+    ).select("query_id", "neighbor_id")
+    ivf = _ivf_stride_topk(spark, sf_dir, RECALL_K, v=v).select(
         "query_id", "neighbor_id"
     )
     approx = (
@@ -1356,4 +1395,4 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
-    return persist_for(brute, report)
+    return persist_for(v, persist_for(sig8, persist_for(brute, report)))
