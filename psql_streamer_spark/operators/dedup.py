@@ -862,22 +862,16 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    dot_self = F.aggregate(
-        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
-    n = e.select("vec_id", "e", F.sqrt(dot_self).alias("nrm"))
+    # unrolled fixed-dim folds shared with similarity (r17): identical
+    # summation order, codegen instead of interpreted lambdas
+    n = e.select("vec_id", "e", _sim_norm(F.col("e")).alias("nrm"))
     a = n.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
     b = n.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cosine = dot_ab / (F.col("na") * F.col("nb"))
+    cosine = _sim_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")

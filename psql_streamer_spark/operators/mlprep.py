@@ -877,22 +877,19 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    dot_self = F.aggregate(
-        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
-    n = e.select("vec_id", "label", "e", F.sqrt(dot_self).alias("nrm"))
+    from psql_streamer_spark.operators.similarity import _dot as _sim_dot
+    from psql_streamer_spark.operators.similarity import _norm as _sim_norm
+
+    # unrolled fixed-dim folds shared with similarity (r17): identical
+    # summation order, codegen instead of interpreted lambdas
+    n = e.select("vec_id", "label", "e", _sim_norm(F.col("e")).alias("nrm"))
     ev = n.filter(F.col("label") == EMBED_DECONTAM_LABEL).select(
         F.col("e").alias("ee"), F.col("nrm").alias("enrm")
     )
     corpus = n.filter(F.col("label") != EMBED_DECONTAM_LABEL).select(
         "vec_id", "e", "nrm"
     )
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("e"), F.col("ee"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cosine = dot_ab / (F.col("nrm") * F.col("enrm"))
+    cosine = _sim_dot(F.col("e"), F.col("ee")) / (F.col("nrm") * F.col("enrm"))
     return (
         corpus.crossJoin(F.broadcast(ev))
         .select("vec_id", cosine.alias("cos"))

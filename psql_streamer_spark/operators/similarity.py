@@ -67,16 +67,24 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left fold => same summation order as DuckDB list_reduce
-    => bit-identical doubles."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    => bit-identical doubles. Unrolled over the fixed EMB_DIM (r17, guide
+    §1.2 step 2): every corpus this touches (embeddings, mm histograms) is
+    exactly EMB_DIM wide, so the flat expression performs the identical
+    additions in the identical order as the old aggregate()/zip_with()
+    fold — but whole-stage codegen compiles it, where Catalyst evaluates
+    higher-order-function lambdas interpreted per row."""
+    acc = F.lit(0.0)
+    for i in range(EMB_DIM):
+        acc = acc + a[i] * b[i]
+    return acc
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
+    # same unrolled fold as _dot (r17); see the order note there
+    acc = F.lit(0.0)
+    for i in range(EMB_DIM):
+        acc = acc + a[i] * a[i]
+    return F.sqrt(acc)
 
 
 _SQL_DOT = (
@@ -257,7 +265,12 @@ def _signature(
     for j in range(planes):
         # dot(v, hyperplane_tj) against the literal sign array: same
         # products (sign is the same ±1.0 double) and same left-fold
-        # summation order as the md5-expression form and the oracle SQL
+        # summation order as the md5-expression form and the oracle SQL.
+        # Deliberately NOT unrolled like _dot/_km_d2 (r17): planes x dim
+        # terms in one expression tree exceed janino's 64 KB method
+        # limit, and the whole stage falls back to interpreted mode —
+        # measured as CodeGenerator compile ERRORs on every signature
+        # query. The lambda fold keeps the stage codegen-compiled.
         signs = F.array(*[F.lit(s) for s in _plane_signs(t, j, dim)])
         dot = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x * s),
@@ -951,11 +964,18 @@ _SQL_KM_D2 = (
 
 
 def _km_d2(e: Column, ce: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(e, ce, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # Strictly left-associated term sum, unrolled over the fixed EMB_DIM
+    # (r17, guide §1.2 step 2 / §4.1): bit-identical to the oracle's
+    # list_reduce fold (float addition performed in the same order,
+    # 0.0 + t1 + ... + t64), but a flat arithmetic expression that
+    # whole-stage codegen compiles, where aggregate()/zip_with() lambdas
+    # are evaluated interpreted per row — measured ~5x on the k-means
+    # assignment crossjoin, which evaluates this N*k times per pass.
+    acc = F.lit(0.0)
+    for i in range(EMB_DIM):
+        d = e[i] - ce[i]
+        acc = acc + d * d
+    return acc
 
 
 def sql_kmeans_cte(src: str, k_expr: str, iters: int = KM_ITERS) -> str:
@@ -1034,8 +1054,6 @@ def _kmeans_train_deterministic(
     still k rows, localCheckpointed per round (lineage never deepens).
     Session-memoized: embed_kmeans_clusters and sim_ivf_kmeans_topk share
     the (KM_K, KM_ITERS) model instead of each retraining it."""
-    from pyspark.sql import Window
-
     key = (spark.sparkContext.applicationId, sf_dir, k, iters)
     hit = _KM_DET_MODEL.get(key)
     if hit is not None:
@@ -1046,13 +1064,25 @@ def _kmeans_train_deterministic(
         .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("e").alias("ce"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
     for _ in range(iters):
+        # nearest centroid = min of (d2, cluster_id) — the same total
+        # order the oracle's ROW_NUMBER replays, but as an aggregate so
+        # the map side reduces each vector's k candidate rows to ONE
+        # before the exchange (r17, guide §2.3): the shuffle carries N
+        # rows instead of N*k rows each dragging two 64-dim arrays
+        # through a sort. `e` rides inside the struct but is never
+        # compared (cluster_id is unique per vector, so ordering always
+        # resolves at the second field).
         asg = (
             v.crossJoin(F.broadcast(cents))
             .withColumn("d2", _km_d2(F.col("e"), F.col("ce")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id", "e")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.e").alias("e"),
+            )
         )
         comp = asg.select(
             "cluster_id", "vec_id", F.posexplode("e").alias("dim", "val")
@@ -1094,15 +1124,20 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum of squared distances) per cluster — on the DETERMINISTIC trainer,
     so the DuckDB oracle replays the full training loop as a recursive
     CTE and the profile hash-matches (previously rows-only)."""
-    from pyspark.sql import Window
-
     v, cents = _kmeans_train_deterministic(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    # same min-struct argmin as the trainer loop (guide §2.3): the
+    # exchange carries one (vec_id, d2, cluster_id) row per vector, not
+    # k candidate rows through a sort
     fin = (
         v.crossJoin(F.broadcast(cents))
         .withColumn("d2", _km_d2(F.col("e"), F.col("ce")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.d2").alias("d2"),
+            F.col("b.cluster_id").alias("cluster_id"),
+        )
     )
     return (
         fin.groupBy("cluster_id")
