@@ -874,32 +874,99 @@ def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFram
     dedup_embedding_cosine_pairs for the fold-vs-BLAS ulp note); MAX over
     bit-identical doubles is order-free, so the one shuffle (vec_id,
     map-side partial max) cannot perturb the result."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    from psql_streamer_spark.operators.similarity import _dot as _sim_dot
-    from psql_streamer_spark.operators.similarity import _norm as _sim_norm
-
-    # unrolled fixed-dim folds shared with similarity (r17): identical
-    # summation order, codegen instead of interpreted lambdas
-    n = e.select("vec_id", "label", "e", _sim_norm(F.col("e")).alias("nrm"))
-    ev = n.filter(F.col("label") == EMBED_DECONTAM_LABEL).select(
-        F.col("e").alias("ee"), F.col("nrm").alias("enrm")
+    # The battery side was always driver-materialized (F.broadcast collects
+    # to the driver before shipping), so collecting it keeps the identical
+    # bounded-model-state contract — but lets the O(corpus x battery) work
+    # run as a NumPy column fold inside mapInPandas (r17, guide §4.2)
+    # instead of materializing every pair as a BroadcastNestedLoopJoin row
+    # just to reduce it away again: the old plan built |corpus|*|battery|
+    # joined rows each carrying two 64-dim arrays (~1 KB/row) before the
+    # per-pair expression even ran. Bit-exactness: the fold below adds
+    # dimension i's product to the accumulator at step i — vectorized
+    # ACROSS pairs, sequential ACROSS dims — which is the exact IEEE
+    # addition order of the expression fold / DuckDB's list_reduce, so
+    # every cosine double (and their max) is unchanged.
+    ev_all = [
+        r[0]
+        for r in e.filter(F.col("label") == EMBED_DECONTAM_LABEL)
+        .select("e")
+        .collect()
+    ]
+    ev_rows = [x for x in ev_all if x is not None]
+    verdict = (F.col("max_cosine") >= EMBED_DECONTAM_THRESHOLD).alias(
+        "contaminated"
     )
-    corpus = n.filter(F.col("label") != EMBED_DECONTAM_LABEL).select(
-        "vec_id", "e", "nrm"
+    corpus = e.filter(F.col("label") != EMBED_DECONTAM_LABEL).select(
+        "vec_id", "e"
     )
-    cosine = _sim_dot(F.col("e"), F.col("ee")) / (F.col("nrm") * F.col("enrm"))
-    return (
-        corpus.crossJoin(F.broadcast(ev))
-        .select("vec_id", cosine.alias("cos"))
-        .groupBy("vec_id")
-        .agg(F.max("cos").alias("max_cosine"))
-        .select(
-            "vec_id",
-            "max_cosine",
-            (F.col("max_cosine") >= EMBED_DECONTAM_THRESHOLD).alias("contaminated"),
+    if not ev_all:
+        # crossJoin against an EMPTY battery produced zero rows pre-agg:
+        # the legacy result is an empty frame, not per-vector NULLs
+        empty = spark.createDataFrame([], "vec_id bigint, max_cosine double")
+        return empty.select("vec_id", "max_cosine", verdict)
+    if not ev_rows:
+        # battery rows exist but every embedding is NULL: each pair's
+        # cosine is NULL, and max over all-NULL is NULL — one row per
+        # corpus vector with a NULL max_cosine (and NULL verdict)
+        return corpus.select(
+            "vec_id", F.lit(None).cast("double").alias("max_cosine"), verdict
         )
+    if any(len(x) != len(ev_rows[0]) for x in ev_rows):
+        raise ValueError(
+            "decontaminate_embedding_cosine: battery vectors have mixed"
+            " dims — fix the corpus (the fold would silently NULL-pad)"
+        )
+    bat = np.array(ev_rows, dtype=np.float64)
+    dim = bat.shape[1]
+    eacc = np.zeros(bat.shape[0])
+    for i in range(dim):
+        eacc += bat[:, i] * bat[:, i]
+    enrm = np.sqrt(eacc)
+
+    def _score(frames):
+        for pdf in frames:
+            es = pdf["e"]
+            valid = es.notna().to_numpy()
+            out: list = [None] * len(pdf)
+            if valid.any():
+                rows = es[valid].tolist()
+                if any(len(x) != dim for x in rows):
+                    raise ValueError(
+                        "decontaminate_embedding_cosine: corpus vector dim"
+                        f" != {dim}"
+                    )
+                a = np.array(rows, dtype=np.float64)
+                acc = np.zeros((a.shape[0], bat.shape[0]))
+                nacc = np.zeros(a.shape[0])
+                for i in range(dim):
+                    acc += a[:, i : i + 1] * bat[None, :, i]
+                    nacc += a[:, i] * a[:, i]
+                den = np.sqrt(nacc)[:, None] * enrm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / den
+                mx = np.max(cos, axis=1)  # NaN propagates = Spark's NaN-greatest
+                # Spark's double ordering has -0.0 < +0.0; np.max returns the
+                # FIRST of compare-equal zeros — promote to +0.0 when any
+                # +0.0 cosine exists so a zero max keeps Spark's bit pattern
+                neg0 = (mx == 0.0) & np.signbit(mx)
+                if neg0.any():
+                    pos0 = ((cos == 0.0) & ~np.signbit(cos)).any(axis=1)
+                    mx = np.where(neg0 & pos0, 0.0, mx)
+                vi = np.flatnonzero(valid)
+                for j, m in zip(vi, mx):
+                    out[j] = float(m)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "max_cosine": pd.Series(out, dtype=object)}
+            )
+
+    return corpus.mapInPandas(_score, "vec_id bigint, max_cosine double").select(
+        "vec_id", "max_cosine", verdict
     )
 
 

@@ -67,24 +67,28 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left fold => same summation order as DuckDB list_reduce
-    => bit-identical doubles. Unrolled over the fixed EMB_DIM (r17, guide
-    §1.2 step 2): every corpus this touches (embeddings, mm histograms) is
-    exactly EMB_DIM wide, so the flat expression performs the identical
-    additions in the identical order as the old aggregate()/zip_with()
-    fold — but whole-stage codegen compiles it, where Catalyst evaluates
-    higher-order-function lambdas interpreted per row."""
-    acc = F.lit(0.0)
-    for i in range(EMB_DIM):
-        acc = acc + a[i] * b[i]
-    return acc
+    => bit-identical doubles.
+
+    Deliberately the lambda fold, NOT a 64-term unrolled chain (r17 A/B):
+    in plain projection contexts the unrolled expression measured 3.4x
+    SLOWER (200k pairs: 1.14 s fold vs 3.9 s unrolled, /tmp/dot_ab
+    microbench) — the generated method compiles under janino's 64 KB cap
+    but is big enough that HotSpot declines to JIT it, so the "compiled"
+    chain runs in the bytecode interpreter while the fold loops through a
+    small hot jitted body. _km_d2 keeps its unroll because the aggregate
+    update path splits codegen into small methods and measured 3.6x
+    FASTER there — evaluation context decides, so measure any change to
+    these in situ."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
 
 
 def _norm(a: Column) -> Column:
-    # same unrolled fold as _dot (r17); see the order note there
-    acc = F.lit(0.0)
-    for i in range(EMB_DIM):
-        acc = acc + a[i] * a[i]
-    return F.sqrt(acc)
+    # same fold shape as _dot; see the JIT note there before unrolling
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
 
 
 _SQL_DOT = (

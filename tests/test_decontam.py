@@ -157,14 +157,48 @@ def test_embedding_decontam_flags_match_threshold_and_scope(spark):
         assert r.contaminated == (r.max_cosine >= EMBED_DECONTAM_THRESHOLD)
 
 
-def test_embedding_decontam_broadcasts_eval_side(spark):
+def test_embedding_decontam_is_join_free_vectorized_scan(spark):
     plan = _physical(decontaminate_embedding_cosine(spark, SF_DIR))
-    # the benchmark vectors are the broadcast side of the cross join —
-    # never a shuffle-partitioned cartesian
-    assert "BroadcastNestedLoopJoin" in plan
+    # r17: the |corpus| x |battery| pair rows are never materialized —
+    # the NumPy column fold inside MapInPandas reduces each corpus
+    # vector against the driver-collected battery in one pass, so the
+    # plan is a single corpus scan feeding Python, with no join, no
+    # cartesian, and no exchange at all
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # and the per-vector MAX is partially aggregated map-side
-    assert "partial_max" in plan or "HashAggregate" in plan
+    assert "Exchange" not in plan
+
+
+def test_embedding_decontam_null_lake_oracle_parity(spark, tmp_path):
+    """NULL-semantics parity of the r17 mapInPandas rewrite against the
+    DuckDB oracle on a dirtied lake: NULL battery embeddings contribute
+    nothing to the max (but keep the battery non-empty), NULL corpus
+    embeddings yield a row with NULL max_cosine, NULL labels drop out of
+    both sides — exactly the legacy crossJoin + fold + max semantics."""
+    import duckdb
+
+    from psql_streamer_spark.operators.mlprep import _SQL_EMBED_DECONTAM
+    from tools.oracle_check import compare
+
+    d = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW src AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    con.execute(
+        f"""COPY (SELECT vec_id,
+                 CASE WHEN vec_id % 2 = 0 THEN NULL ELSE embedding END AS embedding,
+                 CASE WHEN vec_id % 3 = 0 THEN NULL ELSE label END AS label
+          FROM src) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    sdf = decontaminate_embedding_cosine(spark, d)
+    odf = con.execute(_SQL_EMBED_DECONTAM).fetchdf()
+    problems = compare("decontaminate_embedding_cosine[null-lake]", sdf, odf)
+    assert not problems, problems
 
 
 def test_bloom_position_constants_are_sane():
