@@ -127,14 +127,42 @@ def drift_batch(
     idx = F.transform(
         ws, lambda t: F.coalesce(F.element_at(slot_map, t), F.lit(k))
     )
+    # per-doc slot counts via a run-length pass over the SORTED slot
+    # array (r17, same rewrite as score_quality_batch): the old fold
+    # rebuilt the (k+1)-slot array once PER TOKEN — O(tokens x k) and an
+    # allocation per token; sorting groups equal slots into at most k+1
+    # runs, so the array is rebuilt once per RUN. Pure integer counts,
+    # so every c_i (and the drift double folded from them) is unchanged.
     zero = F.expr(f"array_repeat(CAST(0 AS BIGINT), {k + 1})")
-    cnt = F.aggregate(
-        idx,
-        zero,
-        lambda acc, s: F.transform(
-            acc, lambda v, j: F.when(j == s, v + 1).otherwise(v)
-        ),
-    )
+
+    def _cnt_of(sd):
+        # sd is a lambda VARIABLE (let-bound below): capturing the
+        # array_sort(transform(...)) expression directly would re-run the
+        # slot-map lookup + sort per element (the r16 from_json lesson)
+        last = F.size(sd) - 1
+        idxs = F.transform(sd, lambda _, i: i)
+        # F.get: 0-based, NULL past the end (no ANSI throw); the i == last
+        # disjunct absorbs the NULL comparison at the final element
+        ends = F.filter(
+            idxs, lambda i: (i == last) | (F.get(sd, i) != F.get(sd, i + 1))
+        )
+        return F.aggregate(
+            ends,
+            F.struct(F.lit(-1).alias("p"), zero.alias("arr")),
+            lambda acc, i: F.struct(
+                i.alias("p"),
+                F.transform(
+                    acc["arr"],
+                    lambda v, j: F.when(
+                        j == F.get(sd, i), v + (i - acc["p"]).cast("bigint")
+                    ).otherwise(v),
+                ).alias("arr"),
+            ),
+            lambda acc: acc["arr"],
+        )
+
+    # let-binding: evaluates the sort once per row; [NULL] -> NULL cnt
+    cnt = F.get(F.transform(F.array(F.array_sort(idx)), _cnt_of), 0)
     row = d.select(
         cnt.alias("cnt"),
         F.size(ws).alias("nt"),

@@ -71,7 +71,16 @@ def score_quality_batch(
         .otherwise(0)
         .alias("y")
     )
-    # md5 dim per token, folded into a 64-slot tf array (one pass)
+    # md5 dim per token, reduced to z via a run-length pass over the
+    # SORTED dim array (r17, guide §4.1): the old fold rebuilt a 64-slot
+    # tf array per token — O(tokens x 64) interpreted work and one array
+    # allocation per token. Sorting the dims groups equal values into at
+    # most FEATURE_HASH_DIMS runs, so tf_d is a run length and
+    # z_tf = sum over runs of w[d] * ((run_len * QM_FS) DIV nt) —
+    # O(n log n + runs). All-integer arithmetic, so the result is the
+    # same bigint the slot fold produced (zero-count slots contributed
+    # wi * 0 = 0 there and are simply absent here); NULL __words still
+    # propagates NULL through sort/transform/filter/aggregate.
     dims = F.transform(
         ws,
         lambda t: (
@@ -79,29 +88,45 @@ def score_quality_batch(
             % FEATURE_HASH_DIMS
         ).cast("int"),
     )
-    zero = F.expr(
-        f"array_repeat(CAST(0 AS BIGINT), {FEATURE_HASH_DIMS})"
-    )
-    tf = F.aggregate(
-        dims,
-        zero,
-        lambda acc, dd: F.transform(
-            acc, lambda v, i: F.when(i == dd, v + 1).otherwise(v)
-        ),
-    )
     w_tf = F.array(*[F.lit(int(x)).cast("bigint") for x in w[:FEATURE_HASH_DIMS]])
-    # sum_d w[d] * ((tf_d * QM_FS) DIV nt); tf_d = 0 contributes 0, so
-    # folding over all 64 slots equals the batch path's sparse tf rows
-    z_tf = F.aggregate(
-        F.zip_with(
-            tf,
-            w_tf,
-            lambda t, wi: wi
-            * F.floor(t * F.lit(QM_FS) / nt).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+
+    def _z_of(sd):
+        # sd is a lambda VARIABLE (let-bound below), so the references
+        # inside these nested lambdas are O(1) variable reads — capturing
+        # the array_sort expression directly would re-evaluate the whole
+        # tokenize+hash+sort per element (the r16 from_json lesson;
+        # measured as a 25x stream collapse before the let-binding)
+        last = F.size(sd) - 1
+        # index array via transform (empty/NULL-safe, unlike sequence)
+        idxs = F.transform(sd, lambda _, i: i)
+        # F.get is 0-based and yields NULL past the end (element_at would
+        # throw under Spark 4's default ANSI mode); the i == last disjunct
+        # absorbs the NULL comparison at the final element
+        ends = F.filter(
+            idxs, lambda i: (i == last) | (F.get(sd, i) != F.get(sd, i + 1))
+        )
+        return F.aggregate(
+            ends,
+            F.struct(
+                F.lit(-1).cast("int").alias("p"),
+                F.lit(0).cast("bigint").alias("s"),
+            ),
+            lambda acc, i: F.struct(
+                i.alias("p"),
+                (
+                    acc["s"]
+                    + F.get(w_tf, F.get(sd, i))
+                    * F.floor(
+                        (i - acc["p"]).cast("bigint") * F.lit(QM_FS) / nt
+                    ).cast("bigint")
+                ).alias("s"),
+            ),
+            lambda acc: acc["s"],
+        )
+
+    # let-binding: transform(array(sorted), sd -> ...) evaluates the sort
+    # exactly once per row; [NULL] propagates a NULL z_tf as before
+    z_tf = F.get(F.transform(F.array(F.array_sort(dims)), _z_of), 0)
     len_x = F.least(F.coalesce(nt, F.lit(0)), F.lit(QM_LEN_CAP)).cast(
         "bigint"
     )
